@@ -1,0 +1,406 @@
+"""Distributed trck query execution on Spark.
+
+Physical plan (see SURVEY.md §4 "Physical strategy"):
+
+    parquet scan  (columnar, predicate pushdown, column pruning)
+      -> CNF event filter              [Catalyst expression -> pushdown]
+      -> exclude anti-join             [broadcast]
+      -> window-file join              [broadcast inner join + range filter]
+      -> repartition(uuid) + sortWithinPartitions(uuid, db, ts, seq)
+                                       [the single shuffle]
+      -> mapInPandas: per-trail FSM over the parameter grid, accumulating
+         monoid partials PER PARTITION (the Spark analog of the reference's
+         thread-local results_t accumulation — match_traildb.c:403-411);
+         output is ~ partitions x tuples x vars rows, independent of trail
+         count
+      -> groupBy(tuple_id, var, key).agg(sum / max)
+                                       [partial+final aggregation, tiny]
+      -> densify against the parameter grid
+
+The per-trail inner loop is exactly the evaluator that passes the
+reference's golden fixtures (trck_spark.fsm.interpreter), including the
+occurring/non-occurring parameter pruning that bounds per-trail cost by
+O(distinct values in trail), not O(grid size).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+from trck_spark.fsm.interpreter import Results, dedup_consecutive
+from trck_spark.ir import Program
+from trck_spark.output import format_output, results_to_dict
+from trck_spark.params import foreach_tuples
+from trck_spark.runner import TrckQuery
+from trck_spark.sideinputs import cnf_to_spark_condition
+
+PARTIAL_SCHEMA = (
+    "tuple_id long, var string, key binary, reg long, n long"
+)
+
+_QUERY_CACHE: dict = {}
+
+
+def _worker_query(
+    spec_json: str, fn_registry: dict | None = None
+) -> tuple[TrckQuery, list | None]:
+    """Rebuild (and cache) the compiled query inside an executor."""
+    hit = _QUERY_CACHE.get(spec_json)
+    if hit is not None:
+        return hit
+    spec = json.loads(spec_json)
+    q = TrckQuery(
+        spec["ir"], params=spec.get("params"), fn_registry=fn_registry
+    )
+    tuples = None
+    if spec.get("tuples") is not None:
+        tuples = [
+            tuple(tuple(x) if isinstance(x, list) else x for x in row)
+            for row in spec["tuples"]
+        ]
+    _QUERY_CACHE[spec_json] = (q, tuples)
+    return q, tuples
+
+
+class TrckResultSet:
+    """Handle over the aggregated partials DataFrame."""
+
+    def __init__(self, engine: "TrckSparkEngine", agg_df, program: Program,
+                 tuples: list | None):
+        self.engine = engine
+        self.agg_df = agg_df
+        self.program = program
+        self.tuples = tuples
+
+    def collect_json(self) -> dict | list:
+        """Full trck-shaped result (reference JSON output format)."""
+        per_tuple: dict[int, Results] = {}
+        counter_vars = set(self.program.yield_counters)
+        setlike = set(self.program.yield_sets) | set(
+            self.program.yield_multisets
+        )
+        hll_vars = set(self.program.yield_hlls)
+        for row in self.agg_df.collect():
+            res = per_tuple.setdefault(int(row["tuple_id"]), Results())
+            var = row["var"]
+            if var in counter_vars:
+                res.counters[var] = res.counters.get(var, 0) + int(
+                    row["sum_n"]
+                )
+            elif var in setlike:
+                key = bytes(row["key"])
+                d = res.sets.setdefault(var, {})
+                d[key] = d.get(key, 0) + int(row["sum_n"])
+            elif var in hll_vars:
+                d = res.hlls.setdefault(var, {})
+                reg = int(row["reg"])
+                if d.get(reg, 0) < int(row["max_n"]):
+                    d[reg] = int(row["max_n"])
+        return format_output(self.program, per_tuple, self.tuples)
+
+    def counters_df(self):
+        """Densified DataFrame: one row per foreach tuple with the tuple's
+        scalar bindings plus one column per counter (zero-filled).
+
+        Column names: %var -> var, $counter -> counter (sigils stripped so
+        the frame is SQL/oracle friendly)."""
+        from pyspark.sql import functions as F
+
+        spark = self.engine.spark
+        program = self.program
+        counter_vars = program.yield_counters
+        agg = self.agg_df.filter(
+            F.col("var").isin([v for v in counter_vars])
+        )
+        pivoted = agg.groupBy("tuple_id").agg(
+            *[
+                F.sum(
+                    F.when(F.col("var") == v, F.col("sum_n")).otherwise(0)
+                ).alias(v[1:])
+                for v in counter_vars
+            ]
+        )
+        if self.tuples is None:
+            row = pivoted.drop("tuple_id")
+            return row if row.count() else spark.createDataFrame(
+                [tuple(0 for _ in counter_vars)],
+                schema=", ".join(f"`{v[1:]}` long" for v in counter_vars),
+            )
+        gvars = [v[1:] for v in program.groupby_vars]
+        grid = spark.createDataFrame(
+            [
+                (i,) + tuple(
+                    list(x) if isinstance(x, tuple) else x for x in tup
+                )
+                for i, tup in enumerate(self.tuples)
+            ],
+            schema=["tuple_id"] + gvars,
+        )
+        out = (
+            grid.join(pivoted, "tuple_id", "left")
+            .fillna(0, subset=[v[1:] for v in counter_vars])
+            .drop("tuple_id")
+        )
+        return out
+
+    def sets_df(self, var: str):
+        """Exploded set/multiset rows: (param bindings..., item, count)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StringType
+
+        from trck_spark.fsm.tuples import tuple_to_display
+
+        display = F.udf(
+            lambda b: tuple_to_display(bytes(b)) if b is not None else None,
+            StringType(),
+        )
+        rows = (
+            self.agg_df.filter(F.col("var") == var)
+            .select(
+                "tuple_id",
+                display(F.col("key")).alias("item"),
+                F.col("sum_n").alias("count"),
+            )
+        )
+        if self.tuples is None:
+            return rows.drop("tuple_id")
+        gvars = [v[1:] for v in self.program.groupby_vars]
+        grid = self.engine.spark.createDataFrame(
+            [
+                (i,) + tuple(
+                    list(x) if isinstance(x, tuple) else x for x in tup
+                )
+                for i, tup in enumerate(self.tuples)
+            ],
+            schema=["tuple_id"] + gvars,
+        )
+        return grid.join(rows, "tuple_id", "inner").drop("tuple_id")
+
+
+class TrckSparkEngine:
+    def __init__(self, spark):
+        self.spark = spark
+
+    def run(
+        self,
+        events_df,
+        program_text_or_ir,
+        params: dict | None = None,
+        event_filter: dict | None = None,
+        window_entries: list | None = None,
+        exclude: list | None = None,
+        uuid_col: str = "uuid",
+        ts_col: str = "timestamp",
+        seq_col: str | None = None,
+        db_col: str | None = None,
+        num_partitions: int | None = None,
+        fn_registry: dict | None = None,
+    ) -> TrckResultSet:
+        from pyspark.sql import functions as F
+
+        q = TrckQuery(
+            program_text_or_ir, params=params, fn_registry=fn_registry
+        )
+        program = q.program
+        fields = q.compiled.fields
+
+        df = events_df
+        cols = df.columns
+
+        # --- canonical columns ---
+        df = df.withColumn("__uuid", F.col(uuid_col).cast("string"))
+        df = df.withColumn("__ts", F.col(ts_col).cast("long"))
+        df = df.withColumn(
+            "__seq",
+            F.col(seq_col).cast("long") if seq_col else F.monotonically_increasing_id(),
+        )
+        df = df.withColumn(
+            "__db", F.col(db_col).cast("int") if db_col else F.lit(0)
+        )
+
+        # --- CNF pre-scan filter: pure Catalyst, pushes to the scan ---
+        cond = cnf_to_spark_condition(event_filter, cols)
+        if cond is not None:
+            df = df.filter(cond)
+
+        # --- exclude anti-join (broadcast: exclude lists are small) ---
+        if exclude:
+            excl_df = self.spark.createDataFrame(
+                [(u,) for u in exclude], schema=["__uuid"]
+            )
+            df = df.join(F.broadcast(excl_df), "__uuid", "left_anti")
+
+        # --- per-uuid window entries: broadcast join + range filter ---
+        if window_entries is not None:
+            w_df = self.spark.createDataFrame(
+                [
+                    (i, u, s, e, r if r else u)
+                    for i, (u, s, e, r) in enumerate(window_entries)
+                ],
+                schema=["__entry", "__uuid", "__wstart", "__wend", "__eff"],
+            )
+            df = df.join(F.broadcast(w_df), "__uuid", "inner").filter(
+                (F.col("__ts") >= F.col("__wstart"))
+                & (F.col("__ts") < F.col("__wend"))
+            )
+        else:
+            df = (
+                df.withColumn("__entry", F.lit(0))
+                .withColumn("__wstart", F.lit(0).cast("long"))
+                .withColumn("__wend", F.lit(0).cast("long"))
+                .withColumn("__eff", F.col("__uuid"))
+            )
+
+        # --- project to program fields (column pruning reaches the scan) ---
+        proj = ["__uuid", "__entry", "__db", "__ts", "__seq", "__wstart",
+                "__wend", "__eff"]
+        for f in fields:
+            if f in cols:
+                df = df.withColumn(
+                    "__f_" + f, F.coalesce(F.col(f).cast("string"), F.lit(""))
+                )
+            else:
+                # referenced but absent: reads as "" (reference semantics)
+                df = df.withColumn("__f_" + f, F.lit(""))
+            proj.append("__f_" + f)
+        df = df.select(*proj)
+
+        # --- implicit foreach: the field's distinct values in the data ---
+        lexicon = None
+        if program.implicit_foreach:
+            field = program.var_fields.get(program.groupby_vars[0])
+            if field is None:
+                lexicon = []
+            else:
+                src = (
+                    events_df.select(
+                        F.coalesce(
+                            F.col(field).cast("string"), F.lit("")
+                        ).alias("v")
+                    )
+                    if field in cols
+                    else self.spark.createDataFrame([], "v string")
+                )
+                lexicon = [
+                    r["v"] for r in src.distinct().collect() if r["v"]
+                ]
+        tuples = foreach_tuples(program, params, lexicon_values=lexicon)
+
+        # --- the single shuffle: co-locate each trail, sort within ---
+        if num_partitions:
+            df = df.repartition(num_partitions, "__uuid")
+        else:
+            df = df.repartition("__uuid")
+        df = df.sortWithinPartitions(
+            "__uuid", "__entry", "__db", "__ts", "__seq"
+        )
+
+        spec_json = json.dumps(
+            {
+                "ir": program.ir,
+                "params": params,
+                "tuples": [
+                    [list(x) if isinstance(x, tuple) else x for x in tup]
+                    for tup in tuples
+                ]
+                if tuples is not None
+                else None,
+            },
+            default=str,
+        )
+        n_fields = len(fields)
+
+        def evaluate(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            q, tuples_w = _worker_query(spec_json, fn_registry)
+            agg: dict[int, Results] = {}
+            trail_rows: list = []
+            trail_key = None
+            trail_meta = (0, 0, "")
+
+            def flush_trail():
+                if not trail_rows:
+                    return
+                wstart, wend, eff = trail_meta
+                # per-db consecutive-duplicate skip, then concat
+                events: list = []
+                db_cur = None
+                db_rows: list = []
+                for db, ts, vals in trail_rows:
+                    if db != db_cur and db_rows:
+                        events.extend(
+                            (t, v) for t, v, in dedup_consecutive(db_rows)
+                        )
+                        db_rows = []
+                    db_cur = db
+                    db_rows.append((ts, vals))
+                if db_rows:
+                    events.extend(iter(dedup_consecutive(db_rows)))
+                cookie = _cookie_from_uuid(eff)
+                per_tuple = q.trail_results(
+                    events, cookie, tuples_w, wstart, wend
+                )
+                for ti, res in per_tuple.items():
+                    acc = agg.get(ti)
+                    if acc is None:
+                        acc = Results()
+                        agg[ti] = acc
+                    acc.merge(res)
+                trail_rows.clear()
+
+            for pdf in batches:
+                uuids = pdf["__uuid"].values
+                entries = pdf["__entry"].values
+                dbs = pdf["__db"].values
+                tss = pdf["__ts"].values
+                wstarts = pdf["__wstart"].values
+                wends = pdf["__wend"].values
+                effs = pdf["__eff"].values
+                fvals = [pdf["__f_" + f].values for f in q.compiled.fields]
+                for i in range(len(pdf)):
+                    key = (uuids[i], entries[i])
+                    if key != trail_key:
+                        flush_trail()
+                        trail_key = key
+                        trail_meta = (
+                            int(wstarts[i]), int(wends[i]), effs[i]
+                        )
+                    vals = tuple(fvals[j][i] for j in range(n_fields))
+                    trail_rows.append((dbs[i], int(tss[i]), vals))
+            flush_trail()
+
+            out_rows = []
+            for ti, res in agg.items():
+                for var, n in res.counters.items():
+                    out_rows.append((ti, var, None, None, n))
+                for var, d in res.sets.items():
+                    for key_b, n in d.items():
+                        out_rows.append((ti, var, key_b, None, n))
+                for var, d in res.hlls.items():
+                    for reg, rank in d.items():
+                        out_rows.append((ti, var, None, reg, rank))
+            yield pd.DataFrame(
+                out_rows, columns=["tuple_id", "var", "key", "reg", "n"]
+            )
+
+        partials = df.mapInPandas(evaluate, schema=PARTIAL_SCHEMA)
+
+        from pyspark.sql import functions as F2
+
+        agg_df = partials.groupBy("tuple_id", "var", "key", "reg").agg(
+            F2.sum("n").alias("sum_n"), F2.max("n").alias("max_n")
+        )
+        return TrckResultSet(self, agg_df, program, tuples)
+
+
+def _cookie_from_uuid(uuid: str) -> bytes:
+    """uuid string -> 16 effective cookie bytes (hex when well-formed,
+    else zero-padded raw — mirrors the fixture loader)."""
+    if len(uuid) == 32:
+        try:
+            return bytes.fromhex(uuid)
+        except ValueError:
+            pass
+    return uuid.encode().ljust(16, b"\0")[:16]
