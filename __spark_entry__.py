@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark):      flagship windowed-funnel FSM query at sf0.001.
+queries():         every implemented operator (SURVEY.md §2 + pipeline ops).
+oracle_sql():      DuckDB-equivalent SQL per query (correctness gate).
 """
 
 from __future__ import annotations
@@ -15,24 +13,33 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: trck windowed-funnel FSM over the events table."""
+    from trck_spark.queries import q_trck_funnel
+
+    return q_trck_funnel(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from trck_spark.queries import spark_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(spark_queries())
+    try:
+        from trck_spark.pipeline.queries import pipeline_queries
+
+        out.update(pipeline_queries())
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from trck_spark.queries import oracle_sqls
+
+    out = dict(oracle_sqls())
+    try:
+        from trck_spark.pipeline.queries import pipeline_oracles
+
+        out.update(pipeline_oracles())
+    except ImportError:
+        pass
+    return out

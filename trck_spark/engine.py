@@ -224,23 +224,39 @@ class TrckSparkEngine:
         if cond is not None:
             df = df.filter(cond)
 
+        # canonical 32-hex cookie form of the uuid (matches
+        # runner.cookie_to_bytes: well-formed hex passes through, anything
+        # else is utf-8 zero-padded to 16 bytes) — exclude/window side
+        # inputs are keyed by this form, as in the reference
+        if exclude or window_entries is not None:
+            hexed = F.lower(F.hex(F.encode(F.col("__uuid"), "UTF-8")))
+            df = df.withColumn(
+                "__uuid_hex",
+                F.when(
+                    F.col("__uuid").rlike("^[0-9a-fA-F]{32}$"),
+                    F.lower(F.col("__uuid")),
+                ).otherwise(F.substring(F.rpad(hexed, 32, "0"), 1, 32)),
+            )
+
         # --- exclude anti-join (broadcast: exclude lists are small) ---
         if exclude:
             excl_df = self.spark.createDataFrame(
-                [(u,) for u in exclude], schema=["__uuid"]
+                [(u.lower(),) for u in exclude], schema=["__uuid_hex"]
             )
-            df = df.join(F.broadcast(excl_df), "__uuid", "left_anti")
+            df = df.join(F.broadcast(excl_df), "__uuid_hex", "left_anti")
 
         # --- per-uuid window entries: broadcast join + range filter ---
         if window_entries is not None:
             w_df = self.spark.createDataFrame(
                 [
-                    (i, u, s, e, r if r else u)
+                    (i, u.lower(), s, e, (r if r else u).lower())
                     for i, (u, s, e, r) in enumerate(window_entries)
                 ],
-                schema=["__entry", "__uuid", "__wstart", "__wend", "__eff"],
+                schema=[
+                    "__entry", "__uuid_hex", "__wstart", "__wend", "__eff"
+                ],
             )
-            df = df.join(F.broadcast(w_df), "__uuid", "inner").filter(
+            df = df.join(F.broadcast(w_df), "__uuid_hex", "inner").filter(
                 (F.col("__ts") >= F.col("__wstart"))
                 & (F.col("__ts") < F.col("__wend"))
             )

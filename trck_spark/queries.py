@@ -1,0 +1,424 @@
+"""Headline query library over the TESTDATA tables.
+
+Each query is a (spark_fn, oracle_sql) pair: the Spark side runs through
+the engine (FSM path) or pure Catalyst; the oracle is ANSI SQL DuckDB runs
+on the same parquet for the driver's correctness gate.  Column names and
+types are aligned on both sides (exact decimal sums for money columns cast
+back to double, so parallel FP summation order can't cause hash drift).
+
+The trck-semantics queries map the events table onto the reference data
+model: uuid := user_id, timestamp := epoch seconds (trck's native unit),
+fields := event_type (+ user as a yieldable field).  At sf<=0.01 there are
+no (user, second) collisions, so trck's consecutive-duplicate-event skip
+is a no-op and oracles don't need to replicate it.
+"""
+
+from __future__ import annotations
+
+from trck_spark.engine import TrckSparkEngine
+
+# ---------------------------------------------------------------- loaders
+
+
+def load_events(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        # TIMESTAMP(NANOS) read via nanosAsLong -> floor to epoch seconds
+        ts_col = F.expr("ts div 1000000000")
+    else:
+        ts_col = F.col("ts").cast("long")
+    return (
+        df.withColumn("uuid", F.col("user_id").cast("string"))
+        .withColumn("timestamp", ts_col.cast(LongType()))
+        .withColumn("user", F.col("user_id").cast("string"))
+    )
+
+
+def _t(name: str, sf_dir: str):
+    return f"{sf_dir}/{name}.parquet"
+
+
+# ------------------------------------------------- trck-engine programs
+
+PROG_COUNT_CLICKS = """
+start ->
+    receive
+        event_type = "click" -> yield $clicks
+        * -> repeat
+"""
+
+PROG_COUNT_BY_TYPE = """
+foreach %t
+    start ->
+        receive
+            event_type = %t -> yield $n
+            * -> repeat
+"""
+
+PROG_FUNNEL = """
+start ->
+    receive
+        event_type = "view" -> wait
+        * -> repeat
+wait ->
+    receive
+        event_type = "click" -> yield $conv, quit
+        * -> repeat
+    after 1h -> quit
+"""
+
+PROG_BOUNCE = """
+start ->
+    receive
+        event_type = "view" -> wait
+        * -> repeat
+wait ->
+    receive
+        event_type = "view" -> wait
+        * -> start
+    after 30m -> yield $bounces, start
+"""
+
+PROG_SESSIONS = """
+start ->
+    receive
+        * -> yield $sessions, insession
+insession ->
+    receive
+        * -> insession
+    after 30m -> start
+"""
+
+PROG_ATTRIBUTION = """
+start ->
+    receive
+        event_type = "click" -> attr
+        * -> repeat
+attr ->
+    receive
+        event_type = "click" -> attr
+        event_type = "purchase" -> yield $attr_purchases, repeat
+        * -> repeat
+    after 7d -> start
+"""
+
+PROG_PURCHASES_BY_USER = """
+start ->
+    receive
+        event_type = "purchase" -> yield user to &purchases_by_user, repeat
+        * -> repeat
+"""
+
+PROG_UNIQUES_HLL = """
+foreach %t
+    start ->
+        receive
+            event_type = %t -> yield cookie to ^uniq, repeat
+            * -> repeat
+"""
+
+
+def _run_trck(spark, sf_dir, program, **kw):
+    engine = TrckSparkEngine(spark)
+    return engine.run(
+        load_events(spark, sf_dir),
+        program,
+        uuid_col="uuid",
+        ts_col="timestamp",
+        seq_col="event_id",
+        **kw,
+    )
+
+
+def q_trck_count_clicks(spark, sf_dir):
+    return _run_trck(spark, sf_dir, PROG_COUNT_CLICKS).counters_df()
+
+
+def q_trck_count_by_type(spark, sf_dir):
+    return _run_trck(spark, sf_dir, PROG_COUNT_BY_TYPE).counters_df()
+
+
+def q_trck_funnel(spark, sf_dir):
+    return _run_trck(spark, sf_dir, PROG_FUNNEL).counters_df()
+
+
+def q_trck_bounce(spark, sf_dir):
+    return _run_trck(spark, sf_dir, PROG_BOUNCE).counters_df()
+
+
+def q_trck_sessions(spark, sf_dir):
+    return _run_trck(spark, sf_dir, PROG_SESSIONS).counters_df()
+
+
+def q_trck_attribution(spark, sf_dir):
+    return _run_trck(spark, sf_dir, PROG_ATTRIBUTION).counters_df()
+
+
+def q_trck_purchases_by_user(spark, sf_dir):
+    rs = _run_trck(spark, sf_dir, PROG_PURCHASES_BY_USER)
+    return rs.sets_df("&purchases_by_user")
+
+
+def q_trck_uniques_hll(spark, sf_dir):
+    """HLL sketches per event type (rows-only check: the sketch wire format
+    is validated against reference goldens in tests/test_primitives.py)."""
+    from pyspark.sql import functions as F
+
+    rs = _run_trck(spark, sf_dir, PROG_UNIQUES_HLL)
+    rows = rs.collect_json()
+    out = [
+        (r["%t"], r["^uniq"]) for r in rows
+    ]
+    return spark.createDataFrame(out, "t string, uniq_hll string").orderBy(
+        "t"
+    )
+
+
+def q_trck_window_file(spark, sf_dir):
+    """Per-uuid time-window side input: first-half-of-history windows
+    derived from the data, events counted inside each user's window."""
+    from pyspark.sql import functions as F
+
+    ev = load_events(spark, sf_dir)
+    bounds = (
+        ev.groupBy("uuid")
+        .agg(
+            F.min("timestamp").alias("lo"),
+            F.max("timestamp").alias("hi"),
+        )
+        .select(
+            "uuid",
+            "lo",
+            F.floor((F.col("lo") + F.col("hi")) / 2).cast("long").alias("mid"),
+        )
+        .collect()
+    )
+    entries = [(r["uuid"].encode().ljust(16, b"\0").hex(), int(r["lo"]), int(r["mid"]), None) for r in bounds]
+    prog = """
+start ->
+    receive
+        event_type = "view" -> yield $views_in_window
+        * -> repeat
+"""
+    return _run_trck(spark, sf_dir, prog, window_entries=entries).counters_df()
+
+
+def q_trck_exclude(spark, sf_dir):
+    """uuid exclude side input: drop users who ever errored, count clicks."""
+    from pyspark.sql import functions as F
+
+    ev = load_events(spark, sf_dir)
+    bad = [
+        r["uuid"]
+        for r in ev.filter(F.col("event_type") == "error")
+        .select("uuid")
+        .distinct()
+        .collect()
+    ]
+    bad_hex = [u.encode().ljust(16, b"\0").hex() for u in bad]
+    return _run_trck(
+        spark, sf_dir, PROG_COUNT_CLICKS, exclude=bad_hex
+    ).counters_df()
+
+
+def q_trck_cnf_filter(spark, sf_dir):
+    """Pre-scan CNF filter: (click OR view) AND (NOT view) == clicks."""
+    flt = {
+        "clauses": [
+            [
+                {"field": "event_type", "value": "click", "op": "equal"},
+                {"field": "event_type", "value": "view", "op": "equal"},
+            ],
+            [{"field": "event_type", "value": "view", "op": "notequal"}],
+        ]
+    }
+    prog = """
+start ->
+    receive
+        * -> yield $filtered, repeat
+"""
+    return _run_trck(spark, sf_dir, prog, event_filter=flt).counters_df()
+
+
+ORACLES_TRCK = {
+    "trck_count_clicks": (
+        "SELECT count(*)::BIGINT AS clicks FROM events "
+        "WHERE event_type = 'click'"
+    ),
+    "trck_count_by_type": (
+        "SELECT '' AS t, 0::BIGINT AS n UNION ALL "
+        "SELECT event_type AS t, count(*)::BIGINT AS n "
+        "FROM events GROUP BY event_type"
+    ),
+    "trck_funnel": """
+WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t, event_type FROM events),
+v AS (SELECT user_id, min(t) AS vt FROM e WHERE event_type='view' GROUP BY 1),
+fc AS (SELECT e.user_id, min(e.t) AS ct FROM e JOIN v USING(user_id)
+       WHERE e.event_type='click' AND e.t > v.vt GROUP BY 1)
+SELECT count(*)::BIGINT AS conv FROM fc JOIN v USING(user_id)
+WHERE ct < vt + 3600
+""",
+    "trck_bounce": """
+WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t, event_type,
+                  lead(epoch_ns(ts) // 1000000000) OVER
+                    (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000, event_id)
+                    AS nt
+           FROM events)
+SELECT count(*)::BIGINT AS bounces FROM e
+WHERE event_type='view' AND (nt IS NULL OR nt >= t + 1800)
+""",
+    "trck_sessions": """
+WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t,
+                  lag(epoch_ns(ts) // 1000000000) OVER
+                    (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000, event_id)
+                    AS pt
+           FROM events)
+SELECT count(*)::BIGINT AS sessions FROM e WHERE pt IS NULL OR t >= pt + 1800
+""",
+    "trck_attribution": """
+WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t, event_type FROM events),
+p AS (SELECT user_id, t FROM e WHERE event_type='purchase'),
+lc AS (SELECT p.user_id, p.t AS pt, max(c.t) AS ct
+       FROM p JOIN e c ON c.user_id = p.user_id
+        AND c.event_type='click' AND c.t < p.t
+       GROUP BY 1, 2)
+SELECT count(*)::BIGINT AS attr_purchases FROM lc WHERE pt < ct + 604800
+""",
+    "trck_purchases_by_user": (
+        "SELECT user_id::VARCHAR AS item, count(*)::BIGINT AS count "
+        "FROM events WHERE event_type='purchase' GROUP BY user_id"
+    ),
+    "trck_window_file": """
+WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t, event_type FROM events),
+b AS (SELECT user_id, min(t) AS lo, (min(t) + max(t)) // 2 AS mid
+      FROM e GROUP BY 1)
+SELECT count(*)::BIGINT AS views_in_window
+FROM e JOIN b USING(user_id)
+WHERE e.event_type='view' AND e.t >= b.lo AND e.t < b.mid
+""",
+    "trck_exclude": """
+SELECT count(*)::BIGINT AS clicks FROM events e
+WHERE e.event_type = 'click' AND NOT EXISTS (
+  SELECT 1 FROM events x
+  WHERE x.user_id = e.user_id AND x.event_type = 'error')
+""",
+    "trck_cnf_filter": (
+        "SELECT count(*)::BIGINT AS filtered FROM events "
+        "WHERE (event_type='click' OR event_type='view') "
+        "AND event_type <> 'view'"
+    ),
+}
+
+
+# ------------------------------------------------- relational analytics
+
+
+def q_lineitem_pricing(spark, sf_dir):
+    """TPC-H Q1-shaped aggregation (exact decimal sums -> double)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(_t("lineitem", sf_dir))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_revenue_by_segment(spark, sf_dir):
+    """Join orders to the customer dim (broadcast) and aggregate."""
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(_t("customer", sf_dir))
+    orders = spark.read.parquet(_t("orders", sf_dir))
+    return (
+        orders.join(
+            F.broadcast(cust),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(_t("orders", sf_dir))
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_custkey")
+        .limit(10)
+        .select(F.col("o_custkey").alias("custkey"), "revenue")
+    )
+
+
+ORACLES_RELATIONAL = {
+    "lineitem_pricing": """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "revenue_by_segment": """
+SELECT c_mktsegment,
+       sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS revenue,
+       count(*)::BIGINT AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+""",
+    "top_customers": """
+SELECT o_custkey AS custkey,
+       sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS revenue
+FROM orders GROUP BY 1 ORDER BY revenue DESC, custkey LIMIT 10
+""",
+}
+
+
+def spark_queries() -> dict:
+    """name -> callable(spark, sf_dir) -> DataFrame."""
+    out = {
+        "trck_count_clicks": q_trck_count_clicks,
+        "trck_count_by_type": q_trck_count_by_type,
+        "trck_funnel": q_trck_funnel,
+        "trck_bounce": q_trck_bounce,
+        "trck_sessions": q_trck_sessions,
+        "trck_attribution": q_trck_attribution,
+        "trck_purchases_by_user": q_trck_purchases_by_user,
+        "trck_uniques_hll": q_trck_uniques_hll,
+        "trck_window_file": q_trck_window_file,
+        "trck_exclude": q_trck_exclude,
+        "trck_cnf_filter": q_trck_cnf_filter,
+        "lineitem_pricing": q_lineitem_pricing,
+        "revenue_by_segment": q_revenue_by_segment,
+        "top_customers": q_top_customers,
+    }
+    return out
+
+
+def oracle_sqls() -> dict:
+    out = {}
+    out.update(ORACLES_TRCK)
+    out.update(ORACLES_RELATIONAL)
+    return out
