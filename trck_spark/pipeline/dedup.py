@@ -1,0 +1,298 @@
+"""Document deduplication operators for training-data pipelines.
+
+All of these stay JVM-side (built-in functions, no Python row loops)
+except MinHash signature generation, which is a vectorized Arrow batch
+computation in numpy.
+
+Scale notes (the 100 TB story):
+- exact dedup is one hash-shuffle on a 16-byte digest;
+- n-gram Jaccard uses an inverted-index join on shingles (candidate pairs
+  only materialize for docs sharing a shingle — never O(n^2));
+- MinHash/LSH cuts the candidate space further: band buckets shuffle only
+  (band_id, band_hash) keys; exact verification runs on candidates only;
+- shingle strings are replaced by xxhash64 keys before any shuffle, so
+  shuffle rows are fixed-width.
+"""
+
+from __future__ import annotations
+
+NORM = "regexp_replace(lower(text), '\\\\s+', ' ')"
+WORDS = f"split({NORM}, ' ')"
+# word 3-gram shingles, 1-based element_at
+SHINGLES = (
+    "array_distinct(transform(sequence(1, greatest(size(w) - 2, 0)), "
+    "g -> concat_ws(' ', element_at(w, g), element_at(w, g + 1), "
+    "element_at(w, g + 2))))"
+)
+
+
+def normalized_docs(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.expr(NORM).alias("norm")
+    )
+
+
+def exact_dedup(spark, sf_dir: str):
+    """Hash-groupBy exact dedup: one row per distinct normalized text with
+    the surviving (minimum) doc_id and the duplicate count."""
+    from pyspark.sql import functions as F
+
+    docs = normalized_docs(spark, sf_dir)
+    return (
+        docs.select(F.md5("norm").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("fingerprint")
+    )
+
+
+def shingle_df(spark, sf_dir: str):
+    """(doc_id, shingle) exploded, distinct per doc."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select("doc_id", F.expr(WORDS).alias("w"))
+        .select("doc_id", F.explode(F.expr(SHINGLES)).alias("s"))
+    )
+
+
+def ngram_jaccard_pairs(spark, sf_dir: str, threshold: float = 0.2):
+    """Exact word-3-gram Jaccard similarity pairs >= threshold via an
+    inverted-index self-join on shingles (shingles hashed to int64 before
+    the shuffle so shuffle keys are fixed-width)."""
+    from pyspark.sql import functions as F
+
+    sh = shingle_df(spark, sf_dir).select(
+        "doc_id", F.xxhash64("s").alias("h")
+    )
+    sh.cache()
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(
+        F.col("doc_id").alias("a"), F.col("n").alias("na")
+    )
+    cb = counts.select(
+        F.col("doc_id").alias("b"), F.col("n").alias("nb")
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .filter(jac >= threshold)
+        .select("a", "b", F.floor(jac * 1000000).cast("long").alias("jaccard_e6"))
+        .orderBy("a", "b")
+    )
+
+
+# ------------------------------------------------------------- MinHash/LSH
+
+N_HASHES = 128
+N_BANDS = 32
+ROWS_PER_BAND = 4
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_coeffs():
+    """Deterministic permutation coefficients (seeded)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, 1 << 29, size=N_HASHES).astype(np.int64)
+    b = rng.randint(0, 1 << 29, size=N_HASHES).astype(np.int64)
+    return a, b
+
+
+def minhash_signatures(spark, sf_dir: str):
+    """(doc_id, sig array<long>[128]) via vectorized numpy over Arrow
+    batches of exploded shingle hashes."""
+    from pyspark.sql import functions as F
+
+    sh = shingle_df(spark, sf_dir).select(
+        "doc_id",
+        (F.xxhash64("s").bitwiseAND(F.lit((1 << 32) - 1))).alias("h32"),
+    )
+
+    def sig_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        a, b = _perm_coeffs()
+        acc: dict[int, "np.ndarray"] = {}
+        for pdf in batches:
+            for doc_id, grp in pdf.groupby("doc_id"):
+                h = grp["h32"].values.astype(np.int64)
+                # (128, n) permutation values, min over shingles
+                vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
+                mins = vals.min(axis=1)
+                prev = acc.get(doc_id)
+                acc[doc_id] = mins if prev is None else np.minimum(prev, mins)
+            del pdf
+        yield pd.DataFrame(
+            {
+                "doc_id": list(acc.keys()),
+                "sig": [s.tolist() for s in acc.values()],
+            }
+        )
+
+    # shingles of one doc must land in one partition for the local min;
+    # repartition by doc_id (same pattern as the trck engine trail shuffle)
+    return (
+        sh.repartition("doc_id")
+        .sortWithinPartitions("doc_id")
+        .mapInPandas(sig_batches, schema="doc_id long, sig array<long>")
+    )
+
+
+def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2):
+    """Near-duplicate candidate pairs via LSH banding over MinHash
+    signatures, verified with exact Jaccard on the candidates only.
+
+    Probabilistic recall (<1.0 near the threshold), so this query gets a
+    rows-only driver check; exactness is covered by ngram_jaccard_pairs.
+    """
+    from pyspark.sql import functions as F
+
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), b -> "
+                f"struct(b AS band, xxhash64(to_json(slice(sig, "
+                f"b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}))) AS bh))"
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bh")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    # exact verification on candidates only
+    sh = shingle_df(spark, sf_dir).select(
+        "doc_id", F.xxhash64("s").alias("h")
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("a"), "h")
+    sb = sh.select(F.col("doc_id").alias("b"), "h")
+    inter = (
+        cands.join(sa, "a").join(sb, ["b", "h"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(
+            F.broadcast(counts.select(F.col("doc_id").alias("a"),
+                                      F.col("n").alias("na"))), "a")
+        .join(
+            F.broadcast(counts.select(F.col("doc_id").alias("b"),
+                                      F.col("n").alias("nb"))), "b")
+        .filter(jac >= threshold)
+        .select("a", "b", F.floor(jac * 1000000).cast("long").alias("jaccard_e6"))
+        .orderBy("a", "b")
+    )
+
+
+# --------------------------------------------------------------- SimHash
+
+
+def simhash_pairs(spark, sf_dir: str, max_hamming: int = 3):
+    """64-bit token SimHash near-dup pairs with hamming <= max_hamming.
+
+    Pair generation uses the pigeonhole band trick: split the 64-bit
+    fingerprint into 4 x 16-bit keys; any pair within hamming distance 3
+    agrees exactly on at least one key, so an equi-join per key finds all
+    candidates without O(n^2) comparison; candidates verified with
+    bit_count(xor).  Rows-only driver check (hash-function dependent).
+    """
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.expr(WORDS).alias("w")
+    )
+    tokens = docs.select("doc_id", F.explode("w").alias("tok"))
+    th = tokens.select("doc_id", F.xxhash64("tok").alias("h"))
+    # per bit: sum(+1 if bit set else -1); sign -> fingerprint bit
+    bit_sums = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    fp_expr = None
+    for i in range(64):
+        term = F.shiftleft(
+            F.when(F.col(f"b{i}") > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+            i,
+        )
+        fp_expr = term if fp_expr is None else fp_expr.bitwiseOR(term)
+    fps = bit_sums.select("doc_id", fp_expr.alias("fp"))
+    fps.cache()
+    keys = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.shiftright(F.col("fp"), k * 16)
+                        .bitwiseAND((1 << 16) - 1)
+                        .alias("kv"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "fp", "e.k", "e.kv")
+    a = keys.alias("a")
+    b = keys.alias("b")
+    ham = F.bit_count(
+        F.col("a.fp").bitwiseXOR(F.col("b.fp"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.kv") == F.col("b.kv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .orderBy("a", "b")
+    )

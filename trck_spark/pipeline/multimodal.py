@@ -1,0 +1,119 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched mapInPandas.
+
+The decode step is STUBBED (no image/audio libraries in this container):
+``decode_image`` raises NotImplementedError unless ``fake=True``, in which
+case a deterministic fake decoder derives metadata from the byte length.
+Everything Spark-side — binary column handling, schema, batch iteration,
+partitioning — is real and tested; swapping the fake for PIL/ffmpeg is a
+one-function change.
+"""
+
+from __future__ import annotations
+
+
+def decode_image(blob: bytes, fake: bool = False) -> tuple[int, int, int]:
+    """-> (width, height, channels).  Real decode requires an image
+    library; the deterministic fake derives shape from byte length."""
+    if not fake:
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError:
+            raise NotImplementedError(
+                "image decoding requires PIL/pillow (not available in this "
+                "container); pass fake=True for the deterministic stub"
+            )
+        raise NotImplementedError("real decode path not wired yet")
+    n = len(blob)
+    return (n % 640 + 1, (n * 7) % 480 + 1, 3)
+
+
+def binary_docs(spark, sf_dir: str):
+    """Documents with a synthesized binary payload column standing in for
+    image bytes (utf-8 of the text; deterministic)."""
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+
+
+def image_metadata(spark, sf_dir: str):
+    """mapInPandas feature extraction over binary blobs: per-blob metadata
+    (n_bytes, width, height, aspect).  The fake decoder is deterministic
+    byte-length arithmetic, so this query is fully oracle-checkable."""
+
+    df = binary_docs(spark, sf_dir)
+
+    def extract(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = pdf["blob"]
+            meta = [decode_image(b, fake=True) for b in blobs]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(b) for b in blobs],
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                }
+            )
+            out["aspect_e6"] = out["width"] * 1000000 // out["height"]
+            yield out
+
+    return df.mapInPandas(
+        extract,
+        schema="doc_id long, n_bytes long, width long, height long, "
+        "aspect_e6 long",
+    ).orderBy("doc_id")
+
+
+def image_metadata_oracle_sql() -> str:
+    return """
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       (octet_length(encode(text)) % 640 + 1)::BIGINT AS width,
+       ((octet_length(encode(text)) * 7) % 480 + 1)::BIGINT AS height,
+       (octet_length(encode(text)) % 640 + 1) * 1000000
+         // ((octet_length(encode(text)) * 7) % 480 + 1) AS aspect_e6
+FROM documents ORDER BY doc_id
+"""
+
+
+def audio_frame_sample(spark, sf_dir: str, frame_bytes: int = 1024,
+                       every_nth: int = 4):
+    """Frame sampling plumbing for audio/video blobs: number of frames and
+    sampled frame offsets per blob (mapInPandas; arithmetic fake)."""
+    from pyspark.sql import functions as F
+
+    df = binary_docs(spark, sf_dir)
+
+    def sample(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
+                n_frames = len(b) // frame_bytes
+                offsets = list(range(0, n_frames, every_nth))
+                rows.append((doc_id, n_frames, len(offsets)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "n_sampled"]
+            )
+
+    return df.mapInPandas(
+        sample, schema="doc_id long, n_frames long, n_sampled long"
+    ).orderBy("doc_id")
+
+
+def audio_frame_sample_oracle_sql(frame_bytes: int = 1024,
+                                  every_nth: int = 4) -> str:
+    return f"""
+SELECT doc_id,
+       (octet_length(encode(text)) // {frame_bytes})::BIGINT AS n_frames,
+       CASE WHEN octet_length(encode(text)) // {frame_bytes} = 0 THEN 0
+            ELSE ((octet_length(encode(text)) // {frame_bytes} - 1)
+                  // {every_nth} + 1) END::BIGINT AS n_sampled
+FROM documents ORDER BY doc_id
+"""

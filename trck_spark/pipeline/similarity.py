@@ -1,0 +1,162 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Scores are computed on embeddings quantized to int64 (round(x * 1e6)):
+integer dot products and norms are exact, so Spark and the DuckDB oracle
+produce bit-identical doubles regardless of summation order — float
+accumulation order can never flip a top-k boundary between engines.
+
+Brute-force top-k is the correctness baseline; the LSH-bucketed variant is
+the scale path (buckets shuffle only bucket keys; each query probes one
+bucket).
+"""
+
+from __future__ import annotations
+
+QUANT = ("transform(embedding, x -> "
+         "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+)
+
+
+def _quantized(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.expr(QUANT).alias("v")
+    )
+
+
+def cosine_topk(spark, sf_dir: str, k: int = 5, n_queries: int = 5):
+    """Exact cosine top-k for the first n_queries vectors (brute force:
+    broadcast the queries, score everything, window top-k)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    emb = _quantized(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    d = emb.select(F.col("vec_id").alias("did"), F.col("v").alias("dv"))
+    dot = F.expr(_DOT.format(a="qv", b="dv")).cast("double")
+    nq = F.expr(_DOT.format(a="qv", b="qv")).cast("double")
+    nd = F.expr(_DOT.format(a="dv", b="dv")).cast("double")
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("did"))
+        .select(
+            "qid",
+            "did",
+            (dot / (F.sqrt(nq) * F.sqrt(nd))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("did"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "did", F.floor(F.col("cos") * 1000000).cast("long").alias("score_e6"))
+        .orderBy("qid", F.desc("score_e6"), "did")
+    )
+
+
+def cosine_topk_lsh(spark, sf_dir: str, k: int = 5, n_planes: int = 8):
+    """Approximate top-k via random-hyperplane LSH buckets: vectors are
+    bucketed by the sign pattern of n_planes fixed random projections;
+    each query scores only its own bucket.  Rows-only driver check
+    (approximate by construction)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb0.select("embedding").first()[0])
+    planes = rng.standard_normal((n_planes, dim))
+
+    proj_cols = []
+    for p in range(n_planes):
+        arr = "array(%s)" % ", ".join(
+            "%.17gD" % x for x in planes[p]
+        )
+        proj_cols.append(
+            f"CASE WHEN aggregate(zip_with(embedding, {arr}, "
+            f"(x, y) -> x * y), 0D, (acc, v) -> acc + v) >= 0 "
+            f"THEN {1 << p}L ELSE 0L END"
+        )
+    bucket = F.expr(" + ".join(proj_cols)).alias("bucket")
+    emb = emb0.select(
+        "vec_id", F.expr(QUANT).alias("v"), bucket
+    )
+    emb.cache()
+    q = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        "bucket",
+    )
+    d = emb.select(
+        F.col("vec_id").alias("did"), F.col("v").alias("dv"), "bucket"
+    )
+    dot = F.expr(_DOT.format(a="qv", b="dv")).cast("double")
+    nq = F.expr(_DOT.format(a="qv", b="qv")).cast("double")
+    nd = F.expr(_DOT.format(a="dv", b="dv")).cast("double")
+    scored = (
+        q.join(d, "bucket")
+        .filter(F.col("qid") != F.col("did"))
+        .select(
+            "qid", "did", (dot / (F.sqrt(nq) * F.sqrt(nd))).alias("cos")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("did"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "did", F.floor(F.col("cos") * 1000000).cast("long").alias("score_e6"))
+        .orderBy("qid", F.desc("score_e6"), "did")
+    )
+
+
+def knn_label_vote(spark, sf_dir: str, k: int = 10, n_queries: int = 20):
+    """k-NN majority label vote for the first n_queries vectors — the
+    embedding-classification shape of a training-data pipeline, oracle
+    checkable end-to-end (exact integer scores)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb0.select("vec_id", F.expr(QUANT).alias("v"), "label")
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    d = emb.select(
+        F.col("vec_id").alias("did"), F.col("v").alias("dv"), "label"
+    )
+    dot = F.expr(_DOT.format(a="qv", b="dv")).cast("double")
+    nq = F.expr(_DOT.format(a="qv", b="qv")).cast("double")
+    nd = F.expr(_DOT.format(a="dv", b="dv")).cast("double")
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("did"))
+        .select(
+            "qid", "did", "label",
+            (dot / (F.sqrt(nq) * F.sqrt(nd))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("did"))
+    knn = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    return (
+        knn.groupBy("qid", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc("votes"), F.asc("label")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("qid", F.col("label").alias("pred_label"), "votes")
+        .orderBy("qid")
+    )
