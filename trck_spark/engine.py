@@ -303,6 +303,17 @@ class TrckSparkEngine:
                 ]
         tuples = foreach_tuples(program, params, lexicon_values=lexicon)
 
+        # --- fast path: simple counter programs compile to pure Catalyst
+        # (no Python workers, whole-stage codegen; see planner.py) ---
+        from trck_spark.planner import (
+            compile_relational,
+            is_simple_counter_program,
+        )
+
+        if is_simple_counter_program(program):
+            agg_df = compile_relational(self, df, program, tuples, params)
+            return TrckResultSet(self, agg_df, program, tuples)
+
         # --- the single shuffle: co-locate each trail, sort within ---
         if num_partitions:
             df = df.repartition(num_partitions, "__uuid")
@@ -366,25 +377,44 @@ class TrckSparkEngine:
                     acc.merge(res)
                 trail_rows.clear()
 
+            import numpy as np
+
             for pdf in batches:
+                m = len(pdf)
+                if m == 0:
+                    continue
                 uuids = pdf["__uuid"].values
                 entries = pdf["__entry"].values
-                dbs = pdf["__db"].values
-                tss = pdf["__ts"].values
+                dbs = pdf["__db"].tolist()
+                tss = pdf["__ts"].tolist()
                 wstarts = pdf["__wstart"].values
                 wends = pdf["__wend"].values
                 effs = pdf["__eff"].values
-                fvals = [pdf["__f_" + f].values for f in q.compiled.fields]
-                for i in range(len(pdf)):
-                    key = (uuids[i], entries[i])
+                # bulk-zip event rows: (db, ts, vals-tuple) per row
+                fcols = [pdf["__f_" + f].tolist() for f in q.compiled.fields]
+                if fcols:
+                    vals_iter = list(zip(*fcols))
+                else:
+                    vals_iter = [()] * m
+                rows = list(zip(dbs, tss, vals_iter))
+                # trail boundaries where (uuid, entry) changes
+                change = np.empty(m, dtype=bool)
+                change[0] = True
+                if m > 1:
+                    change[1:] = (uuids[1:] != uuids[:-1]) | (
+                        entries[1:] != entries[:-1]
+                    )
+                bounds = np.flatnonzero(change).tolist() + [m]
+                for bi in range(len(bounds) - 1):
+                    s, e = bounds[bi], bounds[bi + 1]
+                    key = (uuids[s], entries[s])
                     if key != trail_key:
                         flush_trail()
                         trail_key = key
                         trail_meta = (
-                            int(wstarts[i]), int(wends[i]), effs[i]
+                            int(wstarts[s]), int(wends[s]), effs[s]
                         )
-                    vals = tuple(fvals[j][i] for j in range(n_fields))
-                    trail_rows.append((dbs[i], int(tss[i]), vals))
+                    trail_rows.extend(rows[s:e])
             flush_trail()
 
             out_rows = []

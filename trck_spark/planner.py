@@ -1,0 +1,195 @@
+"""Query planner: compile simple trck programs to pure Catalyst plans.
+
+A program qualifies for the relational fast path when it is a single
+receive block with no time machinery and no cross-event state:
+
+- exactly one (non-window) rule, no ``after`` edge, no ``window`` duration
+- every clause action is ``repeat`` (no transitions, no quit/stop)
+- a catch-all wildcard clause exists (so non-exhaustive-match errors are
+  impossible)
+- yields are counters only (set/multiset/HLL yields carry the trck tuple
+  encoding, which stays on the FSM path)
+
+For such programs per-event semantics reduce to: drop consecutive
+duplicates, find the first matching clause, add its counter yields.  That
+compiles to:
+
+    scan -> [lag-based consecutive dedup over (uuid) trails]
+         -> broadcast join against the parameter grid (equi-join when the
+            program compares fields to params — Catalyst picks a hash join)
+         -> CASE chain for first-match clause resolution
+         -> groupBy(tuple_id) conditional sums
+
+which is whole-stage-codegen JVM execution end to end — no Python worker,
+no per-trail grouping (counters have no cross-event dependency; the only
+window function is the dedup lag).  This is the "simple program ->
+filter/groupBy/agg" rewrite sketched in SURVEY.md §4/#8 and §7.3.
+
+The reference achieves the same effect with compiled C + the
+distinct-value memoization (match_traildb.c:653-744); on Spark the hash
+join against the grid plays that role (each event pairs only with grid
+tuples whose values match).
+"""
+
+from __future__ import annotations
+
+from trck_spark.ir import A_REPEAT, Program, is_param
+
+
+def is_simple_counter_program(program: Program) -> bool:
+    if len(program.rules) != 1:
+        return False
+    r = program.rules[0]
+    if r.get("window") is not None or "after" in r or r.get("outer"):
+        return False
+    clauses = r.get("clauses", [])
+    if not clauses:
+        return False
+    has_catchall = False
+    for c in clauses:
+        kind, _ = c["_action"]
+        if kind != A_REPEAT:
+            return False
+        if not c.get("attrs"):
+            has_catchall = True
+        for y in c.get("yield", []) or []:
+            if y["dst"][0] != "$":
+                return False
+    return has_catchall
+
+
+def compile_relational(
+    engine,
+    df,
+    program: Program,
+    tuples: list | None,
+    base_params: dict | None,
+):
+    """-> aggregated partials DataFrame (same shape the FSM path's
+    aggregation produces: tuple_id, var, key, reg, sum_n, max_n)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    spark = engine.spark
+    fields = sorted(program.kvs.keys())
+
+    # --- consecutive-duplicate dedup (reference ctx.c:106-134): drop rows
+    # identical to their predecessor within the (uuid, entry, db) trail ---
+    order = Window.partitionBy("__uuid", "__entry", "__db").orderBy(
+        "__ts", "__seq"
+    )
+    same = F.lit(True)
+    same = same & (F.lag("__ts").over(order) == F.col("__ts"))
+    for f in fields:
+        same = same & (
+            F.lag("__f_" + f).over(order).eqNullSafe(F.col("__f_" + f))
+        )
+    df = df.withColumn("__dup", F.coalesce(same, F.lit(False))).filter(
+        ~F.col("__dup")
+    )
+
+    # --- parameter grid as a broadcast DataFrame ---
+    gvars = program.groupby_vars
+    if tuples is not None:
+        grid_rows = []
+        for i, tup in enumerate(tuples):
+            row: list = [i]
+            for var, val in zip(gvars, tup):
+                row.append(
+                    list(val) if isinstance(val, (tuple, frozenset)) else val
+                )
+            grid_rows.append(tuple(row))
+        schema_parts = ["__tuple_id long"]
+        for var in gvars:
+            if var.startswith("#"):
+                schema_parts.append(f"`__p_{var[1:]}` array<string>")
+            else:
+                schema_parts.append(f"`__p_{var[1:]}` string")
+        grid = spark.createDataFrame(grid_rows, ", ".join(schema_parts))
+        df = df.crossJoin(F.broadcast(grid))
+    else:
+        df = df.withColumn("__tuple_id", F.lit(0).cast("long"))
+
+    def param_col(name: str):
+        base = (base_params or {}).get(name)
+        if name[1:] and f"__p_{name[1:]}" in df.columns and name in gvars:
+            return F.col(f"__p_{name[1:]}")
+        if base is None:
+            return F.lit(None)
+        if isinstance(base, list):
+            return F.array(*[F.lit(str(x)) for x in base])
+        return F.lit(str(base))
+
+    def cond_expr(field: str, expr: str):
+        if field == "timestamp":
+            bare = expr.lstrip("<=>")
+            op = expr[: len(expr) - len(bare)] or "=="
+            if is_param(bare):
+                val = param_col(bare).cast("long")
+            else:
+                val = F.lit(int(bare))
+            c = F.col("__ts")
+            return {
+                "<": c < val, ">": c > val, "<=": c <= val,
+                ">=": c >= val, "==": c == val,
+            }[op]
+        col = F.col("__f_" + field)
+        if is_param(expr):
+            if expr[0] == "%":
+                return col == param_col(expr)
+            return F.array_contains(
+                F.coalesce(param_col(expr), F.array()), col
+            )
+        return col == F.lit(expr)
+
+    # --- first-match clause resolution as a CASE chain ---
+    clauses = program.rules[0].get("clauses", [])
+    matched = None
+    for ci, c in enumerate(clauses):
+        pred = F.lit(True)
+        for field, conditions in c.get("attrs", {}).items():
+            for expr in conditions:
+                pred = pred & cond_expr(field, expr)
+        if c.get("op") == "not":
+            pred = ~pred
+        branch = F.when(pred, F.lit(ci))
+        matched = branch if matched is None else matched.when(pred, F.lit(ci))
+    df = df.withColumn("__clause", matched)
+
+    # --- conditional sums per counter var ---
+    counter_weights: dict[str, dict[int, int]] = {}
+    for ci, c in enumerate(clauses):
+        for y in c.get("yield", []) or []:
+            counter_weights.setdefault(y["dst"], {})
+            counter_weights[y["dst"]][ci] = (
+                counter_weights[y["dst"]].get(ci, 0) + 1
+            )
+    aggs = []
+    for var in program.yield_counters:
+        weights = counter_weights.get(var, {})
+        expr = None
+        for ci, w in weights.items():
+            term = F.when(F.col("__clause") == ci, F.lit(w)).otherwise(0)
+            expr = term if expr is None else (expr + term)
+        if expr is None:
+            expr = F.lit(0)
+        aggs.append(F.sum(expr).cast("long").alias(var))
+    grouped = df.groupBy(F.col("__tuple_id").alias("tuple_id")).agg(*aggs)
+
+    # --- reshape to the partials-aggregate schema ---
+    pieces = []
+    for var in program.yield_counters:
+        pieces.append(
+            grouped.select(
+                "tuple_id",
+                F.lit(var).alias("var"),
+                F.lit(None).cast("binary").alias("key"),
+                F.lit(None).cast("long").alias("reg"),
+                F.col(var).alias("sum_n"),
+                F.col(var).alias("max_n"),
+            ).filter(F.col("sum_n") != 0)
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionAll(p)
+    return out

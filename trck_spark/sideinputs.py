@@ -63,10 +63,19 @@ def cnf_to_spark_condition(filter_spec: dict | None, df_columns: list[str]):
         for t in clause:
             field, value, op = t["field"], str(t["value"]), t.get("op", "equal")
             if field in df_columns:
-                col = F.coalesce(F.col(field), F.lit(""))
+                col = F.col(field)
+                # NULL reads as "": express with null-safe predicates that
+                # still push down to the parquet scan (EqualNullSafe /
+                # Or(Not(EqualTo), IsNull)), unlike a coalesce() wrapper
+                if value == "":
+                    eq = col.isNull() | (col == "")
+                else:
+                    eq = col.eqNullSafe(F.lit(value))
+                term = eq if op == "equal" else ~eq
             else:
-                col = F.lit("")
-            term = (col == F.lit(value)) if op == "equal" else (col != F.lit(value))
+                # referenced field absent from the schema: constant ""
+                hit = value == ""
+                term = F.lit(hit if op == "equal" else not hit)
             inner = term if inner is None else (inner | term)
         cond = inner if cond is None else (cond & inner)
     return cond
