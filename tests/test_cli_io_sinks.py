@@ -1,0 +1,118 @@
+"""End-to-end CLI, I/O utilities and result sinks."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+from trck_spark.sinks import msgpack_dumps, write_results
+
+
+def test_msgpack_encoder_basics():
+    # spot-check against the msgpack spec's canonical encodings
+    assert msgpack_dumps(None) == b"\xc0"
+    assert msgpack_dumps(5) == b"\x05"
+    assert msgpack_dumps(-1) == b"\xff"
+    assert msgpack_dumps("abc") == b"\xa3abc"
+    assert msgpack_dumps([1, 2]) == b"\x92\x01\x02"
+    assert msgpack_dumps({"a": 1}) == b"\x81\xa1a\x01"
+    big = msgpack_dumps(2**40)
+    assert big[0] == 0xD3 and len(big) == 9
+
+
+def test_write_results_shapes():
+    from trck_spark.fsm.interpreter import Results
+    from trck_spark.fsm.tuples import TYPE_STRING, encode_tuple
+    from trck_spark.dsl import compile_tr
+    from trck_spark.ir import Program
+
+    prog = Program(
+        compile_tr(
+            """
+start ->
+    receive
+        type = "x" -> yield $n, yield domain to #s, yield domain to &m
+        * -> repeat
+"""
+        )
+    )
+    r = Results()
+    r.counters["$n"] = 3
+    k1 = encode_tuple([(b"a.com", TYPE_STRING)])
+    k2 = encode_tuple([(b"b.com", TYPE_STRING)])
+    r.sets["#s"] = {k1: 1, k2: 2}
+    r.sets["&m"] = {k1: 4}
+    js = json.loads(write_results(prog, {0: r}, None, "json"))
+    assert js["$n"] == 3
+    assert sorted(js["#s"]) == ["a.com", "b.com"]
+    assert js["&m"] == {"a.com": 4}
+    blob = write_results(prog, {0: r}, None, "msgpack")
+    assert isinstance(blob, bytes) and len(blob) > 10
+
+
+def test_io_roundtrip(spark):
+    from trck_spark.io import df_to_trails_json, extract_trail, trails_json_to_df
+
+    trails = [
+        {
+            "abcd": [
+                {"timestamp": 1, "type": "cli", "d": "x"},
+                {"timestamp": 2, "type": "imp"},
+            ],
+            "efgh": [{"timestamp": 5, "type": "pxl"}],
+        }
+    ]
+    df = trails_json_to_df(spark, trails)
+    assert df.count() == 3
+    back = df_to_trails_json(df)
+    abcd_hex = "abcd".encode().ljust(16, b"\0").hex()
+    assert len(back[abcd_hex]) == 2
+    assert back[abcd_hex][0]["type"] == "cli"
+    tr = extract_trail(df, "abcd")
+    assert [e["timestamp"] for e in tr] == [1, 2]
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    """Run the CLI against a parquet events file and check trck JSON out."""
+    from trck_spark.io import trails_json_to_df
+
+    trails = [
+        {
+            "abcd": [
+                {"timestamp": 100, "type": "cli", "advertisable_eid": "a1"},
+                {"timestamp": 200, "type": "cli", "advertisable_eid": "a2"},
+                {"timestamp": 300, "type": "imp", "advertisable_eid": "a1"},
+            ]
+        }
+    ]
+    pq = str(tmp_path / "events.parquet")
+    trails_json_to_df(spark, trails).write.parquet(pq)
+
+    prog = tmp_path / "prog.tr"
+    prog.write_text(
+        """
+foreach %aeid
+    start ->
+        receive
+            type = "cli", advertisable_eid = %aeid -> yield $match
+            * -> repeat
+"""
+    )
+    out = tmp_path / "out.json"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "trck_spark", str(prog), pq,
+            "--seq-col", "seq", "--output", str(out),
+        ],
+        cwd="/root/repo",
+        env=env,
+        capture_output=True,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr.decode()[-2000:]
+    rows = json.loads(out.read_text())
+    by_aeid = {r["%aeid"]: r["$match"] for r in rows}
+    assert by_aeid == {"": 0, "a1": 1, "a2": 1}

@@ -73,8 +73,8 @@ class TrckResultSet:
         self.program = program
         self.tuples = tuples
 
-    def collect_json(self) -> dict | list:
-        """Full trck-shaped result (reference JSON output format)."""
+    def collect_partials(self) -> dict[int, Results]:
+        """Collect the aggregated monoid partials per foreach tuple."""
         per_tuple: dict[int, Results] = {}
         counter_vars = set(self.program.yield_counters)
         setlike = set(self.program.yield_sets) | set(
@@ -97,7 +97,13 @@ class TrckResultSet:
                 reg = int(row["reg"])
                 if d.get(reg, 0) < int(row["max_n"]):
                     d[reg] = int(row["max_n"])
-        return format_output(self.program, per_tuple, self.tuples)
+        return per_tuple
+
+    def collect_json(self) -> dict | list:
+        """Full trck-shaped result (reference JSON output format)."""
+        return format_output(
+            self.program, self.collect_partials(), self.tuples
+        )
 
     def counters_df(self):
         """Densified DataFrame: one row per foreach tuple with the tuple's
