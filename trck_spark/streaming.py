@@ -1,0 +1,263 @@
+"""Structured Streaming execution of trck programs.
+
+The reference is strictly batch, but its cross-file state carry (a global
+uuid -> FSM-state map persisted between TrailDBs — match_traildb.c:372-394,
+812-849) is exactly the shape of a streaming stateful operator: here each
+micro-batch plays the role of one TrailDB, and ``applyInPandasWithState``
+keeps each trail's per-tuple FSM states between batches.
+
+Semantics notes (mirroring the reference's cross-DB behavior):
+- events are ordered within a batch (timestamp, seq); cross-batch order is
+  arrival order — the reference behaves the same across DB files;
+- consecutive-duplicate skip applies within a batch only (the reference's
+  duplicate check never spans file boundaries);
+- when a trail goes idle for ``finalize_after_ms`` of processing time, the
+  end-of-data sentinel runs (pending ``after`` edges fire) and the state is
+  dropped — the streaming analog of end-of-run finalization.
+
+The operator emits partial monoid rows (tuple_id, var, key, reg, n); sum
+them with ``aggregate_partials`` (e.g. inside foreachBatch) exactly like
+the batch engine's final aggregation.
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+from typing import Any, Iterator
+
+from trck_spark.engine import PARTIAL_SCHEMA, _cookie_from_uuid, _worker_query
+from trck_spark.fsm.interpreter import (
+    Results,
+    SENTINEL,
+    State,
+    dedup_consecutive,
+    finalize_needed,
+    run_machine,
+)
+
+STREAM_PARTIAL_SCHEMA = "uuid string, " + PARTIAL_SCHEMA
+STATE_SCHEMA = "blob binary"
+
+# End-of-trail marker timestamp for stream events (int64 max — the true
+# finalization sentinel 2^64-2 doesn't fit a signed long column; any event
+# at or beyond this value triggers finalization instead of being matched).
+STREAM_END_TS = (1 << 63) - 1
+
+
+def _results_rows(uuid: str, agg: dict[int, Results]) -> list[tuple]:
+    rows = []
+    for ti, res in agg.items():
+        for var, n in res.counters.items():
+            rows.append((uuid, ti, var, None, None, n))
+        for var, d in res.sets.items():
+            for key_b, n in d.items():
+                rows.append((uuid, ti, var, key_b, None, n))
+        for var, d in res.hlls.items():
+            for reg, rank in d.items():
+                rows.append((uuid, ti, var, None, reg, rank))
+    return rows
+
+
+def streaming_partials(
+    events_sdf,
+    program_text_or_ir,
+    params: dict | None = None,
+    uuid_col: str = "uuid",
+    ts_col: str = "timestamp",
+    seq_col: str | None = None,
+    foreach_values: list | None = None,
+    finalize_after_ms: int = 0,
+):
+    """streaming events DataFrame -> streaming partial-monoid rows.
+
+    foreach_values: for implicit-foreach programs the lexicon cannot be
+    computed from an unbounded stream; pass the value list explicitly.
+    finalize_after_ms > 0 arms a processing-time timeout per trail that
+    fires pending ``after`` edges once the trail goes idle.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from trck_spark.params import env_for_tuple, foreach_tuples
+    from trck_spark.runner import TrckQuery
+
+    probe = TrckQuery(program_text_or_ir, params=params)
+    program = probe.program
+    if program.implicit_foreach and foreach_values is None:
+        raise ValueError(
+            "implicit foreach on a stream needs explicit foreach_values"
+        )
+    tuples = foreach_tuples(
+        program, params, lexicon_values=foreach_values
+    )
+    fields = probe.compiled.fields
+
+    spec_json = json.dumps(
+        {
+            "ir": program.ir,
+            "params": params,
+            "tuples": [
+                [list(x) if isinstance(x, tuple) else x for x in tup]
+                for tup in tuples
+            ]
+            if tuples is not None
+            else None,
+        },
+        default=str,
+    )
+
+    df = events_sdf.withColumn("__uuid", F.col(uuid_col).cast("string"))
+    df = df.withColumn("__ts", F.col(ts_col).cast("long"))
+    df = df.withColumn(
+        "__seq",
+        F.col(seq_col).cast("long") if seq_col else F.lit(0).cast("long"),
+    )
+    proj = ["__uuid", "__ts", "__seq"]
+    in_cols = events_sdf.columns
+    for f in fields:
+        if f in in_cols:
+            df = df.withColumn(
+                "__f_" + f, F.coalesce(F.col(f).cast("string"), F.lit(""))
+            )
+        else:
+            df = df.withColumn("__f_" + f, F.lit(""))
+        proj.append("__f_" + f)
+    df = df.select(*proj)
+
+    def step(key, pdf_iter, state: "GroupState") -> Iterator[Any]:
+        import pandas as pd
+
+        q, tuples_w = _worker_query(spec_json)
+        uuid = key[0]
+        cookie = _cookie_from_uuid(uuid)
+        entrypoint = q.compiled.entrypoint
+
+        if state.exists:
+            machine_states: dict[int, Any] = pickle.loads(
+                bytes(state.get[0])
+            )
+        else:
+            machine_states = {}
+
+        n_tuples = len(tuples_w) if tuples_w is not None else 1
+        agg: dict[int, Results] = {}
+
+        if state.hasTimedOut:
+            # idle trail: fire pending timeout edges via the sentinel
+            for ti in range(n_tuples):
+                st = machine_states.get(ti)
+                if st is None:
+                    continue
+                mstate = State(entrypoint)
+                mstate.ri, mstate.expires, outers = st
+                mstate.outers = [list(o) for o in outers]
+                if mstate.ri != -1 and finalize_needed(mstate, entrypoint):
+                    res = Results()
+                    env = (
+                        env_for_tuple(q.program, q.base_env, tuples_w[ti])
+                        if tuples_w is not None
+                        else q.base_env
+                    )
+                    run_machine(
+                        q.compiled, [SENTINEL], mstate, res, env, cookie
+                    )
+                    if not res.is_zero():
+                        agg[ti] = res
+            state.remove()
+            rows = _results_rows(uuid, agg)
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["uuid", "tuple_id", "var", "key", "reg", "n"],
+                )
+            return
+
+        # assemble this batch's events in (ts, seq) order
+        rows_in: list = []
+        for pdf in pdf_iter:
+            tss = pdf["__ts"].tolist()
+            seqs = pdf["__seq"].tolist()
+            fcols = [pdf["__f_" + f].tolist() for f in fields]
+            if fcols:
+                vals = list(zip(*fcols))
+            else:
+                vals = [()] * len(pdf)
+            rows_in.extend(zip(tss, seqs, vals))
+        rows_in.sort(key=lambda r: (r[0], r[1]))
+        # events at ts >= STREAM_END_TS are explicit end-of-trail markers:
+        # they trigger finalization (pending `after` edges fire), mirroring
+        # the reference's end-of-run sentinel (match_traildb.c:902-944)
+        finalize = any(ts >= STREAM_END_TS for ts, _s, _v in rows_in)
+        events = dedup_consecutive(
+            [(ts, v) for ts, _s, v in rows_in if ts < STREAM_END_TS]
+        )
+
+        for ti in range(n_tuples):
+            st = machine_states.get(ti)
+            mstate = State(entrypoint)
+            if st is not None:
+                mstate.ri, mstate.expires, outers = st
+                mstate.outers = [list(o) for o in outers]
+            if mstate.ri == -1:
+                continue  # this machine quit in an earlier batch
+            env = (
+                env_for_tuple(q.program, q.base_env, tuples_w[ti])
+                if tuples_w is not None
+                else q.base_env
+            )
+            res = Results()
+            aborted = run_machine(
+                q.compiled, events, mstate, res, env, cookie
+            )
+            if finalize and not aborted and finalize_needed(
+                mstate, entrypoint
+            ):
+                run_machine(
+                    q.compiled, [SENTINEL], mstate, res, env, cookie
+                )
+            if not res.is_zero():
+                agg[ti] = res
+            machine_states[ti] = (
+                mstate.ri,
+                mstate.expires,
+                [tuple(o) for o in mstate.outers],
+            )
+
+        if finalize:
+            state.remove()
+        else:
+            state.update((bytearray(pickle.dumps(machine_states)),))
+        if finalize_after_ms > 0:
+            state.setTimeoutDuration(finalize_after_ms)
+        rows = _results_rows(uuid, agg)
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["uuid", "tuple_id", "var", "key", "reg", "n"]
+            )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if finalize_after_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy("__uuid").applyInPandasWithState(
+        step,
+        outputStructType=STREAM_PARTIAL_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def aggregate_partials(partials_df):
+    """Batch-side aggregation of (streamed) partial rows — same monoid
+    merges as the batch engine."""
+    from pyspark.sql import functions as F
+
+    return partials_df.groupBy("tuple_id", "var", "key", "reg").agg(
+        F.sum("n").alias("sum_n"), F.max("n").alias("max_n")
+    )
