@@ -244,7 +244,30 @@ start ->
     return _run_trck(spark, sf_dir, prog, event_filter=flt).counters_df()
 
 
+PROG_TS_PARAMS = """
+start ->
+    receive
+        event_type = "click", timestamp >= %t1, timestamp < %t2 -> yield $in_range
+        * -> repeat
+"""
+
+TS_PARAMS = {"%t1": "1704100000", "%t2": "1704300000"}
+
+
+def q_trck_timestamp_params(spark, sf_dir):
+    """Timestamp relop predicates against %-parameters."""
+    return _run_trck(
+        spark, sf_dir, PROG_TS_PARAMS, params=TS_PARAMS
+    ).counters_df()
+
+
 ORACLES_TRCK = {
+    "trck_timestamp_params": """
+SELECT count(*)::BIGINT AS in_range FROM events
+WHERE event_type = 'click'
+  AND epoch_ns(ts) // 1000000000 >= 1704100000
+  AND epoch_ns(ts) // 1000000000 < 1704300000
+""",
     "trck_count_clicks": (
         "SELECT count(*)::BIGINT AS clicks FROM events "
         "WHERE event_type = 'click'"
@@ -401,6 +424,7 @@ def spark_queries() -> dict:
     out = {
         "trck_count_clicks": q_trck_count_clicks,
         "trck_count_by_type": q_trck_count_by_type,
+        "trck_timestamp_params": q_trck_timestamp_params,
         "trck_funnel": q_trck_funnel,
         "trck_bounce": q_trck_bounce,
         "trck_sessions": q_trck_sessions,

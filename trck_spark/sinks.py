@@ -136,6 +136,122 @@ def results_to_msgpack_obj(program: Program, res: Results | None) -> dict:
     return out
 
 
+# ------------------------------------------------------ protobuf sink
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _tuple_msg(key: bytes, count: int | None) -> bytes:
+    """SetTuple {repeated string values = 1} / MultisetTuple {+count = 2}."""
+    body = b""
+    for val, typ in decode_tuple(key):
+        body += _ld(1, val)
+    if count is not None:
+        body += _tag(2, 0) + _varint(count)
+    return body
+
+
+def results_to_proto(
+    program: Program,
+    res: Results | None,
+    field_numbers: dict[str, int],
+    param_bindings: dict[str, str] | None = None,
+) -> bytes:
+    """One trck.Result message (reference: proto-example/Readme.md).
+
+    field_numbers maps proto field names (``counter_x``, ``set_x``,
+    ``multiset_x``, ``hll_x``, ``scalar_x``) to their numbers in the
+    user's Result message — the analog of trck parsing the user .proto.
+    Hll bins carry the RLE register bytes of the wire format.
+    """
+    r = res or Results()
+    out = b""
+    for name, val in (param_bindings or {}).items():
+        fn = field_numbers.get("scalar_" + name.lstrip("%"))
+        if fn:
+            out += _ld(fn, str(val).encode())
+    for var in program.yield_counters:
+        fn = field_numbers.get("counter_" + var[1:])
+        if fn:
+            out += _tag(fn, 0) + _varint(r.counters.get(var, 0))
+    for var in program.yield_sets:
+        fn = field_numbers.get("set_" + var[1:])
+        if fn:
+            for key in sorted(r.sets.get(var, {})):
+                out += _ld(fn, _tuple_msg(key, None))
+    for var in program.yield_multisets:
+        fn = field_numbers.get("multiset_" + var[1:])
+        if fn:
+            d = r.sets.get(var, {})
+            for key in sorted(d):
+                out += _ld(fn, _tuple_msg(key, d[key]))
+    for var in program.yield_hlls:
+        fn = field_numbers.get("hll_" + var[1:])
+        if fn:
+            regs = r.hlls.get(var)
+            if not regs:
+                body = _tag(1, 0) + _varint(14) + _tag(2, 0) + _varint(1)
+            else:
+                sketch = Hll()
+                for idx, rank in regs.items():
+                    sketch.set_register(idx, rank)
+                bins = bytes.fromhex(sketch.to_hex()[4:])
+                body = (
+                    _tag(1, 0) + _varint(14) + _tag(2, 0) + _varint(0)
+                    + _ld(3, bins)
+                )
+            out += _ld(fn, body)
+    return out
+
+
+def write_proto_results(
+    program: Program,
+    per_tuple: dict[int, Results],
+    raw_tuples: list | None,
+    field_numbers: dict[str, int],
+) -> bytes:
+    """Length-framed stream of Result messages: each message preceded by
+    an 8-byte little-endian length (reference: proto-example/test.py)."""
+    frames = []
+    if raw_tuples is None or program.merge_results or not program.groupby:
+        merged = Results()
+        for r in per_tuple.values():
+            merged.merge(r)
+        frames.append(results_to_proto(program, merged, field_numbers))
+    else:
+        for i, tup in enumerate(raw_tuples):
+            bindings = {
+                var: (",".join(v) if isinstance(v, (list, tuple)) else v)
+                for var, v in zip(program.groupby_vars, tup)
+            }
+            frames.append(
+                results_to_proto(
+                    program, per_tuple.get(i), field_numbers, bindings
+                )
+            )
+    out = b""
+    for f in frames:
+        out += struct.pack("<Q", len(f)) + f
+    return out
+
+
 def write_results(
     program: Program,
     per_tuple: dict[int, Results],
