@@ -176,7 +176,13 @@ class CompiledProgram:
         )
 
     def _compile_pred(self, field: str, expr: str):
-        """One condition -> closure(ts, vals, env) -> bool."""
+        """One condition -> closure(ts, vals, env) -> bool.
+
+        Param-dependent predicates mark env["__used"] when evaluated —
+        the reference's GROUPBY_USED bit (fsm2c.py:126-130): a run that
+        never evaluates one behaves identically for every parameter
+        tuple, so its result can be shared across the whole grid
+        (match_traildb.c:596-652)."""
         if field == "timestamp":
             import re
 
@@ -189,15 +195,23 @@ class CompiledProgram:
                 op, value = m.group(1), m.group(7)
             if value.startswith("%"):
                 name = value
+
+                def _mk(cmp):
+                    def pred(ts, vals, env):
+                        env["__used"] = True
+                        return cmp(ts, int(env[name]))
+
+                    return pred
+
                 if op == "<":
-                    return lambda ts, vals, env: ts < int(env[name])
+                    return _mk(lambda a, b: a < b)
                 if op == ">":
-                    return lambda ts, vals, env: ts > int(env[name])
+                    return _mk(lambda a, b: a > b)
                 if op == "<=":
-                    return lambda ts, vals, env: ts <= int(env[name])
+                    return _mk(lambda a, b: a <= b)
                 if op == ">=":
-                    return lambda ts, vals, env: ts >= int(env[name])
-                return lambda ts, vals, env: ts == int(env[name])
+                    return _mk(lambda a, b: a >= b)
+                return _mk(lambda a, b: a == b)
             lit = int(value)
             if op == "<":
                 return lambda ts, vals, env: ts < lit
@@ -211,13 +225,19 @@ class CompiledProgram:
 
         idx = self.findex[field]
         if is_param(expr):
-            kind = expr[0]
-            if kind == "%":
-                name = expr
-                return lambda ts, vals, env: vals[idx] == env.get(name)
-            # set (or multiset-typed) membership
             name = expr
-            return lambda ts, vals, env: vals[idx] in env.get(name, ())
+            if expr[0] == "%":
+                def pred_eq(ts, vals, env):
+                    env["__used"] = True
+                    return vals[idx] == env.get(name)
+
+                return pred_eq
+
+            def pred_in(ts, vals, env):
+                env["__used"] = True
+                return vals[idx] in env.get(name, ())
+
+            return pred_in
         lit = expr
         return lambda ts, vals, env: vals[idx] == lit
 

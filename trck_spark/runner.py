@@ -108,14 +108,25 @@ class TrckQuery:
 
         out: dict[int, Results] = {}
         cache: dict[tuple, Results] = {}
+        # dynamic param-independence (reference GROUPBY_USED,
+        # match_traildb.c:596-652): if a run never evaluates a
+        # param-dependent predicate, every tuple takes identical branches
+        # — one run serves the entire grid.  Param-yield terms disqualify
+        # (their output depends on the binding even without predicates).
+        can_share = not program.param_yield_vars
         for ti, tup in enumerate(tuples):
             pkey = projection_key(program, tup, trail_distinct)
             res = cache.get(pkey)
             if res is None:
                 env = env_for_tuple(program, self.base_env, tup)
+                env["__used"] = False
                 res = eval_trail(
                     self.compiled, events, cookie, env, win_start, win_end
                 )
+                if can_share and ti == 0 and not env["__used"]:
+                    if not res.is_zero():
+                        return {t: res for t in range(len(tuples))}
+                    return {}
                 cache[pkey] = res
             if not res.is_zero():
                 out[ti] = res
