@@ -97,11 +97,10 @@ class Results:
 
 
 class _Clause:
-    __slots__ = ("preds", "negate", "yields", "action", "uses_params")
+    __slots__ = ("pred", "yields", "action", "uses_params")
 
-    def __init__(self, preds, negate, yields, action, uses_params):
-        self.preds = preds
-        self.negate = negate
+    def __init__(self, pred, yields, action, uses_params):
+        self.pred = pred
         self.yields = yields
         self.action = action
         self.uses_params = uses_params
@@ -158,31 +157,33 @@ class CompiledProgram:
         )
 
     def _compile_clause(self, ri: int, c: dict) -> _Clause:
-        preds = []
         uses_params = False
+        frags = []
         for field, conditions in c.get("attrs", {}).items():
             for expr in conditions:
-                preds.append(self._compile_pred(field, expr))
+                frags.append(self._pred_source(field, expr))
                 bare = expr.lstrip("<=>")
                 if is_param(bare):
                     uses_params = True
+        # fuse the conjunction into ONE compiled closure — the hot path
+        # runs a single call per clause instead of a per-condition loop
+        src = " and ".join(f"({f})" for f in frags) if frags else "True"
+        if c.get("op") == "not":
+            src = f"not ({src})"
+        fused = eval(f"lambda ts, vals, env: {src}", {})  # noqa: S307
         yields = [self._compile_yield(ri, y) for y in c.get("yield", [])]
         return _Clause(
-            preds=preds,
-            negate=c.get("op") == "not",
+            pred=fused,
             yields=yields,
             action=c["_action"],
             uses_params=uses_params,
         )
 
-    def _compile_pred(self, field: str, expr: str):
-        """One condition -> closure(ts, vals, env) -> bool.
-
-        Param-dependent predicates mark env["__used"] when evaluated —
-        the reference's GROUPBY_USED bit (fsm2c.py:126-130): a run that
-        never evaluates one behaves identically for every parameter
-        tuple, so its result can be shared across the whole grid
-        (match_traildb.c:596-652)."""
+    def _pred_source(self, field: str, expr: str) -> str:
+        """One condition -> a Python expression fragment over
+        (ts, vals, env).  Param-dependent fragments mark env['__used']
+        when evaluated (the reference's GROUPBY_USED bit)."""
+        mark = "(env.__setitem__('__used', True) or "
         if field == "timestamp":
             import re
 
@@ -194,52 +195,14 @@ class CompiledProgram:
                     raise IRError(f"Bad timestamp condition: {expr}")
                 op, value = m.group(1), m.group(7)
             if value.startswith("%"):
-                name = value
-
-                def _mk(cmp):
-                    def pred(ts, vals, env):
-                        env["__used"] = True
-                        return cmp(ts, int(env[name]))
-
-                    return pred
-
-                if op == "<":
-                    return _mk(lambda a, b: a < b)
-                if op == ">":
-                    return _mk(lambda a, b: a > b)
-                if op == "<=":
-                    return _mk(lambda a, b: a <= b)
-                if op == ">=":
-                    return _mk(lambda a, b: a >= b)
-                return _mk(lambda a, b: a == b)
-            lit = int(value)
-            if op == "<":
-                return lambda ts, vals, env: ts < lit
-            if op == ">":
-                return lambda ts, vals, env: ts > lit
-            if op == "<=":
-                return lambda ts, vals, env: ts <= lit
-            if op == ">=":
-                return lambda ts, vals, env: ts >= lit
-            return lambda ts, vals, env: ts == lit
-
+                return f"{mark}ts {op} int(env[{value!r}]))"
+            return f"ts {op} {int(value)}"
         idx = self.findex[field]
         if is_param(expr):
-            name = expr
             if expr[0] == "%":
-                def pred_eq(ts, vals, env):
-                    env["__used"] = True
-                    return vals[idx] == env.get(name)
-
-                return pred_eq
-
-            def pred_in(ts, vals, env):
-                env["__used"] = True
-                return vals[idx] in env.get(name, ())
-
-            return pred_in
-        lit = expr
-        return lambda ts, vals, env: vals[idx] == lit
+                return f"{mark}vals[{idx}] == env.get({expr!r}))"
+            return f"{mark}vals[{idx}] in env.get({expr!r}, ()))"
+        return f"vals[{idx}] == {expr!r}"
 
     def _compile_yield(self, ri: int, y: dict):
         """One yield -> (dst, kind, term_thunks)."""
@@ -458,6 +421,8 @@ def run_machine(
             return False
 
         # event loop within this rule
+        clauses = rule.clauses
+        expires = state.expires
         while True:
             steps += 1
             if steps > _SAFETY_LIMIT:
@@ -467,21 +432,12 @@ def run_machine(
                 )
             ts, vals = events[pos]
             empty = vals is None
-            within = state.expires == 0 or state.expires > ts
-            ev.ts = ts
-            ev.vals = vals
+            within = expires == 0 or expires > ts
 
             if within and not empty:
                 matched = None
-                for cl in rule.clauses:
-                    ok = True
-                    for p in cl.preds:
-                        if not p(ts, vals, env):
-                            ok = False
-                            break
-                    if cl.negate:
-                        ok = not ok
-                    if ok:
+                for cl in clauses:
+                    if cl.pred(ts, vals, env):
                         matched = cl
                         break
                 if matched is None:
@@ -489,6 +445,8 @@ def run_machine(
                         "non-exhaustive clauses at statement %s" % rule.name
                     )
                 if matched.yields:
+                    ev.ts = ts
+                    ev.vals = vals
                     do_yields(matched.yields, ri)
                 kind, _t = matched.action
                 if kind == A_REPEAT:
@@ -508,6 +466,8 @@ def run_machine(
                 break  # back to rule dispatch
 
             # timeout / empty path
+            ev.ts = ts
+            ev.vals = vals
             if empty:
                 pos += 1
             fired = False

@@ -43,7 +43,7 @@ def is_simple_counter_program(program: Program) -> bool:
     if r.get("window") is not None or "after" in r or r.get("outer"):
         return False
     clauses = r.get("clauses", [])
-    if not clauses:
+    if not clauses or not program.yield_counters:
         return False
     has_catchall = False
     for c in clauses:
