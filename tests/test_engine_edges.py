@@ -56,3 +56,48 @@ start ->
         df, prog, uuid_col="uuid", ts_col="timestamp", seq_col="seq"
     )
     assert rs.collect_json() == {"$missing": 1}
+
+
+def test_dedup_cols_option(spark):
+    """Duplicates differing only in an unreferenced column must survive
+    when that column is in dedup_cols (full reference parity) and be
+    dropped when it isn't (projected dedup)."""
+    df = trails_json_to_df(
+        spark,
+        [
+            {
+                "abcd": [
+                    {"timestamp": 1, "type": "cli", "other": "a"},
+                    {"timestamp": 1, "type": "cli", "other": "b"},
+                    {"timestamp": 1, "type": "cli", "other": "b"},
+                ]
+            }
+        ],
+    )
+    eng = TrckSparkEngine(spark)
+    kw = dict(uuid_col="uuid", ts_col="timestamp", seq_col="seq")
+    projected = eng.run(df, COUNT, **kw).collect_json()
+    assert projected == {"$n": 1}  # all three look identical when projected
+    full = eng.run(df, COUNT, dedup_cols=["other"], **kw).collect_json()
+    assert full == {"$n": 2}  # a,b differ; second b is a true duplicate
+
+
+def test_assume_clustered(spark):
+    df = trails_json_to_df(
+        spark,
+        [
+            {
+                "abcd": [{"timestamp": 1, "type": "cli"}],
+                "efgh": [{"timestamp": 2, "type": "cli"}],
+            }
+        ],
+    ).repartition(4, "uuid")
+    rs = TrckSparkEngine(spark).run(
+        df, COUNT, uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+        assume_clustered=True,
+    )
+    assert rs.collect_json() == {"$n": 2}
+    # the physical plan must not contain a hashpartitioning exchange on
+    # the FSM input (only the final partials aggregation shuffles)
+    plan = rs.agg_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning(__uuid") == 0

@@ -202,7 +202,22 @@ class TrckSparkEngine:
         db_col: str | None = None,
         num_partitions: int | None = None,
         fn_registry: dict | None = None,
+        dedup_cols: list[str] | None = None,
+        assume_clustered: bool = False,
     ) -> TrckResultSet:
+        """Run a trck program over an events DataFrame.
+
+        dedup_cols: extra columns to include in the consecutive-duplicate
+        identity beyond the program's referenced fields (the reference
+        compares ALL stored fields — src/ctx.c:106-134; by default we
+        compare only referenced fields, which is cheaper and equivalent
+        unless duplicates differ exclusively in unreferenced columns).
+
+        assume_clustered: caller guarantees every uuid's rows already live
+        in a single partition (e.g. the input was written bucketed by
+        uuid); skips the repartition shuffle — only the in-partition sort
+        runs.
+        """
         from pyspark.sql import functions as F
 
         q = TrckQuery(
@@ -286,6 +301,14 @@ class TrckSparkEngine:
                 # referenced but absent: reads as "" (reference semantics)
                 df = df.withColumn("__f_" + f, F.lit(""))
             proj.append("__f_" + f)
+        extra_dedup = [
+            c for c in (dedup_cols or []) if c in cols and c not in fields
+        ]
+        for c in extra_dedup:
+            df = df.withColumn(
+                "__d_" + c, F.coalesce(F.col(c).cast("string"), F.lit(""))
+            )
+            proj.append("__d_" + c)
         df = df.select(*proj)
 
         # --- implicit foreach: the field's distinct values in the data ---
@@ -317,14 +340,18 @@ class TrckSparkEngine:
         )
 
         if is_simple_counter_program(program):
-            agg_df = compile_relational(self, df, program, tuples, params)
+            agg_df = compile_relational(
+                self, df, program, tuples, params, extra_dedup
+            )
             return TrckResultSet(self, agg_df, program, tuples)
 
-        # --- the single shuffle: co-locate each trail, sort within ---
-        if num_partitions:
-            df = df.repartition(num_partitions, "__uuid")
-        else:
-            df = df.repartition("__uuid")
+        # --- the single shuffle: co-locate each trail, sort within
+        # (skipped entirely when the input is already uuid-clustered) ---
+        if not assume_clustered:
+            if num_partitions:
+                df = df.repartition(num_partitions, "__uuid")
+            else:
+                df = df.repartition("__uuid")
         df = df.sortWithinPartitions(
             "__uuid", "__entry", "__db", "__ts", "__seq"
         )
@@ -357,20 +384,24 @@ class TrckSparkEngine:
                 if not trail_rows:
                     return
                 wstart, wend, eff = trail_meta
-                # per-db consecutive-duplicate skip, then concat
+                # per-db consecutive-duplicate skip, then concat (dedup
+                # identity = ts + program fields + extra dedup_cols)
                 events: list = []
                 db_cur = None
                 db_rows: list = []
-                for db, ts, vals in trail_rows:
+                for db, ts, vals, dk in trail_rows:
                     if db != db_cur and db_rows:
                         events.extend(
-                            (t, v) for t, v, in dedup_consecutive(db_rows)
+                            (t, v)
+                            for t, v, _d in dedup_consecutive(db_rows)
                         )
                         db_rows = []
                     db_cur = db
-                    db_rows.append((ts, vals))
+                    db_rows.append((ts, vals, dk))
                 if db_rows:
-                    events.extend(iter(dedup_consecutive(db_rows)))
+                    events.extend(
+                        (t, v) for t, v, _d in dedup_consecutive(db_rows)
+                    )
                 cookie = _cookie_from_uuid(eff)
                 per_tuple = q.trail_results(
                     events, cookie, tuples_w, wstart, wend
@@ -396,13 +427,18 @@ class TrckSparkEngine:
                 wstarts = pdf["__wstart"].values
                 wends = pdf["__wend"].values
                 effs = pdf["__eff"].values
-                # bulk-zip event rows: (db, ts, vals-tuple) per row
+                # bulk-zip event rows: (db, ts, vals, dedup-key) per row
                 fcols = [pdf["__f_" + f].tolist() for f in q.compiled.fields]
                 if fcols:
                     vals_iter = list(zip(*fcols))
                 else:
                     vals_iter = [()] * m
-                rows = list(zip(dbs, tss, vals_iter))
+                dcols = [pdf["__d_" + c].tolist() for c in extra_dedup]
+                if dcols:
+                    dk_iter = list(zip(*dcols))
+                else:
+                    dk_iter = [()] * m
+                rows = list(zip(dbs, tss, vals_iter, dk_iter))
                 # trail boundaries where (uuid, entry) changes
                 change = np.empty(m, dtype=bool)
                 change[0] = True

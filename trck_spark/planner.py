@@ -64,6 +64,7 @@ def compile_relational(
     program: Program,
     tuples: list | None,
     base_params: dict | None,
+    extra_dedup: list[str] | None = None,
 ):
     """-> aggregated partials DataFrame (same shape the FSM path's
     aggregation produces: tuple_id, var, key, reg, sum_n, max_n)."""
@@ -83,6 +84,10 @@ def compile_relational(
     for f in fields:
         same = same & (
             F.lag("__f_" + f).over(order).eqNullSafe(F.col("__f_" + f))
+        )
+    for c in extra_dedup or []:
+        same = same & (
+            F.lag("__d_" + c).over(order).eqNullSafe(F.col("__d_" + c))
         )
     df = df.withColumn("__dup", F.coalesce(same, F.lit(False))).filter(
         ~F.col("__dup")
