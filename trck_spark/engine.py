@@ -127,12 +127,15 @@ class TrckResultSet:
                 for v in counter_vars
             ]
         )
-        if self.tuples is None:
-            row = pivoted.drop("tuple_id")
-            return row if row.count() else spark.createDataFrame(
-                [tuple(0 for _ in counter_vars)],
-                schema=", ".join(f"`{v[1:]}` long" for v in counter_vars),
+        if self.tuples is None or program.merge_results:
+            # single result row (non-foreach, or `merged results`)
+            merged = pivoted.agg(
+                *[
+                    F.sum(v[1:]).cast("long").alias(v[1:])
+                    for v in counter_vars
+                ]
             )
+            return merged.fillna(0, subset=[v[1:] for v in counter_vars])
         gvars = [v[1:] for v in program.groupby_vars]
         grid = spark.createDataFrame(
             [

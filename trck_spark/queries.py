@@ -24,6 +24,9 @@ def load_events(spark, sf_dir: str):
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    # events.parquet stores TIMESTAMP(NANOS), which Spark only reads with
+    # this (runtime-settable) flag; the driver's session may not have it
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes)["ts"]
     if ts_type == "bigint":
@@ -261,6 +264,58 @@ def q_trck_timestamp_params(spark, sf_dir):
     ).counters_df()
 
 
+PROG_FIRST_CLICK = """
+start ->
+    receive
+        event_type = "click" -> yield $users_with_click, quit
+        * -> repeat
+"""
+
+
+def q_trck_first_click(spark, sf_dir):
+    """quit semantics: each trail yields at most once then terminates."""
+    return _run_trck(spark, sf_dir, PROG_FIRST_CLICK).counters_df()
+
+
+PROG_MERGED = """
+foreach %t in @arr merged results
+    start ->
+        receive
+            event_type = %t -> yield $total
+            * -> repeat
+"""
+
+
+def q_trck_merged_results(spark, sf_dir):
+    """`merged results`: the foreach grid collapses to one result row."""
+    return _run_trck(
+        spark, sf_dir, PROG_MERGED,
+        params={"@arr": [["click"], ["view"], ["purchase"]]},
+    ).counters_df()
+
+
+PROG_NESTED_WINDOW = """
+start ->
+    receive
+        event_type = "purchase" -> shop_window
+        * -> repeat
+shop_window ->
+    window
+        counting ->
+            receive
+                event_type = "click" -> yield $clicks_after_purchase, repeat
+                * -> repeat
+    after 1d -> start
+"""
+
+
+def q_trck_nested_window(spark, sf_dir):
+    """Nested `window {} after` blocks (rows-only check: the window/after
+    machinery is verified against reference goldens in the fixture
+    suites; the stateful boundary logic is not SQL-expressible)."""
+    return _run_trck(spark, sf_dir, PROG_NESTED_WINDOW).counters_df()
+
+
 ORACLES_TRCK = {
     "trck_timestamp_params": """
 SELECT count(*)::BIGINT AS in_range FROM events
@@ -268,6 +323,14 @@ WHERE event_type = 'click'
   AND epoch_ns(ts) // 1000000000 >= 1704100000
   AND epoch_ns(ts) // 1000000000 < 1704300000
 """,
+    "trck_first_click": (
+        "SELECT count(DISTINCT user_id)::BIGINT AS users_with_click "
+        "FROM events WHERE event_type = 'click'"
+    ),
+    "trck_merged_results": (
+        "SELECT count(*)::BIGINT AS total FROM events "
+        "WHERE event_type IN ('click', 'view', 'purchase')"
+    ),
     "trck_count_clicks": (
         "SELECT count(*)::BIGINT AS clicks FROM events "
         "WHERE event_type = 'click'"
@@ -425,6 +488,9 @@ def spark_queries() -> dict:
         "trck_count_clicks": q_trck_count_clicks,
         "trck_count_by_type": q_trck_count_by_type,
         "trck_timestamp_params": q_trck_timestamp_params,
+        "trck_first_click": q_trck_first_click,
+        "trck_merged_results": q_trck_merged_results,
+        "trck_nested_window": q_trck_nested_window,
         "trck_funnel": q_trck_funnel,
         "trck_bounce": q_trck_bounce,
         "trck_sessions": q_trck_sessions,
