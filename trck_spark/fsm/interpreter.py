@@ -547,6 +547,28 @@ def finalize_needed(state: State, entrypoint: int) -> bool:
 SENTINEL = (MAX_TIMESTAMP, None)
 
 
+def get_matcher(compiled: CompiledProgram):
+    """The per-program specialized matcher (generated Python — see
+    fsm/codegen.py), falling back to the interpreter if generation fails
+    or TRCK_SPARK_NO_CODEGEN is set.  Same call contract as run_machine.
+    """
+    cached = getattr(compiled, "_matcher", None)
+    if cached is not None:
+        return cached
+    import os
+
+    matcher = run_machine
+    if not os.environ.get("TRCK_SPARK_NO_CODEGEN"):
+        try:
+            from trck_spark.fsm.codegen import build_matcher
+
+            matcher = build_matcher(compiled)
+        except Exception:  # pragma: no cover - defensive fallback
+            matcher = run_machine
+    compiled._matcher = matcher
+    return matcher
+
+
 def eval_trail(
     compiled: CompiledProgram,
     events: list,
@@ -558,11 +580,12 @@ def eval_trail(
     """Full evaluation for one (trail, param env): main pass + finalization."""
     state = State(compiled.entrypoint)
     results = Results()
-    aborted = run_machine(
+    matcher = get_matcher(compiled)
+    aborted = matcher(
         compiled, events, state, results, env, cookie, win_start, win_end
     )
     if not aborted and finalize_needed(state, compiled.entrypoint):
-        run_machine(
+        matcher(
             compiled, [SENTINEL], state, results, env, cookie,
             win_start, win_end,
         )
