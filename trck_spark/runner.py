@@ -124,6 +124,10 @@ class TrckQuery:
                     self.compiled, events, cookie, env, win_start, win_end
                 )
                 if can_share and ti == 0 and not env["__used"]:
+                    # no param predicate was evaluated; execution up to a
+                    # first param evaluation is env-independent, so the
+                    # first run's flag decides for the whole grid — one
+                    # run serves every tuple
                     if not res.is_zero():
                         return {t: res for t in range(len(tuples))}
                     return {}
