@@ -358,11 +358,16 @@ SELECT count(*)::BIGINT AS bounces FROM e
 WHERE event_type='view' AND (nt IS NULL OR nt >= t + 1800)
 """,
     "trck_sessions": """
-WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t,
-                  lag(epoch_ns(ts) // 1000000000) OVER
-                    (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000, event_id)
-                    AS pt
-           FROM events)
+WITH raw AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t, event_id
+             FROM events),
+-- the sessions program references no fields, so trck's consecutive-dup
+-- skip collapses same-second events per user; replicate before counting
+d AS (SELECT user_id, t,
+             lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS dt
+      FROM raw),
+e AS (SELECT user_id, t, lag(t) OVER
+          (PARTITION BY user_id ORDER BY t) AS pt
+      FROM d WHERE dt IS NULL OR t <> dt)
 SELECT count(*)::BIGINT AS sessions FROM e WHERE pt IS NULL OR t >= pt + 1800
 """,
     "trck_attribution": """
