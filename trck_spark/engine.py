@@ -270,7 +270,8 @@ class TrckSparkEngine:
             df = df.join(F.broadcast(excl_df), "__uuid_hex", "left_anti")
 
         # --- per-uuid window entries: broadcast join + range filter ---
-        if window_entries is not None:
+        has_window_input = window_entries is not None
+        if has_window_input:
             w_df = self.spark.createDataFrame(
                 [
                     (i, u.lower(), s, e, (r if r else u).lower())
@@ -284,17 +285,15 @@ class TrckSparkEngine:
                 (F.col("__ts") >= F.col("__wstart"))
                 & (F.col("__ts") < F.col("__wend"))
             )
-        else:
-            df = (
-                df.withColumn("__entry", F.lit(0))
-                .withColumn("__wstart", F.lit(0).cast("long"))
-                .withColumn("__wend", F.lit(0).cast("long"))
-                .withColumn("__eff", F.col("__uuid"))
-            )
 
-        # --- project to program fields (column pruning reaches the scan) ---
-        proj = ["__uuid", "__entry", "__db", "__ts", "__seq", "__wstart",
-                "__wend", "__eff"]
+        # --- project to program fields (column pruning reaches the scan);
+        # constant metadata columns are NOT shipped through Arrow ---
+        has_db = db_col is not None
+        proj = ["__uuid", "__ts", "__seq"]
+        if has_db:
+            proj.append("__db")
+        if has_window_input:
+            proj += ["__entry", "__wstart", "__wend", "__eff"]
         for f in fields:
             if f in cols:
                 df = df.withColumn(
@@ -355,9 +354,12 @@ class TrckSparkEngine:
                 df = df.repartition(num_partitions, "__uuid")
             else:
                 df = df.repartition("__uuid")
-        df = df.sortWithinPartitions(
-            "__uuid", "__entry", "__db", "__ts", "__seq"
-        )
+        sort_cols = [
+            c
+            for c in ("__uuid", "__entry", "__db", "__ts", "__seq")
+            if c in df.columns
+        ]
+        df = df.sortWithinPartitions(*sort_cols)
 
         spec_json = json.dumps(
             {
@@ -423,13 +425,20 @@ class TrckSparkEngine:
                 m = len(pdf)
                 if m == 0:
                     continue
+                have = set(pdf.columns)
                 uuids = pdf["__uuid"].values
-                entries = pdf["__entry"].values
-                dbs = pdf["__db"].tolist()
+                entries = (
+                    pdf["__entry"].values if "__entry" in have else None
+                )
+                dbs = (
+                    pdf["__db"].tolist() if "__db" in have else [0] * m
+                )
                 tss = pdf["__ts"].tolist()
-                wstarts = pdf["__wstart"].values
-                wends = pdf["__wend"].values
-                effs = pdf["__eff"].values
+                wstarts = (
+                    pdf["__wstart"].values if "__wstart" in have else None
+                )
+                wends = pdf["__wend"].values if "__wend" in have else None
+                effs = pdf["__eff"].values if "__eff" in have else uuids
                 # bulk-zip event rows: (db, ts, vals, dedup-key) per row
                 fcols = [pdf["__f_" + f].tolist() for f in q.compiled.fields]
                 if fcols:
@@ -446,18 +455,23 @@ class TrckSparkEngine:
                 change = np.empty(m, dtype=bool)
                 change[0] = True
                 if m > 1:
-                    change[1:] = (uuids[1:] != uuids[:-1]) | (
-                        entries[1:] != entries[:-1]
-                    )
+                    change[1:] = uuids[1:] != uuids[:-1]
+                    if entries is not None:
+                        change[1:] |= entries[1:] != entries[:-1]
                 bounds = np.flatnonzero(change).tolist() + [m]
                 for bi in range(len(bounds) - 1):
                     s, e = bounds[bi], bounds[bi + 1]
-                    key = (uuids[s], entries[s])
+                    key = (
+                        uuids[s],
+                        entries[s] if entries is not None else 0,
+                    )
                     if key != trail_key:
                         flush_trail()
                         trail_key = key
                         trail_meta = (
-                            int(wstarts[s]), int(wends[s]), effs[s]
+                            int(wstarts[s]) if wstarts is not None else 0,
+                            int(wends[s]) if wends is not None else 0,
+                            effs[s],
                         )
                     trail_rows.extend(rows[s:e])
             flush_trail()

@@ -76,9 +76,10 @@ def compile_relational(
 
     # --- consecutive-duplicate dedup (reference ctx.c:106-134): drop rows
     # identical to their predecessor within the (uuid, entry, db) trail ---
-    order = Window.partitionBy("__uuid", "__entry", "__db").orderBy(
-        "__ts", "__seq"
-    )
+    part_cols = [
+        c for c in ("__uuid", "__entry", "__db") if c in df.columns
+    ]
+    order = Window.partitionBy(*part_cols).orderBy("__ts", "__seq")
     same = F.lit(True)
     same = same & (F.lag("__ts").over(order) == F.col("__ts"))
     for f in fields:
