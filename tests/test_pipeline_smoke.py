@@ -49,6 +49,23 @@ def test_cosine_lsh_subset(spark):
         assert len(scores) <= 5
 
 
+def test_ivf_recall(spark):
+    """IVF top-k must recall most of the exact top-k at this scale."""
+    from trck_spark.pipeline.similarity import cosine_topk, cosine_topk_ivf
+
+    exact = {
+        (r["qid"], r["did"])
+        for r in cosine_topk(spark, SF_DIR, k=5, n_queries=20).collect()
+    }
+    ivf = {
+        (r["qid"], r["did"])
+        for r in cosine_topk_ivf(spark, SF_DIR, k=5, n_queries=20).collect()
+    }
+    assert len(ivf) > 0
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
 def test_multimodal_decode_stub():
     from trck_spark.pipeline.multimodal import decode_image
 

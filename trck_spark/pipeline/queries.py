@@ -29,6 +29,10 @@ def q_ann_cosine_topk_lsh(spark, sf_dir):
     return similarity.cosine_topk_lsh(spark, sf_dir, k=5)
 
 
+def q_ann_cosine_topk_ivf(spark, sf_dir):
+    return similarity.cosine_topk_ivf(spark, sf_dir, k=5)
+
+
 def q_knn_label_vote(spark, sf_dir):
     return similarity.knn_label_vote(spark, sf_dir, k=10, n_queries=20)
 
@@ -65,6 +69,7 @@ def pipeline_queries() -> dict:
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
+        "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
         "knn_label_vote": q_knn_label_vote,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,

@@ -115,6 +115,85 @@ def cosine_topk_lsh(spark, sf_dir: str, k: int = 5, n_planes: int = 8):
     )
 
 
+def cosine_topk_ivf(
+    spark,
+    sf_dir: str,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    n_queries: int = 20,
+):
+    """IVF-style ANN: vectors are partitioned into KMeans cells
+    (pyspark.ml, fixed seed); each query scores only its n_probe nearest
+    cells.  At scale the cell assignment is the only full pass; queries
+    touch n_probe/n_clusters of the data.  Rows-only driver check
+    (approximate by construction); recall vs the exact top-k is asserted
+    in tests."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    feat = emb0.select(
+        "vec_id",
+        array_to_vector(
+            F.col("embedding").cast("array<double>")
+        ).alias("features"),
+        F.expr(QUANT).alias("v"),
+    )
+    model = KMeans(
+        k=n_clusters, seed=42, featuresCol="features",
+        predictionCol="cell",
+    ).fit(feat)
+    assigned = model.transform(feat).select("vec_id", "v", "cell")
+    assigned.cache()
+
+    centers = np.array(
+        [np.asarray(c) for c in model.clusterCenters()]
+    )
+    queries = (
+        emb0.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probe_rows = []
+    for row in queries:
+        qv = np.array(row["embedding"], dtype=np.float64)
+        d = ((centers - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:n_probe]:
+            probe_rows.append((row["vec_id"], int(cell)))
+    probes = spark.createDataFrame(probe_rows, "qid long, cell int")
+
+    q = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cand = (
+        probes.join(assigned, "cell")
+        .select(F.col("qid"), F.col("vec_id").alias("did"),
+                F.col("v").alias("dv"))
+        .filter(F.col("qid") != F.col("did"))
+        .join(F.broadcast(q), "qid")
+    )
+    dot = F.expr(_DOT.format(a="qv", b="dv")).cast("double")
+    nq = F.expr(_DOT.format(a="qv", b="qv")).cast("double")
+    nd = F.expr(_DOT.format(a="dv", b="dv")).cast("double")
+    scored = cand.select(
+        "qid", "did", (dot / (F.sqrt(nq) * F.sqrt(nd))).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("did"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "qid", "did",
+            F.floor(F.col("cos") * 1000000).cast("long").alias("score_e6"),
+        )
+        .orderBy("qid", F.desc("score_e6"), "did")
+    )
+
+
 def knn_label_vote(spark, sf_dir: str, k: int = 10, n_queries: int = 20):
     """k-NN majority label vote for the first n_queries vectors — the
     embedding-classification shape of a training-data pipeline, oracle
