@@ -337,14 +337,22 @@ class TrckSparkEngine:
         # --- fast path: simple counter programs compile to pure Catalyst
         # (no Python workers, whole-stage codegen; see planner.py) ---
         from trck_spark.planner import (
+            compile_funnel,
             compile_relational,
             is_simple_counter_program,
+            is_simple_funnel_program,
         )
 
-        if is_simple_counter_program(program):
+        import os as _os
+
+        fastpath_on = not _os.environ.get("TRCK_SPARK_NO_FASTPATH")
+        if fastpath_on and is_simple_counter_program(program):
             agg_df = compile_relational(
                 self, df, program, tuples, params, extra_dedup
             )
+            return TrckResultSet(self, agg_df, program, tuples)
+        if fastpath_on and is_simple_funnel_program(program):
+            agg_df = compile_funnel(self, df, program)
             return TrckResultSet(self, agg_df, program, tuples)
 
         # --- the single shuffle: co-locate each trail, sort within

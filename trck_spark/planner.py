@@ -33,7 +33,7 @@ tuples whose values match).
 
 from __future__ import annotations
 
-from trck_spark.ir import A_REPEAT, Program, is_param
+from trck_spark.ir import A_NEXT, A_QUIT, A_REPEAT, Program, is_param
 
 
 def is_simple_counter_program(program: Program) -> bool:
@@ -56,6 +56,155 @@ def is_simple_counter_program(program: Program) -> bool:
             if y["dst"][0] != "$":
                 return False
     return has_catchall
+
+
+def is_simple_funnel_program(program: Program) -> bool:
+    """Two-block first-A-then-B-within-N funnel with quit semantics:
+
+        start -> receive        ruleB -> receive
+            A -> ruleB              B -> yield $counters..., quit
+            * -> repeat             * -> repeat
+                                after N -> quit
+
+    Per trail this reduces to: a = first event matching A; b = first
+    event after a matching B; yield iff b.ts < a.ts + N — which compiles
+    to two filtered min-aggregations and a comparison (no Python, no
+    window functions; consecutive-duplicate dedup provably cannot change
+    either first-match event).  Parameterized conditions are left to the
+    FSM path."""
+    if len(program.rules) != 2 or program.groupby:
+        return False
+    r0, r1 = program.rules
+    if r0.get("window") is not None or "after" in r0 or r0.get("outer"):
+        return False
+    if r1.get("window") is None or r1.get("outer"):
+        return False
+    after = r1.get("after")
+    if not after or after.get("yield") or after["_action"][0] != A_QUIT:
+        return False
+
+    def _clauses_ok(rule, want_target, yield_rule):
+        clauses = rule.get("clauses", [])
+        if len(clauses) != 2:
+            return False
+        c, wild = clauses
+        if wild.get("attrs") or wild["_action"][0] != A_REPEAT or wild.get(
+            "yield"
+        ):
+            return False
+        if c.get("op") == "not" or not c.get("attrs"):
+            return False
+        for field, conditions in c["attrs"].items():
+            for expr in conditions:
+                if is_param(expr.lstrip("<=>")):
+                    return False
+        kind, target = c["_action"]
+        if yield_rule:
+            if kind != A_QUIT:
+                return False
+            if not c.get("yield") or any(
+                y["dst"][0] != "$" for y in c["yield"]
+            ):
+                return False
+        else:
+            if (kind, target) != want_target or c.get("yield"):
+                return False
+        return True
+
+    if not (
+        _clauses_ok(r0, (A_NEXT, 1), False)
+        and _clauses_ok(r1, None, True)
+    ):
+        return False
+    # A and B must be provably disjoint (some shared field compared to
+    # different literals) so consecutive-duplicate removal can never
+    # change which event is the first B after A
+    attrs_a = r0["clauses"][0]["attrs"]
+    attrs_b = r1["clauses"][0]["attrs"]
+    for field, exprs_a in attrs_a.items():
+        if field == "timestamp":
+            continue
+        exprs_b = attrs_b.get(field)
+        if exprs_b and set(exprs_a).isdisjoint(exprs_b):
+            return True
+    return False
+
+
+def compile_funnel(engine, df, program: Program):
+    """Compile the two-block funnel to min-aggregations (see
+    is_simple_funnel_program).  Returns the aggregated-partials frame."""
+    from pyspark.sql import functions as F
+
+    def _pred(clause):
+        pred = F.lit(True)
+        for field, conditions in clause["attrs"].items():
+            for expr in conditions:
+                if field == "timestamp":
+                    bare = expr.lstrip("<=>")
+                    op = expr[: len(expr) - len(bare)] or "=="
+                    c = F.col("__ts")
+                    val = F.lit(int(bare))
+                    pred = pred & {
+                        "<": c < val, ">": c > val, "<=": c <= val,
+                        ">=": c >= val, "==": c == val,
+                    }[op]
+                else:
+                    pred = pred & (F.col("__f_" + field) == F.lit(expr))
+        return pred
+
+    r0, r1 = program.rules
+    window = r1["window"]
+    pred_a = _pred(r0["clauses"][0])
+    pred_b = _pred(r1["clauses"][0])
+
+    a = (
+        df.filter(pred_a)
+        .groupBy("__uuid")
+        .agg(
+            F.min(F.struct("__ts", "__seq")).alias("__a")
+        )
+        .select("__uuid", F.col("__a.__ts").alias("__a_ts"),
+                F.col("__a.__seq").alias("__a_seq"))
+    )
+    b = (
+        df.filter(pred_b)
+        .join(a, "__uuid")
+        .filter(
+            (F.col("__ts") > F.col("__a_ts"))
+            | (
+                (F.col("__ts") == F.col("__a_ts"))
+                & (F.col("__seq") > F.col("__a_seq"))
+            )
+        )
+        .groupBy("__uuid")
+        .agg(
+            F.min("__ts").alias("__b_ts"),
+            F.first("__a_ts").alias("__a_ts2"),
+        )
+        .filter(F.col("__b_ts") < F.col("__a_ts2") + window)
+    )
+    n_conv = b.agg(F.count(F.lit(1)).alias("n"))
+
+    weights: dict[str, int] = {}
+    for y in r1["clauses"][0]["yield"]:
+        weights[y["dst"]] = weights.get(y["dst"], 0) + 1
+    pieces = []
+    for var in program.yield_counters:
+        w = weights.get(var, 0)
+        pieces.append(
+            n_conv.select(
+                F.lit(0).cast("long").alias("tuple_id"),
+                F.lit(var).alias("var"),
+                F.lit(None).cast("binary").alias("key"),
+                F.lit(None).cast("long").alias("reg"),
+                (F.col("n") * w).cast("long").alias("sum_n"),
+                (F.col("n") * w).cast("long").alias("max_n"),
+            ).filter(F.col("sum_n") != 0)
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def compile_relational(
