@@ -1,0 +1,132 @@
+"""The compiled sessions / bounce / attribution shapes must agree with
+the FSM path on real data and adversarial micro-fixtures."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from trck_spark.engine import TrckSparkEngine
+from trck_spark.io import trails_json_to_df
+from trck_spark.planner import (
+    is_attribution_program,
+    is_bounce_program,
+    is_gap_sessions_program,
+)
+from trck_spark.queries import (
+    PROG_ATTRIBUTION,
+    PROG_BOUNCE,
+    PROG_SESSIONS,
+    load_events,
+)
+from trck_spark.runner import TrckQuery
+
+
+def test_shapes_recognized():
+    assert is_gap_sessions_program(TrckQuery(PROG_SESSIONS).program)
+    assert is_bounce_program(TrckQuery(PROG_BOUNCE).program)
+    assert is_attribution_program(TrckQuery(PROG_ATTRIBUTION).program)
+    # cross-misidentification must not happen
+    assert not is_gap_sessions_program(TrckQuery(PROG_BOUNCE).program)
+    assert not is_bounce_program(TrckQuery(PROG_SESSIONS).program)
+    assert not is_attribution_program(TrckQuery(PROG_BOUNCE).program)
+
+
+def _both(spark, df, prog):
+    def run():
+        rs = TrckSparkEngine(spark).run(
+            df, prog, uuid_col="uuid", ts_col="timestamp",
+            seq_col="seq" if "seq" in df.columns else "event_id",
+        )
+        return rs.collect_json()
+
+    os.environ.pop("TRCK_SPARK_NO_FASTPATH", None)
+    fast = run()
+    os.environ["TRCK_SPARK_NO_FASTPATH"] = "1"
+    try:
+        slow = run()
+    finally:
+        os.environ.pop("TRCK_SPARK_NO_FASTPATH", None)
+    return fast, slow
+
+
+@pytest.mark.parametrize(
+    "prog", [PROG_SESSIONS, PROG_BOUNCE, PROG_ATTRIBUTION],
+    ids=["sessions", "bounce", "attribution"],
+)
+def test_compiled_vs_fsm_on_events(spark, prog):
+    ev = load_events(spark, "/root/testdata/sf0.01")
+    fast, slow = _both(spark, ev, prog)
+    assert fast == slow
+
+
+def test_sessions_micro_with_duplicates(spark):
+    trails = [
+        {
+            "u1": [  # same-second duplicates collapse (no fields)
+                {"timestamp": 100, "event_type": "a"},
+                {"timestamp": 100, "event_type": "b"},
+                {"timestamp": 1899, "event_type": "a"},  # gap 1799 < 1800
+                {"timestamp": 3700, "event_type": "a"},  # gap 1801 -> new
+                {"timestamp": 5500, "event_type": "a"},  # gap 1800 -> new
+            ],
+        }
+    ]
+    df = trails_json_to_df(spark, trails)
+    fast, slow = _both(spark, df, PROG_SESSIONS)
+    assert fast == slow == {"$sessions": 3}
+
+
+def test_bounce_micro(spark):
+    trails = [
+        {
+            "u1": [  # chained views: only the last can bounce
+                {"timestamp": 100, "event_type": "view"},
+                {"timestamp": 200, "event_type": "view"},
+                {"timestamp": 5000, "event_type": "click"},  # gap >= 1800
+            ],
+            "u2": [  # trailing view -> finalization bounce
+                {"timestamp": 100, "event_type": "click"},
+                {"timestamp": 200, "event_type": "view"},
+            ],
+            "u3": [  # view followed quickly -> no bounce
+                {"timestamp": 100, "event_type": "view"},
+                {"timestamp": 200, "event_type": "click"},
+            ],
+            "u4": [  # boundary: next event exactly at +1800 -> bounce
+                {"timestamp": 100, "event_type": "view"},
+                {"timestamp": 1900, "event_type": "click"},
+            ],
+        }
+    ]
+    df = trails_json_to_df(spark, trails)
+    fast, slow = _both(spark, df, PROG_BOUNCE)
+    assert fast == slow == {"$bounces": 3}  # u1 last view, u2, u4
+
+
+def test_attribution_micro(spark):
+    trails = [
+        {
+            "u1": [  # purchase within 7d of last click
+                {"timestamp": 0, "event_type": "click"},
+                {"timestamp": 3600, "event_type": "purchase"},
+            ],
+            "u2": [  # purchase exactly at deadline -> excluded
+                {"timestamp": 0, "event_type": "click"},
+                {"timestamp": 604800, "event_type": "purchase"},
+            ],
+            "u3": [  # later click re-arms; second purchase attributed
+                {"timestamp": 0, "event_type": "click"},
+                {"timestamp": 700000, "event_type": "click"},
+                {"timestamp": 700100, "event_type": "purchase"},
+            ],
+            "u4": [  # purchase before any click
+                {"timestamp": 0, "event_type": "purchase"},
+                {"timestamp": 100, "event_type": "click"},
+            ],
+        }
+    ]
+    df = trails_json_to_df(spark, trails)
+    fast, slow = _both(spark, df, PROG_ATTRIBUTION)
+    assert fast == slow == {"$attr_purchases": 2}  # u1, u3

@@ -337,8 +337,14 @@ class TrckSparkEngine:
         # --- fast path: simple counter programs compile to pure Catalyst
         # (no Python workers, whole-stage codegen; see planner.py) ---
         from trck_spark.planner import (
+            compile_attribution,
+            compile_bounce,
             compile_funnel,
             compile_relational,
+            compile_sessions,
+            is_attribution_program,
+            is_bounce_program,
+            is_gap_sessions_program,
             is_simple_counter_program,
             is_simple_funnel_program,
         )
@@ -351,9 +357,16 @@ class TrckSparkEngine:
                 self, df, program, tuples, params, extra_dedup
             )
             return TrckResultSet(self, agg_df, program, tuples)
-        if fastpath_on and is_simple_funnel_program(program):
-            agg_df = compile_funnel(self, df, program)
-            return TrckResultSet(self, agg_df, program, tuples)
+        if fastpath_on:
+            for match, compiler in (
+                (is_simple_funnel_program, compile_funnel),
+                (is_gap_sessions_program, compile_sessions),
+                (is_bounce_program, compile_bounce),
+                (is_attribution_program, compile_attribution),
+            ):
+                if match(program):
+                    agg_df = compiler(self, df, program)
+                    return TrckResultSet(self, agg_df, program, tuples)
 
         # --- the single shuffle: co-locate each trail, sort within
         # (skipped entirely when the input is already uuid-clustered) ---

@@ -33,7 +33,7 @@ tuples whose values match).
 
 from __future__ import annotations
 
-from trck_spark.ir import A_NEXT, A_QUIT, A_REPEAT, Program, is_param
+from trck_spark.ir import A_HERE, A_NEXT, A_QUIT, A_REPEAT, Program, is_param
 
 
 def is_simple_counter_program(program: Program) -> bool:
@@ -205,6 +205,295 @@ def compile_funnel(engine, df, program: Program):
     for p in pieces[1:]:
         out = out.unionAll(p)
     return out
+
+
+def _clause_shape(c):
+    """(attrs, action, yields-are-counters, has-attrs)."""
+    return (
+        c.get("attrs", {}),
+        c["_action"],
+        all(y["dst"][0] == "$" for y in c.get("yield", []) or []),
+        bool(c.get("attrs")),
+    )
+
+
+def _literal_attrs_only(attrs) -> bool:
+    for field, conditions in attrs.items():
+        for expr in conditions:
+            if is_param(expr.lstrip("<=>")):
+                return False
+    return True
+
+
+def is_gap_sessions_program(program: Program) -> bool:
+    """start: [* -> yield $counters..., NEXT(1)]
+       insession(window N): [* -> NEXT(1)], after -> HERE(0), no yields.
+
+    Per trail this is gaps-and-islands: a new session starts at the first
+    event and at every event with gap >= N from its (deduplicated)
+    predecessor."""
+    if len(program.rules) != 2 or program.groupby:
+        return False
+    r0, r1 = program.rules
+    if r0.get("window") is not None or "after" in r0 or r0.get("outer"):
+        return False
+    if r1.get("window") is None or r1.get("outer"):
+        return False
+    c0 = r0.get("clauses", [])
+    c1 = r1.get("clauses", [])
+    if len(c0) != 1 or len(c1) != 1:
+        return False
+    a0, act0, counters0, has_attrs0 = _clause_shape(c0[0])
+    a1, act1, _c1, has_attrs1 = _clause_shape(c1[0])
+    if has_attrs0 or has_attrs1:
+        return False
+    if act0 != (A_NEXT, 1) or act1 != (A_NEXT, 1):
+        return False
+    if not c0[0].get("yield") or not counters0 or c1[0].get("yield"):
+        return False
+    after = r1.get("after")
+    if not after or after.get("yield") or after["_action"] != (A_HERE, 0):
+        return False
+    return True
+
+
+def is_bounce_program(program: Program) -> bool:
+    """start: [A -> NEXT(1), * -> repeat]
+       wait(window N): [A -> NEXT(1), * -> NEXT(0)],
+       after -> yield $counters..., HERE(0).
+
+    Every A event (re)arms the wait; a bounce fires per A event whose next
+    (deduplicated) event is >= N later or absent."""
+    if len(program.rules) != 2 or program.groupby:
+        return False
+    r0, r1 = program.rules
+    if r0.get("window") is not None or "after" in r0 or r0.get("outer"):
+        return False
+    if r1.get("window") is None or r1.get("outer"):
+        return False
+    c0 = r0.get("clauses", [])
+    c1 = r1.get("clauses", [])
+    if len(c0) != 2 or len(c1) != 2:
+        return False
+    aA, actA, _y, hasA = _clause_shape(c0[0])
+    aW, actW, _y2, hasW = _clause_shape(c0[1])
+    bA, actBA, _y3, hasBA = _clause_shape(c1[0])
+    bW, actBW, _y4, hasBW = _clause_shape(c1[1])
+    if not hasA or hasW or not hasBA or hasBW:
+        return False
+    if c0[0].get("op") or c1[0].get("op"):
+        return False
+    if aA != bA or not _literal_attrs_only(aA):
+        return False
+    if actA != (A_NEXT, 1) or actW != (A_REPEAT, None):
+        return False
+    if actBA != (A_NEXT, 1) or actBW != (A_NEXT, 0):
+        return False
+    if any(c.get("yield") for c in c0 + c1):
+        return False
+    after = r1.get("after")
+    if not after or after["_action"] != (A_HERE, 0):
+        return False
+    ys = after.get("yield", [])
+    if not ys or any(y["dst"][0] != "$" for y in ys):
+        return False
+    return True
+
+
+def is_attribution_program(program: Program) -> bool:
+    """start: [A -> NEXT(1), * -> repeat]
+       attr(window N): [A -> NEXT(1), B -> yield $counters..., repeat,
+                        * -> repeat], after -> HERE(0), no yields.
+
+    Per B event: counted iff the last A event before it (deduplicated
+    order) is < N older.  A/B must be provably disjoint (shared field,
+    different literals)."""
+    if len(program.rules) != 2 or program.groupby:
+        return False
+    r0, r1 = program.rules
+    if r0.get("window") is not None or "after" in r0 or r0.get("outer"):
+        return False
+    if r1.get("window") is None or r1.get("outer"):
+        return False
+    c0 = r0.get("clauses", [])
+    c1 = r1.get("clauses", [])
+    if len(c0) != 2 or len(c1) != 3:
+        return False
+    aA, actA, _y, hasA = _clause_shape(c0[0])
+    _aw, actW, _y2, hasW = _clause_shape(c0[1])
+    bA, actBA, _y3, hasBA = _clause_shape(c1[0])
+    bB, actBB, countersB, hasBB = _clause_shape(c1[1])
+    _bw, actBW, _y5, hasBW = _clause_shape(c1[2])
+    if not hasA or hasW or not hasBA or not hasBB or hasBW:
+        return False
+    if any(c.get("op") for c in (c0[0], c1[0], c1[1])):
+        return False
+    if aA != bA or not _literal_attrs_only(aA) or not _literal_attrs_only(bB):
+        return False
+    if actA != (A_NEXT, 1) or actW != (A_REPEAT, None):
+        return False
+    if actBA != (A_NEXT, 1) or actBB != (A_REPEAT, None):
+        return False
+    if actBW != (A_REPEAT, None):
+        return False
+    if c0[0].get("yield") or c0[1].get("yield") or c1[0].get("yield") or c1[2].get("yield"):
+        return False
+    if not c1[1].get("yield") or not countersB:
+        return False
+    after = r1.get("after")
+    if not after or after.get("yield") or after["_action"] != (A_HERE, 0):
+        return False
+    # A/B disjointness so dedup can't blur the last-A-before-B ordering
+    for field, exprs_a in aA.items():
+        if field == "timestamp":
+            continue
+        exprs_b = bB.get(field)
+        if exprs_b and set(exprs_a).isdisjoint(exprs_b):
+            return True
+    return False
+
+
+def _literal_pred(attrs):
+    from pyspark.sql import functions as F
+
+    pred = F.lit(True)
+    for field, conditions in attrs.items():
+        for expr in conditions:
+            if field == "timestamp":
+                bare = expr.lstrip("<=>")
+                op = expr[: len(expr) - len(bare)] or "=="
+                c = F.col("__ts")
+                val = F.lit(int(bare))
+                pred = pred & {
+                    "<": c < val, ">": c > val, "<=": c <= val,
+                    ">=": c >= val, "==": c == val,
+                }[op]
+            else:
+                pred = pred & (F.col("__f_" + field) == F.lit(expr))
+    return pred
+
+
+def _deduped(df, fields):
+    """Consecutive-duplicate removal via lag (one uuid-clustered window)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    part_cols = [
+        c for c in ("__uuid", "__entry", "__db") if c in df.columns
+    ]
+    order = Window.partitionBy(*part_cols).orderBy("__ts", "__seq")
+    same = F.lag("__ts").over(order) == F.col("__ts")
+    for f in fields:
+        same = same & (
+            F.lag("__f_" + f).over(order).eqNullSafe(F.col("__f_" + f))
+        )
+    return df.withColumn(
+        "__dup", F.coalesce(same, F.lit(False))
+    ).filter(~F.col("__dup"))
+
+
+def _counter_pieces(program, n_df, weights):
+    from pyspark.sql import functions as F
+
+    pieces = []
+    for var in program.yield_counters:
+        w = weights.get(var, 0)
+        pieces.append(
+            n_df.select(
+                F.lit(0).cast("long").alias("tuple_id"),
+                F.lit(var).alias("var"),
+                F.lit(None).cast("binary").alias("key"),
+                F.lit(None).cast("long").alias("reg"),
+                (F.col("n") * w).cast("long").alias("sum_n"),
+                (F.col("n") * w).cast("long").alias("max_n"),
+            ).filter(F.col("sum_n") != 0)
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def compile_sessions(engine, df, program: Program):
+    """Gap sessionization -> lag window over the deduplicated trail."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    window = program.rules[1]["window"]
+    fields = sorted(program.kvs.keys())
+    d = _deduped(df, fields)
+    part_cols = [c for c in ("__uuid", "__entry", "__db") if c in d.columns]
+    order = Window.partitionBy(*part_cols).orderBy("__ts", "__seq")
+    d = d.withColumn("__prev_ts", F.lag("__ts").over(order))
+    starts = d.filter(
+        F.col("__prev_ts").isNull()
+        | (F.col("__ts") >= F.col("__prev_ts") + window)
+    )
+    n_df = starts.agg(F.count(F.lit(1)).alias("n"))
+    weights: dict[str, int] = {}
+    for y in program.rules[0]["clauses"][0]["yield"]:
+        weights[y["dst"]] = weights.get(y["dst"], 0) + 1
+    return _counter_pieces(program, n_df, weights)
+
+
+def compile_bounce(engine, df, program: Program):
+    """Bounce detection -> lead window over the deduplicated trail."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    r0, r1 = program.rules
+    window = r1["window"]
+    fields = sorted(program.kvs.keys())
+    d = _deduped(df, fields)
+    part_cols = [c for c in ("__uuid", "__entry", "__db") if c in d.columns]
+    order = Window.partitionBy(*part_cols).orderBy("__ts", "__seq")
+    d = d.withColumn("__next_ts", F.lead("__ts").over(order))
+    pred_a = _literal_pred(r0["clauses"][0]["attrs"])
+    bounces = d.filter(
+        pred_a
+        & (
+            F.col("__next_ts").isNull()
+            | (F.col("__next_ts") >= F.col("__ts") + window)
+        )
+    )
+    n_df = bounces.agg(F.count(F.lit(1)).alias("n"))
+    weights: dict[str, int] = {}
+    for y in r1["after"]["yield"]:
+        weights[y["dst"]] = weights.get(y["dst"], 0) + 1
+    return _counter_pieces(program, n_df, weights)
+
+
+def compile_attribution(engine, df, program: Program):
+    """Last-A-before-B attribution -> running last_value window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    r0, r1 = program.rules
+    window = r1["window"]
+    fields = sorted(program.kvs.keys())
+    d = _deduped(df, fields)
+    part_cols = [c for c in ("__uuid", "__entry", "__db") if c in d.columns]
+    pred_a = _literal_pred(r0["clauses"][0]["attrs"])
+    pred_b = _literal_pred(r1["clauses"][1]["attrs"])
+    run = (
+        Window.partitionBy(*part_cols)
+        .orderBy("__ts", "__seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn(
+        "__last_a_ts",
+        F.last(F.when(pred_a, F.col("__ts")), ignorenulls=True).over(run),
+    )
+    hits = d.filter(
+        pred_b
+        & F.col("__last_a_ts").isNotNull()
+        & (F.col("__ts") < F.col("__last_a_ts") + window)
+    )
+    n_df = hits.agg(F.count(F.lit(1)).alias("n"))
+    weights: dict[str, int] = {}
+    for y in r1["clauses"][1]["yield"]:
+        weights[y["dst"]] = weights.get(y["dst"], 0) + 1
+    return _counter_pieces(program, n_df, weights)
 
 
 def compile_relational(
