@@ -42,6 +42,35 @@ def test_funnel_compiled_vs_fsm_on_events(spark):
     assert fast == slow
 
 
+def test_parameterized_funnel_compiled_vs_fsm(spark):
+    """foreach-grid funnel: the compiled grid-join path must match the
+    FSM path per tuple, including the densified zero rows."""
+    from trck_spark.queries import PROG_FUNNEL_BY_TYPE
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+
+    def run():
+        rs = TrckSparkEngine(spark).run(
+            ev, PROG_FUNNEL_BY_TYPE, uuid_col="uuid", ts_col="timestamp",
+            seq_col="event_id",
+        )
+        return sorted(
+            (r["%t"], r["$conv"]) for r in rs.collect_json()
+        )
+
+    q = TrckQuery(PROG_FUNNEL_BY_TYPE)
+    assert is_simple_funnel_program(q.program)
+    os.environ.pop("TRCK_SPARK_NO_FASTPATH", None)
+    fast = run()
+    os.environ["TRCK_SPARK_NO_FASTPATH"] = "1"
+    try:
+        slow = run()
+    finally:
+        os.environ.pop("TRCK_SPARK_NO_FASTPATH", None)
+    assert fast == slow
+    assert any(n > 0 for _t, n in fast)
+
+
 def test_funnel_compiled_vs_fsm_micro(spark):
     """Edge cases: click at exactly the deadline (excluded), click just
     inside (included), view with no click, click before view."""

@@ -358,8 +358,10 @@ class TrckSparkEngine:
             )
             return TrckResultSet(self, agg_df, program, tuples)
         if fastpath_on:
+            if is_simple_funnel_program(program):
+                agg_df = compile_funnel(self, df, program, tuples)
+                return TrckResultSet(self, agg_df, program, tuples)
             for match, compiler in (
-                (is_simple_funnel_program, compile_funnel),
                 (is_gap_sessions_program, compile_sessions),
                 (is_bounce_program, compile_bounce),
                 (is_attribution_program, compile_attribution),

@@ -66,14 +66,19 @@ def is_simple_funnel_program(program: Program) -> bool:
             * -> repeat             * -> repeat
                                 after N -> quit
 
-    Per trail this reduces to: a = first event matching A; b = first
-    event after a matching B; yield iff b.ts < a.ts + N — which compiles
-    to two filtered min-aggregations and a comparison (no Python, no
-    window functions; consecutive-duplicate dedup provably cannot change
-    either first-match event).  Parameterized conditions are left to the
-    FSM path."""
-    if len(program.rules) != 2 or program.groupby:
+    Per (trail, foreach-tuple) this reduces to: a = first event matching
+    A; b = first event after a matching B; yield iff b.ts < a.ts + N —
+    which compiles to two filtered min-aggregations and a comparison (no
+    Python, no window functions; consecutive-duplicate dedup provably
+    cannot change either first-match event).  A/B conditions may be
+    literals or ``field = %param`` equalities (the grid joins in);
+    set-membership and timestamp-param conditions stay on the FSM path."""
+    if len(program.rules) != 2:
         return False
+    if program.groupby and program.merge_results:
+        return False
+    if any(v[0] != "%" for v in program.groupby_vars):
+        return False  # set-valued foreach vars stay on the FSM path
     r0, r1 = program.rules
     if r0.get("window") is not None or "after" in r0 or r0.get("outer"):
         return False
@@ -96,8 +101,16 @@ def is_simple_funnel_program(program: Program) -> bool:
             return False
         for field, conditions in c["attrs"].items():
             for expr in conditions:
-                if is_param(expr.lstrip("<=>")):
-                    return False
+                bare = expr.lstrip("<=>")
+                if is_param(bare):
+                    # only scalar equality params on plain fields compile
+                    if (
+                        bare[0] != "%"
+                        or expr != bare
+                        or field == "timestamp"
+                        or bare not in program.groupby_vars
+                    ):
+                        return False
         kind, target = c["_action"]
         if yield_rule:
             if kind != A_QUIT:
@@ -117,58 +130,96 @@ def is_simple_funnel_program(program: Program) -> bool:
     ):
         return False
     # A and B must be provably disjoint (some shared field compared to
-    # different literals) so consecutive-duplicate removal can never
-    # change which event is the first B after A
-    attrs_a = r0["clauses"][0]["attrs"]
-    attrs_b = r1["clauses"][0]["attrs"]
-    for field, exprs_a in attrs_a.items():
-        if field == "timestamp":
-            continue
-        exprs_b = attrs_b.get(field)
-        if exprs_b and set(exprs_a).isdisjoint(exprs_b):
-            return True
-    return False
+    # different non-param literals) so consecutive-duplicate removal can
+    # never change which event is the first B after A.  With params this
+    # can't be proven statically, so instead we rely on the engine-side
+    # dedup being applied before the funnel aggregations (see
+    # compile_funnel), which makes the rewrite exact regardless.
+    return True
 
 
-def compile_funnel(engine, df, program: Program):
+def compile_funnel(engine, df, program: Program, tuples=None):
     """Compile the two-block funnel to min-aggregations (see
-    is_simple_funnel_program).  Returns the aggregated-partials frame."""
+    is_simple_funnel_program).  Runs over the lag-deduplicated trail so
+    the rewrite is exact regardless of duplicate events; foreach grids
+    join in as broadcast hash joins on the param-bound fields."""
     from pyspark.sql import functions as F
 
-    def _pred(clause):
-        pred = F.lit(True)
+    r0, r1 = program.rules
+    window = r1["window"]
+    fields = sorted(program.kvs.keys())
+    d = _deduped(df, fields)
+
+    gvars = program.groupby_vars
+    grid = None
+    if tuples is not None:
+        grid_rows = [
+            (i,) + tuple(
+                list(x) if isinstance(x, (tuple, frozenset)) else x
+                for x in tup
+            )
+            for i, tup in enumerate(tuples)
+        ]
+        schema = ", ".join(
+            ["__tuple_id long"]
+            + [f"`__p_{v[1:]}` string" for v in gvars]
+        )
+        grid = engine.spark.createDataFrame(grid_rows, schema)
+
+    def _split(clause):
+        """-> (literal_pred, grid_join_cond_or_None)."""
+        lit_pred = F.lit(True)
+        join_cond = None
         for field, conditions in clause["attrs"].items():
             for expr in conditions:
-                if field == "timestamp":
+                if is_param(expr):
+                    term = F.col("__f_" + field) == F.col(
+                        f"__p_{expr[1:]}"
+                    )
+                    join_cond = (
+                        term if join_cond is None else (join_cond & term)
+                    )
+                elif field == "timestamp":
                     bare = expr.lstrip("<=>")
                     op = expr[: len(expr) - len(bare)] or "=="
                     c = F.col("__ts")
                     val = F.lit(int(bare))
-                    pred = pred & {
+                    lit_pred = lit_pred & {
                         "<": c < val, ">": c > val, "<=": c <= val,
                         ">=": c >= val, "==": c == val,
                     }[op]
                 else:
-                    pred = pred & (F.col("__f_" + field) == F.lit(expr))
-        return pred
+                    lit_pred = lit_pred & (
+                        F.col("__f_" + field) == F.lit(expr)
+                    )
+        return lit_pred, join_cond
 
-    r0, r1 = program.rules
-    window = r1["window"]
-    pred_a = _pred(r0["clauses"][0])
-    pred_b = _pred(r1["clauses"][0])
+    def _stage(clause):
+        lit_pred, join_cond = _split(clause)
+        out = d.filter(lit_pred)
+        if grid is not None:
+            out = out.join(
+                F.broadcast(grid),
+                join_cond if join_cond is not None else F.lit(True),
+            )
+        else:
+            out = out.withColumn("__tuple_id", F.lit(0).cast("long"))
+        return out
 
+    keys = ["__uuid", "__tuple_id"]
     a = (
-        df.filter(pred_a)
-        .groupBy("__uuid")
-        .agg(
-            F.min(F.struct("__ts", "__seq")).alias("__a")
+        _stage(r0["clauses"][0])
+        .groupBy(*keys)
+        .agg(F.min(F.struct("__ts", "__seq")).alias("__a"))
+        .select(
+            *keys,
+            F.col("__a.__ts").alias("__a_ts"),
+            F.col("__a.__seq").alias("__a_seq"),
         )
-        .select("__uuid", F.col("__a.__ts").alias("__a_ts"),
-                F.col("__a.__seq").alias("__a_seq"))
     )
     b = (
-        df.filter(pred_b)
-        .join(a, "__uuid")
+        _stage(r1["clauses"][0])
+        .join(a, keys)
         .filter(
             (F.col("__ts") > F.col("__a_ts"))
             | (
@@ -176,14 +227,14 @@ def compile_funnel(engine, df, program: Program):
                 & (F.col("__seq") > F.col("__a_seq"))
             )
         )
-        .groupBy("__uuid")
+        .groupBy(*keys)
         .agg(
             F.min("__ts").alias("__b_ts"),
             F.first("__a_ts").alias("__a_ts2"),
         )
         .filter(F.col("__b_ts") < F.col("__a_ts2") + window)
     )
-    n_conv = b.agg(F.count(F.lit(1)).alias("n"))
+    n_conv = b.groupBy("__tuple_id").agg(F.count(F.lit(1)).alias("n"))
 
     weights: dict[str, int] = {}
     for y in r1["clauses"][0]["yield"]:
@@ -193,7 +244,7 @@ def compile_funnel(engine, df, program: Program):
         w = weights.get(var, 0)
         pieces.append(
             n_conv.select(
-                F.lit(0).cast("long").alias("tuple_id"),
+                F.col("__tuple_id").alias("tuple_id"),
                 F.lit(var).alias("var"),
                 F.lit(None).cast("binary").alias("key"),
                 F.lit(None).cast("long").alias("reg"),

@@ -294,6 +294,27 @@ def q_trck_merged_results(spark, sf_dir):
     ).counters_df()
 
 
+PROG_FUNNEL_BY_TYPE = """
+foreach %t
+    start ->
+        receive
+            event_type = "view" -> wait
+            * -> repeat
+    wait ->
+        receive
+            event_type = %t -> yield $conv, quit
+            * -> repeat
+        after 1h -> quit
+"""
+
+
+def q_trck_funnel_by_type(spark, sf_dir):
+    """Parameterized funnel: per event type, users whose first event of
+    that type after their first view falls within 1h (compiled to
+    grid-joined min-aggregations; implicit foreach over the lexicon)."""
+    return _run_trck(spark, sf_dir, PROG_FUNNEL_BY_TYPE).counters_df()
+
+
 PROG_NESTED_WINDOW = """
 start ->
     receive
@@ -331,6 +352,19 @@ WHERE event_type = 'click'
         "SELECT count(*)::BIGINT AS total FROM events "
         "WHERE event_type IN ('click', 'view', 'purchase')"
     ),
+    "trck_funnel_by_type": """
+WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t, event_type
+           FROM events),
+v AS (SELECT user_id, min(t) AS vt FROM e WHERE event_type='view'
+      GROUP BY 1),
+f AS (SELECT e.event_type AS tt, e.user_id, min(e.t) AS bt
+      FROM e JOIN v USING(user_id) WHERE e.t > v.vt GROUP BY 1, 2),
+c AS (SELECT tt, count(*)::BIGINT AS conv
+      FROM f JOIN v USING(user_id) WHERE bt < vt + 3600 GROUP BY 1),
+grid AS (SELECT '' AS t UNION SELECT DISTINCT event_type FROM events)
+SELECT g.t, coalesce(c.conv, 0)::BIGINT AS conv
+FROM grid g LEFT JOIN c ON c.tt = g.t
+""",
     "trck_count_clicks": (
         "SELECT count(*)::BIGINT AS clicks FROM events "
         "WHERE event_type = 'click'"
@@ -494,6 +528,7 @@ def spark_queries() -> dict:
         "trck_count_by_type": q_trck_count_by_type,
         "trck_timestamp_params": q_trck_timestamp_params,
         "trck_first_click": q_trck_first_click,
+        "trck_funnel_by_type": q_trck_funnel_by_type,
         "trck_merged_results": q_trck_merged_results,
         "trck_nested_window": q_trck_nested_window,
         "trck_funnel": q_trck_funnel,
