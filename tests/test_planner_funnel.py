@@ -108,3 +108,65 @@ def test_funnel_compiled_vs_fsm_micro(spark):
     finally:
         os.environ.pop("TRCK_SPARK_NO_FASTPATH", None)
     assert fast == slow == {"$conv": 2}  # u1 and u5
+
+
+COOKIE = "cd" * 16
+COOKIE2 = "ef" * 16
+
+
+def test_funnel_window_entries_are_independent(spark):
+    """Each window-file line is an independent evaluation unit: a view in
+    entry [0,150) must NOT pair with a click in entry [150,400) of the
+    same uuid (round-2 ADVICE high repro); an entry covering both events
+    converts."""
+    trails = [
+        {
+            COOKIE: [
+                {"timestamp": 100, "event_type": "view"},
+                {"timestamp": 200, "event_type": "click"},
+            ],
+            COOKIE2: [
+                {"timestamp": 100, "event_type": "view"},
+                {"timestamp": 200, "event_type": "click"},
+            ],
+        }
+    ]
+    df = trails_json_to_df(spark, trails)
+    entries = [
+        (COOKIE, 0, 150, None),   # sees only the view
+        (COOKIE, 150, 400, None),  # sees only the click
+        (COOKIE2, 0, 400, None),   # sees both -> converts
+    ]
+
+    os.environ.pop("TRCK_SPARK_NO_FASTPATH", None)
+    fast = _run(spark, df, window_entries=entries)
+    os.environ["TRCK_SPARK_NO_FASTPATH"] = "1"
+    try:
+        slow = _run(spark, df, window_entries=entries)
+    finally:
+        os.environ.pop("TRCK_SPARK_NO_FASTPATH", None)
+    assert fast == slow == {"$conv": 1}
+
+
+def test_funnel_multidb_falls_back_to_fsm(spark):
+    """db-major assembly can put a smaller-ts click after a timeout-firing
+    event; the min-agg rewrite is unsound there, so db_col must route to
+    the FSM path (results equal by construction — assert the semantics)."""
+    dbs = [
+        {
+            COOKIE: [
+                {"timestamp": 0, "event_type": "view"},
+                {"timestamp": 3700, "event_type": "error"},  # fires after 1h
+            ]
+        },
+        {COOKIE: [{"timestamp": 300, "event_type": "click"}]},
+    ]
+    df = trails_json_to_df(spark, dbs)
+    os.environ.pop("TRCK_SPARK_NO_FASTPATH", None)
+    fast = _run(spark, df, db_col="db")
+    os.environ["TRCK_SPARK_NO_FASTPATH"] = "1"
+    try:
+        slow = _run(spark, df, db_col="db")
+    finally:
+        os.environ.pop("TRCK_SPARK_NO_FASTPATH", None)
+    assert fast == slow == {"$conv": 0}

@@ -33,11 +33,12 @@ def test_shapes_recognized():
     assert not is_attribution_program(TrckQuery(PROG_BOUNCE).program)
 
 
-def _both(spark, df, prog):
+def _both(spark, df, prog, **kw):
     def run():
         rs = TrckSparkEngine(spark).run(
             df, prog, uuid_col="uuid", ts_col="timestamp",
             seq_col="seq" if "seq" in df.columns else "event_id",
+            **kw,
         )
         return rs.collect_json()
 
@@ -130,3 +131,86 @@ def test_attribution_micro(spark):
     df = trails_json_to_df(spark, trails)
     fast, slow = _both(spark, df, PROG_ATTRIBUTION)
     assert fast == slow == {"$attr_purchases": 2}  # u1, u3
+
+
+# ------- entry/db keying regressions (round-2 ADVICE high findings) -------
+
+COOKIE = "ab" * 16
+
+
+def test_sessions_cross_db_state_carry(spark):
+    # one trail split across two dbs: gap 60 < 30m -> ONE session; the
+    # compiled path must not partition its lag window by __db
+    dbs = [
+        {COOKIE: [{"timestamp": 100, "event_type": "a"}]},
+        {COOKIE: [{"timestamp": 160, "event_type": "a"}]},
+    ]
+    df = trails_json_to_df(spark, dbs)
+    fast, slow = _both(spark, df, PROG_SESSIONS, db_col="db")
+    assert fast == slow == {"$sessions": 1}
+
+
+def test_attribution_cross_db_state_carry(spark):
+    # click in db0, purchase in db1 within the window -> attributed
+    dbs = [
+        {COOKIE: [{"timestamp": 100, "event_type": "click"}]},
+        {COOKIE: [{"timestamp": 160, "event_type": "purchase"}]},
+    ]
+    df = trails_json_to_df(spark, dbs)
+    fast, slow = _both(spark, df, PROG_ATTRIBUTION, db_col="db")
+    assert fast == slow == {"$attr_purchases": 1}
+
+
+def test_bounce_cross_db_state_carry(spark):
+    # view in db0, click 100s later in db1 -> no bounce (plus a trailing
+    # view in db1 that does bounce)
+    dbs = [
+        {COOKIE: [{"timestamp": 100, "event_type": "view"}]},
+        {
+            COOKIE: [
+                {"timestamp": 200, "event_type": "click"},
+                {"timestamp": 300, "event_type": "view"},
+            ]
+        },
+    ]
+    df = trails_json_to_df(spark, dbs)
+    fast, slow = _both(spark, df, PROG_BOUNCE, db_col="db")
+    assert fast == slow == {"$bounces": 1}
+
+
+def test_attribution_nonmonotonic_db_timeout(spark):
+    # db-major assembly makes timestamps non-monotonic: the db0 view at
+    # ts=604800 fires the 7d after-edge BEFORE the db1 purchase (ts=3600)
+    # is seen, so nothing is attributed; a plain running-last_value
+    # rewrite would wrongly count it
+    dbs = [
+        {
+            COOKIE: [
+                {"timestamp": 0, "event_type": "click"},
+                {"timestamp": 604800, "event_type": "view"},
+            ]
+        },
+        {COOKIE: [{"timestamp": 3600, "event_type": "purchase"}]},
+    ]
+    df = trails_json_to_df(spark, dbs)
+    fast, slow = _both(spark, df, PROG_ATTRIBUTION, db_col="db")
+    assert fast == slow == {"$attr_purchases": 0}
+
+
+def test_attribution_dedup_cols(spark):
+    # two purchases same-second differing only in an unreferenced column:
+    # merged by default, kept distinct with dedup_cols
+    trails = [
+        {
+            COOKIE: [
+                {"timestamp": 0, "event_type": "click", "x": "p"},
+                {"timestamp": 3600, "event_type": "purchase", "x": "a"},
+                {"timestamp": 3600, "event_type": "purchase", "x": "b"},
+            ]
+        }
+    ]
+    df = trails_json_to_df(spark, trails)
+    fast, slow = _both(spark, df, PROG_ATTRIBUTION)
+    assert fast == slow == {"$attr_purchases": 1}
+    fast2, slow2 = _both(spark, df, PROG_ATTRIBUTION, dedup_cols=["x"])
+    assert fast2 == slow2 == {"$attr_purchases": 2}

@@ -358,8 +358,14 @@ class TrckSparkEngine:
             )
             return TrckResultSet(self, agg_df, program, tuples)
         if fastpath_on:
-            if is_simple_funnel_program(program):
-                agg_df = compile_funnel(self, df, program, tuples)
+            # funnel min-agg rewrite is unsound under db-major assembly
+            # (timeout edge can fire before a smaller-ts B in a later db);
+            # sessions/bounce/attribution compile exactly for any stream
+            # order, so they stay on the fast path with db_col set.
+            if is_simple_funnel_program(program) and not has_db:
+                agg_df = compile_funnel(
+                    self, df, program, tuples, extra_dedup
+                )
                 return TrckResultSet(self, agg_df, program, tuples)
             for match, compiler in (
                 (is_gap_sessions_program, compile_sessions),
@@ -367,7 +373,7 @@ class TrckSparkEngine:
                 (is_attribution_program, compile_attribution),
             ):
                 if match(program):
-                    agg_df = compiler(self, df, program)
+                    agg_df = compiler(self, df, program, extra_dedup)
                     return TrckResultSet(self, agg_df, program, tuples)
 
         # --- the single shuffle: co-locate each trail, sort within

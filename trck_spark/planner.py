@@ -138,17 +138,26 @@ def is_simple_funnel_program(program: Program) -> bool:
     return True
 
 
-def compile_funnel(engine, df, program: Program, tuples=None):
+def compile_funnel(engine, df, program: Program, tuples=None,
+                   extra_dedup=None):
     """Compile the two-block funnel to min-aggregations (see
     is_simple_funnel_program).  Runs over the lag-deduplicated trail so
     the rewrite is exact regardless of duplicate events; foreach grids
-    join in as broadcast hash joins on the param-bound fields."""
+    join in as broadcast hash joins on the param-bound fields.
+
+    Window-file side inputs are supported: each (uuid, entry) line is an
+    independent evaluation unit, so __entry joins the aggregation keys.
+    Multi-db inputs are NOT (engine gates this path on db_col being
+    unset): under db-major assembly timestamps can be non-monotonic, and
+    the ``after N -> quit`` edge can fire on an intermediate event before
+    a B with a smaller timestamp is reached — not expressible as a pure
+    min-aggregation."""
     from pyspark.sql import functions as F
 
     r0, r1 = program.rules
     window = r1["window"]
     fields = sorted(program.kvs.keys())
-    d = _deduped(df, fields)
+    d = _deduped(df, fields, extra_dedup)
 
     gvars = program.groupby_vars
     grid = None
@@ -206,7 +215,9 @@ def compile_funnel(engine, df, program: Program, tuples=None):
             out = out.withColumn("__tuple_id", F.lit(0).cast("long"))
         return out
 
-    keys = ["__uuid", "__tuple_id"]
+    keys = [c for c in ("__uuid", "__entry") if c in d.columns] + [
+        "__tuple_id"
+    ]
     a = (
         _stage(r0["clauses"][0])
         .groupBy(*keys)
@@ -424,8 +435,13 @@ def _literal_pred(attrs):
     return pred
 
 
-def _deduped(df, fields):
-    """Consecutive-duplicate removal via lag (one uuid-clustered window)."""
+def _deduped(df, fields, extra_dedup=None):
+    """Consecutive-duplicate removal via lag (one uuid-clustered window).
+
+    Dedup identity = ts + program fields + caller-supplied dedup_cols
+    (``__d_`` columns), matching compile_relational and the FSM path.
+    Dedup stays per-db (partition includes __db): the reference skips
+    duplicates within one TrailDB file, not across files."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -438,9 +454,26 @@ def _deduped(df, fields):
         same = same & (
             F.lag("__f_" + f).over(order).eqNullSafe(F.col("__f_" + f))
         )
+    for c in extra_dedup or []:
+        same = same & (
+            F.lag("__d_" + c).over(order).eqNullSafe(F.col("__d_" + c))
+        )
     return df.withColumn(
         "__dup", F.coalesce(same, F.lit(False))
     ).filter(~F.col("__dup"))
+
+
+def _trail_part_order(d):
+    """Window spec pieces for one logical trail.
+
+    The FSM path assembles one trail per (uuid, window-file entry) and
+    carries state ACROSS dbs in db-major order (engine sort: uuid, entry,
+    db, ts, seq — mirroring the reference's cross-TrailDB state carry).
+    So stateful shape windows partition by (uuid, entry) only and order
+    by (db, ts, seq); __db must NOT be a partition key."""
+    part = [c for c in ("__uuid", "__entry") if c in d.columns]
+    order = [c for c in ("__db", "__ts", "__seq") if c in d.columns]
+    return part, order
 
 
 def _counter_pieces(program, n_df, weights):
@@ -465,16 +498,21 @@ def _counter_pieces(program, n_df, weights):
     return out
 
 
-def compile_sessions(engine, df, program: Program):
-    """Gap sessionization -> lag window over the deduplicated trail."""
+def compile_sessions(engine, df, program: Program, extra_dedup=None):
+    """Gap sessionization -> lag window over the deduplicated trail.
+
+    Exact under db-major ordering: the FSM counts one session at the
+    trail's first event plus one per consecutive pair with gap >= N in
+    stream order, which is precisely the lag comparison — monotonicity
+    of timestamps is not required."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     window = program.rules[1]["window"]
     fields = sorted(program.kvs.keys())
-    d = _deduped(df, fields)
-    part_cols = [c for c in ("__uuid", "__entry", "__db") if c in d.columns]
-    order = Window.partitionBy(*part_cols).orderBy("__ts", "__seq")
+    d = _deduped(df, fields, extra_dedup)
+    part_cols, order_cols = _trail_part_order(d)
+    order = Window.partitionBy(*part_cols).orderBy(*order_cols)
     d = d.withColumn("__prev_ts", F.lag("__ts").over(order))
     starts = d.filter(
         F.col("__prev_ts").isNull()
@@ -487,17 +525,21 @@ def compile_sessions(engine, df, program: Program):
     return _counter_pieces(program, n_df, weights)
 
 
-def compile_bounce(engine, df, program: Program):
-    """Bounce detection -> lead window over the deduplicated trail."""
+def compile_bounce(engine, df, program: Program, extra_dedup=None):
+    """Bounce detection -> lead window over the deduplicated trail.
+
+    Exact under db-major ordering: a bounce fires per A event whose
+    successor in stream order is >= N later or absent, which is exactly
+    the lead comparison; each A is independent (a following A re-arms)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     r0, r1 = program.rules
     window = r1["window"]
     fields = sorted(program.kvs.keys())
-    d = _deduped(df, fields)
-    part_cols = [c for c in ("__uuid", "__entry", "__db") if c in d.columns]
-    order = Window.partitionBy(*part_cols).orderBy("__ts", "__seq")
+    d = _deduped(df, fields, extra_dedup)
+    part_cols, order_cols = _trail_part_order(d)
+    order = Window.partitionBy(*part_cols).orderBy(*order_cols)
     d = d.withColumn("__next_ts", F.lead("__ts").over(order))
     pred_a = _literal_pred(r0["clauses"][0]["attrs"])
     bounces = d.filter(
@@ -514,31 +556,51 @@ def compile_bounce(engine, df, program: Program):
     return _counter_pieces(program, n_df, weights)
 
 
-def compile_attribution(engine, df, program: Program):
-    """Last-A-before-B attribution -> running last_value window."""
+def compile_attribution(engine, df, program: Program, extra_dedup=None):
+    """Last-A-before-B attribution via A-segment windows.
+
+    Each A starts a segment (running count of A matches); within a
+    segment the FSM's window rule is armed at the segment's A.  A B event
+    is attributed iff (a) its segment has an A, (b) b_ts < a_ts + N, and
+    (c) no event between the A and the B carries ts >= a_ts + N — such an
+    event fires the ``after`` edge and returns the FSM to start.  For
+    monotonically increasing stream order (c) follows from (b); it only
+    bites when db-major assembly makes timestamps non-monotonic, which is
+    exactly where the previous rewrite (plain running last_value) could
+    overcount."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     r0, r1 = program.rules
     window = r1["window"]
     fields = sorted(program.kvs.keys())
-    d = _deduped(df, fields)
-    part_cols = [c for c in ("__uuid", "__entry", "__db") if c in d.columns]
+    d = _deduped(df, fields, extra_dedup)
+    part_cols, order_cols = _trail_part_order(d)
     pred_a = _literal_pred(r0["clauses"][0]["attrs"])
     pred_b = _literal_pred(r1["clauses"][1]["attrs"])
-    run = (
-        Window.partitionBy(*part_cols)
-        .orderBy("__ts", "__seq")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    base = Window.partitionBy(*part_cols).orderBy(*order_cols)
     d = d.withColumn(
-        "__last_a_ts",
-        F.last(F.when(pred_a, F.col("__ts")), ignorenulls=True).over(run),
+        "__seg",
+        F.sum(F.when(pred_a, F.lit(1)).otherwise(F.lit(0))).over(
+            base.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    seg = Window.partitionBy(*(part_cols + ["__seg"])).orderBy(*order_cols)
+    # the segment's first row IS the arming A (segments start at A rows)
+    d = d.withColumn(
+        "__a_ts",
+        F.first("__ts").over(
+            seg.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn(
+        "__max_prev_ts",
+        F.max("__ts").over(seg.rowsBetween(Window.unboundedPreceding, -1)),
     )
     hits = d.filter(
         pred_b
-        & F.col("__last_a_ts").isNotNull()
-        & (F.col("__ts") < F.col("__last_a_ts") + window)
+        & (F.col("__seg") > 0)
+        & (F.col("__ts") < F.col("__a_ts") + window)
+        & (F.col("__max_prev_ts") < F.col("__a_ts") + window)
     )
     n_df = hits.agg(F.count(F.lit(1)).alias("n"))
     weights: dict[str, int] = {}
