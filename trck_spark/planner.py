@@ -157,7 +157,21 @@ def compile_funnel(engine, df, program: Program, tuples=None,
     r0, r1 = program.rules
     window = r1["window"]
     fields = sorted(program.kvs.keys())
-    d = _deduped(df, fields, extra_dedup)
+    # Consecutive-duplicate removal can only change this rewrite's result
+    # by deleting the first-B-after-A when that B is a duplicate *of the
+    # A event itself* (any other candidate's predecessor either has
+    # different referenced fields — not a dup — or is an earlier B,
+    # contradicting "first").  With literal-disjoint A/B predicates the
+    # A can never equal a B in referenced fields, so dedup is provably a
+    # no-op and the expensive per-trail lag window (a full shuffle+sort,
+    # evaluated once per stage) is skipped entirely: the plan becomes two
+    # predicate-pushed filtered scans + small-key aggregations.
+    if _attrs_provably_disjoint(
+        r0["clauses"][0]["attrs"], r1["clauses"][0]["attrs"]
+    ):
+        d = df
+    else:
+        d = _deduped(df, fields, extra_dedup)
 
     gvars = program.groupby_vars
     grid = None
@@ -277,6 +291,63 @@ def _clause_shape(c):
         all(y["dst"][0] == "$" for y in c.get("yield", []) or []),
         bool(c.get("attrs")),
     )
+
+
+def _equi_join_fields(program: Program) -> dict | None:
+    """{groupby var -> field} when the grid can equi-join instead of
+    cross-join, else None.
+
+    Sound when every clause that yields (a) is non-negated and (b)
+    requires ``field = %var`` for EVERY groupby var, with the same field
+    per var across yielding clauses: a (row, tuple) pair dropped by the
+    equi-join fails those equalities, so no yielding clause can match it
+    and its contribution is exactly zero (non-yielding clauses contribute
+    nothing by definition, and first-match resolution is per-row).  This
+    is the Spark analog of the reference's distinct-value memoization
+    (match_traildb.c:653-744): each event pairs only with the grid rows
+    whose values occur in it, so the joined row count stays O(events),
+    not O(events x grid)."""
+    gvars = program.groupby_vars
+    if not gvars or any(v[0] != "%" for v in gvars):
+        return None
+    clauses = program.rules[0].get("clauses", [])
+    yielding = [c for c in clauses if c.get("yield")]
+    if not yielding:
+        return None
+    out: dict | None = None
+    for c in yielding:
+        if c.get("op") == "not":
+            return None
+        m: dict = {}
+        for field, conditions in c.get("attrs", {}).items():
+            if field == "timestamp":
+                continue
+            for expr in conditions:
+                if expr in gvars:
+                    m[expr] = field
+        if set(m) != set(gvars):
+            return None
+        if out is None:
+            out = m
+        elif out != m:
+            return None
+    return out
+
+
+def _attrs_provably_disjoint(a_attrs: dict, b_attrs: dict) -> bool:
+    """True when no event can match both attr sets: some shared
+    non-timestamp field is constrained to different plain literals."""
+    for field, exprs_a in a_attrs.items():
+        if field == "timestamp":
+            continue
+        exprs_b = b_attrs.get(field)
+        if not exprs_b:
+            continue
+        lits_a = {e for e in exprs_a if not is_param(e) and e[0] not in "<>="}
+        lits_b = {e for e in exprs_b if not is_param(e) and e[0] not in "<>="}
+        if lits_a and lits_b and lits_a.isdisjoint(lits_b):
+            return True
+    return False
 
 
 def _literal_attrs_only(attrs) -> bool:
@@ -663,7 +734,15 @@ def compile_relational(
             else:
                 schema_parts.append(f"`__p_{var[1:]}` string")
         grid = spark.createDataFrame(grid_rows, ", ".join(schema_parts))
-        df = df.crossJoin(F.broadcast(grid))
+        join_fields = _equi_join_fields(program)
+        if join_fields is not None:
+            cond = None
+            for var, field in join_fields.items():
+                term = F.col("__f_" + field) == F.col(f"__p_{var[1:]}")
+                cond = term if cond is None else (cond & term)
+            df = df.join(F.broadcast(grid), cond)
+        else:
+            df = df.crossJoin(F.broadcast(grid))
     else:
         df = df.withColumn("__tuple_id", F.lit(0).cast("long"))
 
