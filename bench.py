@@ -19,6 +19,166 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# --------------------------------------------------------- baseline gate
+#
+# BASELINE.md B1/B2: run the perftest1-shaped workload (reference
+# test/perf/perftest1_db.py:9-12) at 20M events with the DuckDB oracle
+# wallclock measured side-by-side, and report spark_s / oracle_s / ratio
+# per headline query.  Results are also value-compared ("match") so the
+# timing claim carries its own correctness evidence.
+
+PERF_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_cache",
+    "perf20m.parquet",
+)
+
+B1_PROG = """
+foreach %aeid
+    start ->
+        receive
+            advertisable_eid = %aeid -> yield $r
+            * -> repeat
+"""
+
+BASELINE_DEFS = {
+    # name -> (trck program import name, duckdb oracle over view `perf`)
+    "b1_count_foreach": (
+        B1_PROG,
+        "SELECT '' AS aeid, 0::BIGINT AS r UNION ALL "
+        "SELECT advertisable_eid AS aeid, count(*)::BIGINT AS r "
+        "FROM perf GROUP BY advertisable_eid",
+    ),
+    "b2_funnel": (
+        "PROG_FUNNEL",
+        """
+WITH v AS (SELECT uuid, min(timestamp) AS vt FROM perf
+           WHERE event_type='view' GROUP BY 1),
+fc AS (SELECT e.uuid, min(e.timestamp) AS ct FROM perf e
+       JOIN v USING(uuid)
+       WHERE e.event_type='click' AND e.timestamp > v.vt GROUP BY 1)
+SELECT count(*)::BIGINT AS conv FROM fc JOIN v USING(uuid)
+WHERE ct < vt + 3600
+""",
+    ),
+    "sessions": (
+        "PROG_SESSIONS",
+        """
+WITH e AS (SELECT uuid, timestamp AS t,
+                  lag(timestamp) OVER
+                    (PARTITION BY uuid ORDER BY timestamp, seq) AS pt
+           FROM perf)
+SELECT count(*)::BIGINT AS sessions FROM e
+WHERE pt IS NULL OR t >= pt + 1800
+""",
+    ),
+    "attribution": (
+        "PROG_ATTRIBUTION",
+        """
+WITH w AS (SELECT uuid, timestamp AS t, event_type,
+                  max(CASE WHEN event_type='click' THEN timestamp END) OVER
+                    (PARTITION BY uuid ORDER BY timestamp, seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ct
+           FROM perf)
+SELECT count(*)::BIGINT AS attr_purchases FROM w
+WHERE event_type='purchase' AND ct IS NOT NULL AND t < ct + 604800
+""",
+    ),
+}
+
+
+def run_baseline_gate(spark) -> dict:
+    """Spark (flat parquet AND TrailStore bucketed layout) vs the DuckDB
+    oracle at 20M events.  Timings are steady-state: one untimed warm-up
+    run (JIT/codegen compilation), then best of two.  Every Spark result
+    is value-compared against the oracle rows ("match")."""
+    import duckdb
+
+    from trck_spark import queries as Q
+    from trck_spark.benchdata import N_COOKIES, N_EVENTS, ensure_perf_dataset
+    from trck_spark.engine import TrckSparkEngine
+    from trck_spark.store import (
+        is_trail_store,
+        open_trail_store,
+        write_trail_store,
+    )
+
+    path = ensure_perf_dataset(spark, PERF_PATH)
+    flat = spark.read.parquet(path)
+    store_path = os.path.join(os.path.dirname(PERF_PATH), "perf20m_store")
+    if is_trail_store(store_path):
+        store = open_trail_store(spark, store_path)
+    else:
+        store = write_trail_store(flat, store_path)
+    engine = TrckSparkEngine(spark)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW perf AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+
+    def time_spark(src, prog):
+        rows, best = [], None
+        for i in range(3):  # warm-up + best of two
+            t0 = time.time()
+            rows = (
+                engine.run(src, prog, uuid_col="uuid", ts_col="timestamp",
+                           seq_col="seq")
+                .counters_df()
+                .collect()
+            )
+            dt = time.time() - t0
+            if i > 0:
+                best = dt if best is None or dt < best else best
+        return rows, best
+
+    out: dict = {"events": N_COOKIES * N_EVENTS, "trails": N_COOKIES}
+    tot = {"spark_s": 0.0, "spark_store_s": 0.0, "oracle_s": 0.0}
+    for name, (prog_ref, oracle_sql) in BASELINE_DEFS.items():
+        prog = prog_ref if prog_ref.startswith("\n") else getattr(Q, prog_ref)
+        srows, spark_s = time_spark(flat, prog)
+        _, store_s = time_spark(store, prog)
+        oracle_s = None
+        orows: list = []
+        for _ in range(2):
+            t0 = time.time()
+            orows = con.execute(oracle_sql).fetchall()
+            dt = time.time() - t0
+            oracle_s = dt if oracle_s is None or dt < oracle_s else oracle_s
+        match = sorted(tuple(r) for r in srows) == sorted(
+            tuple(r) for r in orows
+        )
+        out[name] = {
+            "spark_s": round(spark_s, 3),
+            "spark_store_s": round(store_s, 3),
+            "oracle_s": round(oracle_s, 3),
+            "ratio": round(spark_s / oracle_s, 2) if oracle_s else None,
+            "ratio_store": (
+                round(store_s / oracle_s, 2) if oracle_s else None
+            ),
+            "match": match,
+        }
+        tot["spark_s"] += spark_s
+        tot["spark_store_s"] += store_s
+        tot["oracle_s"] += oracle_s
+        print(f"# baseline {name}: spark {out[name]['spark_s']}s / store "
+              f"{out[name]['spark_store_s']}s vs duckdb "
+              f"{out[name]['oracle_s']}s = {out[name]['ratio']}x / "
+              f"{out[name]['ratio_store']}x (match={match})",
+              file=sys.stderr)
+    out["total"] = {
+        "spark_s": round(tot["spark_s"], 3),
+        "spark_store_s": round(tot["spark_store_s"], 3),
+        "oracle_s": round(tot["oracle_s"], 3),
+        "ratio": round(tot["spark_s"] / tot["oracle_s"], 2),
+        "ratio_store": round(tot["spark_store_s"] / tot["oracle_s"], 2),
+    }
+    out["b3_trails_per_sec"] = round(
+        N_COOKIES / out["b1_count_foreach"]["spark_store_s"], 1
+    )
+    out["b3_events_per_sec"] = round(
+        N_COOKIES * N_EVENTS / out["b1_count_foreach"]["spark_store_s"], 1
+    )
+    return out
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,19 +239,26 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "trails_per_sec": round(n_trails / b1, 1),
-                "events_per_sec": round(n_events / b1, 1),
-            }
-        )
-    )
+    baseline = None
+    if os.environ.get("SPARK_GRAFT_SKIP_BASELINE") != "1":
+        try:
+            baseline = run_baseline_gate(spark)
+        except Exception as e:  # never let the gate break the contract line
+            baseline = {"error": f"{type(e).__name__}: {e}"}
+            print(f"# baseline gate failed: {e}", file=sys.stderr)
+
+    result = {
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "trails_per_sec": round(n_trails / b1, 1),
+        "events_per_sec": round(n_events / b1, 1),
+    }
+    if baseline is not None:
+        result["baseline"] = baseline
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

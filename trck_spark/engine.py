@@ -42,6 +42,18 @@ PARTIAL_SCHEMA = (
 _QUERY_CACHE: dict = {}
 
 
+def _uuid_hex_col(col):
+    """Canonical 32-hex cookie form of a uuid column (Catalyst analog of
+    runner.cookie_to_bytes: well-formed hex lowercases through, anything
+    else is utf-8 encoded and zero-padded/truncated to 16 bytes)."""
+    from pyspark.sql import functions as F
+
+    hexed = F.lower(F.hex(F.encode(col, "UTF-8")))
+    return F.when(
+        col.rlike("^[0-9a-fA-F]{32}$"), F.lower(col)
+    ).otherwise(F.substring(F.rpad(hexed, 32, "0"), 1, 32))
+
+
 def _worker_query(
     spec_json: str, fn_registry: dict | None = None
 ) -> tuple[TrckQuery, list | None]:
@@ -187,6 +199,45 @@ class TrckResultSet:
         return grid.join(rows, "tuple_id", "inner").drop("tuple_id")
 
 
+class TrckFrameResultSet:
+    """Counter results backed by the final densified counters frame.
+
+    Produced by the value-keyed implicit-foreach fast path
+    (planner.compile_counter_implicit): the lexicon grid never touches
+    the driver, so `tuples` only materializes lazily — from the result
+    rows themselves — when a driver-side output format asks for it."""
+
+    def __init__(self, engine: "TrckSparkEngine", frame, program: Program,
+                 params: dict | None):
+        self.engine = engine
+        self.frame = frame
+        self.program = program
+        self.params = params
+        self.tuples: list | None = None
+
+    def counters_df(self):
+        return self.frame
+
+    def collect_partials(self) -> dict[int, Results]:
+        rows = self.frame.collect()
+        lex = [r[0] for r in rows if r[0] != ""]
+        self.tuples = foreach_tuples(
+            self.program, self.params, lexicon_values=lex
+        )
+        idx = {t[0]: i for i, t in enumerate(self.tuples)}
+        per_tuple: dict[int, Results] = {}
+        for r in rows:
+            res = per_tuple.setdefault(idx[r[0]], Results())
+            for v in self.program.yield_counters:
+                res.counters[v] = res.counters.get(v, 0) + int(r[v[1:]])
+        return per_tuple
+
+    def collect_json(self) -> dict | list:
+        return format_output(
+            self.program, self.collect_partials(), self.tuples
+        )
+
+
 class TrckSparkEngine:
     def __init__(self, spark):
         self.spark = spark
@@ -197,8 +248,8 @@ class TrckSparkEngine:
         program_text_or_ir,
         params: dict | None = None,
         event_filter: dict | None = None,
-        window_entries: list | None = None,
-        exclude: list | None = None,
+        window_entries=None,  # list[(uuid,start,end,repl)] | DataFrame
+        exclude=None,  # list[str] | DataFrame (first column = uuid)
         uuid_col: str = "uuid",
         ts_col: str = "timestamp",
         seq_col: str | None = None,
@@ -209,6 +260,13 @@ class TrckSparkEngine:
         assume_clustered: bool = False,
     ) -> TrckResultSet:
         """Run a trck program over an events DataFrame.
+
+        window_entries / exclude side inputs take two forms: a driver-side
+        list (CLI file compatibility — reference window_set.c /
+        exclude_set.c semantics, broadcast to executors) or a DataFrame
+        (uuid[, start, end[, replacement_id]] positional columns) that is
+        joined distributed and never materializes on the driver — the
+        only form that survives 10^8+-row side inputs.
 
         dedup_cols: extra columns to include in the consecutive-duplicate
         identity beyond the program's referenced fields (the reference
@@ -252,36 +310,83 @@ class TrckSparkEngine:
         # runner.cookie_to_bytes: well-formed hex passes through, anything
         # else is utf-8 zero-padded to 16 bytes) — exclude/window side
         # inputs are keyed by this form, as in the reference
-        if exclude or window_entries is not None:
-            hexed = F.lower(F.hex(F.encode(F.col("__uuid"), "UTF-8")))
-            df = df.withColumn(
-                "__uuid_hex",
-                F.when(
-                    F.col("__uuid").rlike("^[0-9a-fA-F]{32}$"),
-                    F.lower(F.col("__uuid")),
-                ).otherwise(F.substring(F.rpad(hexed, 32, "0"), 1, 32)),
-            )
+        exclude_on = exclude is not None and not (
+            isinstance(exclude, (list, set, tuple)) and not exclude
+        )
+        if exclude_on or window_entries is not None:
+            df = df.withColumn("__uuid_hex", _uuid_hex_col(F.col("__uuid")))
 
-        # --- exclude anti-join (broadcast: exclude lists are small) ---
-        if exclude:
-            excl_df = self.spark.createDataFrame(
-                [(u.lower(),) for u in exclude], schema=["__uuid_hex"]
-            )
-            df = df.join(F.broadcast(excl_df), "__uuid_hex", "left_anti")
+        # --- exclude anti-join: a driver list broadcasts (CLI exclude
+        # files are small); a DataFrame joins distributed — at 100 TB an
+        # exclude set is itself big data, so it must never be collected
+        # (AQE still broadcasts it when it turns out small) ---
+        if exclude_on:
+            if isinstance(exclude, (list, set, tuple)):
+                excl_df = self.spark.createDataFrame(
+                    [(u.lower(),) for u in exclude], schema=["__uuid_hex"]
+                )
+                df = df.join(
+                    F.broadcast(excl_df), "__uuid_hex", "left_anti"
+                )
+            else:
+                excl_df = exclude.select(
+                    _uuid_hex_col(
+                        F.col(exclude.columns[0]).cast("string")
+                    ).alias("__uuid_hex")
+                ).distinct()
+                df = df.join(excl_df, "__uuid_hex", "left_anti")
 
-        # --- per-uuid window entries: broadcast join + range filter ---
+        # --- per-uuid window entries: join + range filter.  Entries are a
+        # LIST (the same uuid may appear on several lines, each an
+        # independent evaluation — reference match_traildb.c:521-549), so
+        # every entry needs a distinct __entry id within its uuid. ---
         has_window_input = window_entries is not None
         if has_window_input:
-            w_df = self.spark.createDataFrame(
-                [
-                    (i, u.lower(), s, e, (r if r else u).lower())
-                    for i, (u, s, e, r) in enumerate(window_entries)
-                ],
-                schema=[
-                    "__entry", "__uuid_hex", "__wstart", "__wend", "__eff"
-                ],
-            )
-            df = df.join(F.broadcast(w_df), "__uuid_hex", "inner").filter(
+            if isinstance(window_entries, list):
+                w_df = self.spark.createDataFrame(
+                    [
+                        (i, u.lower(), s, e, (r if r else u).lower())
+                        for i, (u, s, e, r) in enumerate(window_entries)
+                    ],
+                    schema=[
+                        "__entry", "__uuid_hex", "__wstart", "__wend",
+                        "__eff",
+                    ],
+                )
+                w_df = F.broadcast(w_df)
+            else:
+                # DataFrame form: positional columns (uuid, start, end
+                # [, replacement_id]); uuids raw or hex.  __entry comes
+                # from a per-uuid row_number — unique within the join key,
+                # computed distributed (no driver materialization).
+                from pyspark.sql import Window as W
+
+                wc = window_entries.columns
+                uhex = _uuid_hex_col(F.col(wc[0]).cast("string"))
+                eff = (
+                    _uuid_hex_col(
+                        F.coalesce(
+                            F.col(wc[3]).cast("string"),
+                            F.col(wc[0]).cast("string"),
+                        )
+                    )
+                    if len(wc) > 3
+                    else uhex
+                )
+                w_df = window_entries.select(
+                    uhex.alias("__uuid_hex"),
+                    F.col(wc[1]).cast("long").alias("__wstart"),
+                    F.col(wc[2]).cast("long").alias("__wend"),
+                    eff.alias("__eff"),
+                ).withColumn(
+                    "__entry",
+                    F.row_number().over(
+                        W.partitionBy("__uuid_hex").orderBy(
+                            "__wstart", "__wend", "__eff"
+                        )
+                    ),
+                )
+            df = df.join(w_df, "__uuid_hex", "inner").filter(
                 (F.col("__ts") >= F.col("__wstart"))
                 & (F.col("__ts") < F.col("__wend"))
             )
@@ -313,32 +418,11 @@ class TrckSparkEngine:
             proj.append("__d_" + c)
         df = df.select(*proj)
 
-        # --- implicit foreach: the field's distinct values in the data ---
-        lexicon = None
-        if program.implicit_foreach:
-            field = program.var_fields.get(program.groupby_vars[0])
-            if field is None:
-                lexicon = []
-            else:
-                src = (
-                    events_df.select(
-                        F.coalesce(
-                            F.col(field).cast("string"), F.lit("")
-                        ).alias("v")
-                    )
-                    if field in cols
-                    else self.spark.createDataFrame([], "v string")
-                )
-                lexicon = [
-                    r["v"] for r in src.distinct().collect() if r["v"]
-                ]
-        tuples = foreach_tuples(program, params, lexicon_values=lexicon)
-
-        # --- fast path: simple counter programs compile to pure Catalyst
-        # (no Python workers, whole-stage codegen; see planner.py) ---
         from trck_spark.planner import (
+            _equi_join_fields,
             compile_attribution,
             compile_bounce,
+            compile_counter_implicit,
             compile_funnel,
             compile_relational,
             compile_sessions,
@@ -352,6 +436,65 @@ class TrckSparkEngine:
         import os as _os
 
         fastpath_on = not _os.environ.get("TRCK_SPARK_NO_FASTPATH")
+
+        # --- implicit foreach: the field's distinct values in the data ---
+        lexicon = None
+        if program.implicit_foreach:
+            field = program.var_fields.get(program.groupby_vars[0])
+            src = None
+            if field is not None:
+                src = (
+                    events_df.select(
+                        F.coalesce(
+                            F.col(field).cast("string"), F.lit("")
+                        ).alias("v")
+                    )
+                    if field in cols
+                    else self.spark.createDataFrame([], "v string")
+                )
+            # value-keyed fast path: the lexicon stays a DataFrame
+            # end-to-end (no driver round-trip; see
+            # planner.compile_counter_implicit)
+            if (
+                fastpath_on
+                and src is not None
+                and len(program.groupby_vars) == 1
+                and not program.merge_results
+                and window_entries is None
+                and is_simple_counter_program(program)
+                and _equi_join_fields(program)
+                == {program.groupby_vars[0]: field}
+            ):
+                # with no filter/exclude the post-filter distinct values
+                # ARE the lexicon -> single-scan form (no grid subquery)
+                need_grid = event_filter is not None or exclude_on
+                frame = compile_counter_implicit(
+                    self, df, program,
+                    src.distinct() if need_grid else None,
+                    params, extra_dedup,
+                )
+                return TrckFrameResultSet(self, frame, program, params)
+            # FSM / tuple-grid path: the grid must materialize (the task
+            # closure ships it), so cap the cardinality with a hard error
+            # instead of silently OOMing the driver at scale
+            if field is None:
+                lexicon = []
+            else:
+                cap = int(
+                    _os.environ.get("TRCK_SPARK_MAX_LEXICON", "1000000")
+                )
+                head = src.distinct().limit(cap + 1).collect()
+                if len(head) > cap:
+                    raise ValueError(
+                        f"implicit foreach over field {field!r} exceeds "
+                        f"{cap} distinct values; use an explicit foreach "
+                        "grid or raise TRCK_SPARK_MAX_LEXICON"
+                    )
+                lexicon = [r["v"] for r in head if r["v"]]
+        tuples = foreach_tuples(program, params, lexicon_values=lexicon)
+
+        # --- fast path: simple counter programs compile to pure Catalyst
+        # (no Python workers, whole-stage codegen; see planner.py) ---
         if fastpath_on and is_simple_counter_program(program):
             agg_df = compile_relational(
                 self, df, program, tuples, params, extra_dedup

@@ -680,6 +680,154 @@ def compile_attribution(engine, df, program: Program, extra_dedup=None):
     return _counter_pieces(program, n_df, weights)
 
 
+def compile_counter_implicit(
+    engine,
+    df,
+    program: Program,
+    lexicon_df,
+    base_params: dict | None,
+    extra_dedup: list[str] | None = None,
+):
+    """Value-keyed compilation of implicit-foreach counter programs.
+
+    The lexicon (reference get_lexicon, match_traildb.c:184-236) stays a
+    DataFrame end-to-end: distinct field values become a broadcast grid
+    subquery equi-joined to the events, the aggregation groups by the
+    value itself, and densification left-joins the same grid — no driver
+    round-trip at any point, so a high-cardinality field can't OOM the
+    driver or bloat task closures.  Caller guarantees (engine.run):
+    simple counter program, single implicit %var, every yielding clause
+    requires ``field = %var`` (_equi_join_fields), no window entries.
+
+    lexicon_df=None selects the SINGLE-SCAN form: because the equi-join
+    guarantee means a row only ever pairs with its own field value, the
+    aggregation can group directly by ``__f_field`` — the grid (and its
+    separate distinct-scan of the data) vanishes, leaving exactly one
+    pass: scan -> dedup window -> hash agg, the same work the oracle
+    does.  Only sound when the lexicon equals the post-filter distinct
+    values, i.e. no CNF filter / exclude dropped rows (the reference
+    lexicon comes from the unfiltered TrailDB field lexicon, so a value
+    whose rows are all filtered out must still densify to a zero row —
+    engine.run passes a grid exactly in that case).
+
+    Returns the final densified counters frame: one row per grid value
+    (including the reference's implicit "" tuple) with one zero-filled
+    column per $counter.
+    """
+    from pyspark.sql import functions as F
+
+    spark = engine.spark
+    fields = sorted(program.kvs.keys())
+    var = program.groupby_vars[0]
+    field = program.var_fields[var]
+    pcol = "__p_" + var[1:]
+
+    single_scan = lexicon_df is None
+    d = _deduped(df, fields, extra_dedup)
+    if single_scan:
+        d = d.withColumn(pcol, F.col("__f_" + field))
+        grid = None
+    else:
+        # grid = distinct values ∪ {""} — "" is a real tuple (FSM parity:
+        # events with an empty/absent field match %var bound to "")
+        grid = (
+            lexicon_df.select(F.col(lexicon_df.columns[0]).alias(pcol))
+            .unionAll(spark.createDataFrame([("",)], f"`{pcol}` string"))
+            .distinct()
+        )
+        d = d.join(F.broadcast(grid), F.col("__f_" + field) == F.col(pcol))
+
+    def param_col(name: str):
+        if name == var:
+            return F.col(pcol)
+        base = (base_params or {}).get(name)
+        if base is None:
+            return F.lit(None)
+        if isinstance(base, list):
+            return F.array(*[F.lit(str(x)) for x in base])
+        return F.lit(str(base))
+
+    def cond_expr(field_: str, expr: str):
+        if field_ == "timestamp":
+            bare = expr.lstrip("<=>")
+            op = expr[: len(expr) - len(bare)] or "=="
+            if is_param(bare):
+                val = param_col(bare).cast("long")
+            else:
+                val = F.lit(int(bare))
+            c = F.col("__ts")
+            return {
+                "<": c < val, ">": c > val, "<=": c <= val,
+                ">=": c >= val, "==": c == val,
+            }[op]
+        col = F.col("__f_" + field_)
+        if is_param(expr):
+            if expr[0] == "%":
+                return col == param_col(expr)
+            return F.array_contains(
+                F.coalesce(param_col(expr), F.array()), col
+            )
+        return col == F.lit(expr)
+
+    clauses = program.rules[0].get("clauses", [])
+    matched = None
+    for ci, c in enumerate(clauses):
+        pred = F.lit(True)
+        for f_, conditions in c.get("attrs", {}).items():
+            for expr in conditions:
+                pred = pred & cond_expr(f_, expr)
+        if c.get("op") == "not":
+            pred = ~pred
+        branch = F.when(pred, F.lit(ci))
+        matched = branch if matched is None else matched.when(pred, F.lit(ci))
+    d = d.withColumn("__clause", matched)
+
+    counter_weights: dict[str, dict[int, int]] = {}
+    for ci, c in enumerate(clauses):
+        for y in c.get("yield", []) or []:
+            counter_weights.setdefault(y["dst"], {})
+            counter_weights[y["dst"]][ci] = (
+                counter_weights[y["dst"]].get(ci, 0) + 1
+            )
+    aggs = []
+    for v in program.yield_counters:
+        weights = counter_weights.get(v, {})
+        expr = None
+        for ci, w in weights.items():
+            term = F.when(F.col("__clause") == ci, F.lit(w)).otherwise(0)
+            expr = term if expr is None else (expr + term)
+        if expr is None:
+            expr = F.lit(0)
+        aggs.append(F.sum(expr).cast("long").alias(v[1:]))
+    grouped = d.groupBy(pcol).agg(*aggs)
+
+    cnames = [v[1:] for v in program.yield_counters]
+    if single_scan:
+        # every distinct value IS a group key already (dedup keeps >=1 row
+        # per run, a non-matching row still lands in its value's group
+        # with weight 0) — only the implicit "" tuple may be missing.
+        # union a zero row and re-aggregate (tiny: grid-cardinality rows).
+        zero = spark.createDataFrame(
+            [("",) + (0,) * len(cnames)],
+            f"`{pcol}` string, " + ", ".join(f"`{c}` long" for c in cnames),
+        )
+        return (
+            grouped.unionByName(zero)
+            .groupBy(pcol)
+            .agg(*[F.sum(c).cast("long").alias(c) for c in cnames])
+            .select(
+                F.col(pcol).alias(var[1:]), *[F.col(c) for c in cnames]
+            )
+        )
+    return (
+        grid.join(grouped, pcol, "left")
+        .fillna(0, subset=cnames)
+        .select(
+            F.col(pcol).alias(var[1:]), *[F.col(c) for c in cnames]
+        )
+    )
+
+
 def compile_relational(
     engine,
     df,

@@ -183,7 +183,11 @@ def q_trck_uniques_hll(spark, sf_dir):
 
 def q_trck_window_file(spark, sf_dir):
     """Per-uuid time-window side input: first-half-of-history windows
-    derived from the data, events counted inside each user's window."""
+    derived from the data, events counted inside each user's window.
+
+    The bounds stay a DataFrame end-to-end (no driver .collect()) — the
+    engine joins them distributed, so a 10^8-row window set would work
+    exactly the same way."""
     from pyspark.sql import functions as F
 
     ev = load_events(spark, sf_dir)
@@ -198,33 +202,31 @@ def q_trck_window_file(spark, sf_dir):
             "lo",
             F.floor((F.col("lo") + F.col("hi")) / 2).cast("long").alias("mid"),
         )
-        .collect()
     )
-    entries = [(r["uuid"].encode().ljust(16, b"\0").hex(), int(r["lo"]), int(r["mid"]), None) for r in bounds]
     prog = """
 start ->
     receive
         event_type = "view" -> yield $views_in_window
         * -> repeat
 """
-    return _run_trck(spark, sf_dir, prog, window_entries=entries).counters_df()
+    return _run_trck(spark, sf_dir, prog, window_entries=bounds).counters_df()
 
 
 def q_trck_exclude(spark, sf_dir):
-    """uuid exclude side input: drop users who ever errored, count clicks."""
+    """uuid exclude side input: drop users who ever errored, count clicks.
+
+    The exclude set stays a DataFrame (distributed anti-join, no driver
+    .collect()) — the scale-safe form of the reference's exclude file."""
     from pyspark.sql import functions as F
 
     ev = load_events(spark, sf_dir)
-    bad = [
-        r["uuid"]
-        for r in ev.filter(F.col("event_type") == "error")
+    bad = (
+        ev.filter(F.col("event_type") == "error")
         .select("uuid")
         .distinct()
-        .collect()
-    ]
-    bad_hex = [u.encode().ljust(16, b"\0").hex() for u in bad]
+    )
     return _run_trck(
-        spark, sf_dir, PROG_COUNT_CLICKS, exclude=bad_hex
+        spark, sf_dir, PROG_COUNT_CLICKS, exclude=bad
     ).counters_df()
 
 

@@ -25,6 +25,9 @@ def get_spark(app_name: str = "trck_spark", shuffle_partitions: int | None = Non
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # trust the (uuid, ts, seq) sort order of TrailStore bucketed scans
+        # so trail windows elide both Exchange and Sort (see store.py)
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -1,0 +1,112 @@
+"""TrailStore: trail-clustered bucketed storage, the Spark analog of the
+TrailDB file format.
+
+A TrailDB stores events grouped by cookie and sorted by time, which is why
+the reference engine (src/match_traildb.c trail cursor loop) never has to
+shuffle or sort anything at query time.  Flat parquet loses that property:
+every trail-ordered operator (FSM matching, sessionization windows,
+consecutive-duplicate skip) pays a full hash shuffle + sort per query.
+
+TrailStore restores the layout guarantee with Spark-native bucketing:
+events are written bucketed by the uuid column and sorted by
+(uuid, ts, seq) with exactly one file per bucket.  Reading the store back
+through the catalog gives Catalyst a HashPartitioning + SortOrder it can
+trust, so window/aggregate plans over trails elide both the Exchange and
+the Sort (requires spark.sql.legacy.bucketedTableScan.outputOrdering=true,
+set by trck_spark.session.get_spark).  At 100 TB this turns every trail
+query from "shuffle the world" into an embarrassingly parallel scan,
+exactly like the reference's format does natively.
+
+The catalog entry is session-scoped (in-memory catalog); the files plus a
+`_trailstore.json` manifest are the durable artifact, and `open_trail_store`
+re-registers the table in any new session via DDL (no data rewrite).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+MANIFEST = "_trailstore.json"
+
+
+def _table_name(path: str) -> str:
+    slug = re.sub(r"[^A-Za-z0-9_]", "_", os.path.abspath(path)).strip("_")
+    return f"trailstore_{slug}"
+
+
+def write_trail_store(df, path: str, uuid_col: str = "uuid",
+                      ts_col: str = "timestamp", seq_col: str | None = "seq",
+                      n_buckets: int = 32):
+    """Write `df` as a trail-clustered bucketed table at `path` and return
+    the re-opened DataFrame.
+
+    The pre-write repartition uses the same murmur3 hash as the bucketing,
+    so every task holds exactly one bucket and each bucket is a single
+    file — the layout Spark requires before it will trust the sort order
+    of a bucketed scan.
+    """
+    spark = df.sparkSession
+    sort_cols = [uuid_col, ts_col] + ([seq_col] if seq_col else [])
+    table = _table_name(path)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        df.repartition(n_buckets, uuid_col)
+        .sortWithinPartitions(*sort_cols)
+        .write.bucketBy(n_buckets, uuid_col)
+        .sortBy(*sort_cols)
+        .option("path", os.path.abspath(path))
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    manifest = {
+        "version": 1,
+        "uuid_col": uuid_col,
+        "ts_col": ts_col,
+        "seq_col": seq_col,
+        "n_buckets": n_buckets,
+        "schema_ddl": _schema_ddl(df),
+    }
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    return spark.table(table)
+
+
+def _schema_ddl(df) -> str:
+    parts = []
+    for field in df.schema.fields:
+        parts.append(f"`{field.name}` {field.dataType.simpleString()}")
+    return ", ".join(parts)
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST)) as f:
+        return json.load(f)
+
+
+def is_trail_store(path: str) -> bool:
+    return os.path.exists(os.path.join(path, MANIFEST))
+
+
+def open_trail_store(spark, path: str):
+    """Register (if needed) and return the bucketed table at `path`.
+
+    Re-issues `CREATE TABLE ... CLUSTERED BY ... SORTED BY ... LOCATION`
+    against the existing files, so a store written in one session is
+    readable with full layout guarantees in any other.
+    """
+    m = read_manifest(path)
+    table = _table_name(path)
+    sort_cols = [m["uuid_col"], m["ts_col"]] + (
+        [m["seq_col"]] if m["seq_col"] else []
+    )
+    if not spark.catalog.tableExists(table):
+        spark.sql(
+            f"CREATE TABLE {table} ({m['schema_ddl']}) USING PARQUET "
+            f"CLUSTERED BY (`{m['uuid_col']}`) "
+            f"SORTED BY ({', '.join(f'`{c}`' for c in sort_cols)}) "
+            f"INTO {m['n_buckets']} BUCKETS "
+            f"LOCATION '{os.path.abspath(path)}'"
+        )
+    return spark.table(table)
