@@ -75,3 +75,40 @@ def test_multimodal_decode_stub():
         decode_image(b"xx", fake=False)
     w, h, c = decode_image(b"x" * 100, fake=True)
     assert (w, h, c) == (101, 221, 3)
+
+
+def test_ngram_hot_shingle_cap(spark, tmp_path):
+    """A shingle shared by every doc must not explode into O(n^2)
+    candidate pairs: with df > max_shingle_df it is dropped from counts
+    and intersections; pairs via rare shingles survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trck_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    hot = "the quick brown"  # one 3-gram shared by all docs
+    docs = []
+    for i in range(40):
+        docs.append(f"{hot} filler{i} x{i} y{i} z{i}")
+    # docs 100/101: near-identical via rare shingles
+    docs.append(f"{hot} alpha beta gamma delta")
+    docs.append(f"{hot} alpha beta gamma delta epsilon")
+    d = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {"doc_id": list(range(len(docs))), "text": docs}
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    rows = ngram_jaccard_pairs(
+        spark, d, threshold=0.2, max_shingle_df=10
+    ).collect()
+    pairs = {(r["a"], r["b"]): r["jaccard_e6"] for r in rows}
+    # the hot shingle binds all 42 docs; capped, only the real near-dup
+    # pair (via its rare shingles) remains
+    assert set(pairs) == {(40, 41)}
+    # jaccard over non-hot shingles only: 4 shared, union 5 -> 0.8
+    assert pairs[(40, 41)] == 800000

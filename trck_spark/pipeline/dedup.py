@@ -62,16 +62,36 @@ def shingle_df(spark, sf_dir: str):
     )
 
 
-def ngram_jaccard_pairs(spark, sf_dir: str, threshold: float = 0.2):
-    """Exact word-3-gram Jaccard similarity pairs >= threshold via an
+def ngram_jaccard_pairs(
+    spark, sf_dir: str, threshold: float = 0.2,
+    max_shingle_df: int = 1000,
+):
+    """Word-3-gram Jaccard similarity pairs >= threshold via an
     inverted-index self-join on shingles (shingles hashed to int64 before
-    the shuffle so shuffle keys are fixed-width)."""
+    the shuffle so shuffle keys are fixed-width).
+
+    Skew guard: shingles whose document frequency exceeds
+    ``max_shingle_df`` are dropped from the whole computation (counts and
+    intersections) before the self-join — a shingle shared by k docs
+    yields O(k^2) candidate pairs, so one boilerplate phrase in 10^6 docs
+    would otherwise dominate the job (standard practice in web-scale
+    dedup; near-universal shingles carry no similarity signal anyway).
+    The surviving join is bounded by max_shingle_df^2 pairs per shingle.
+    The hot set is tiny by construction (<= total_occurrences / df_cap),
+    so it broadcasts."""
     from pyspark.sql import functions as F
 
     sh = shingle_df(spark, sf_dir).select(
         "doc_id", F.xxhash64("s").alias("h")
     )
     sh.cache()
+    hot = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_shingle_df)
+        .select("h")
+    )
+    sh = sh.join(F.broadcast(hot), "h", "left_anti")
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -86,9 +86,14 @@ WITH words AS (
          string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS w
   FROM documents
 ),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS s
   FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 0))) AS g)
+),
+-- hot-shingle df-cap (mirrors ngram_jaccard_pairs max_shingle_df=1000)
+sh AS (
+  SELECT * FROM sh0 WHERE s NOT IN (
+    SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000)
 ),
 c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 i AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
