@@ -214,3 +214,121 @@ def test_attribution_dedup_cols(spark):
     assert fast == slow == {"$attr_purchases": 1}
     fast2, slow2 = _both(spark, df, PROG_ATTRIBUTION, dedup_cols=["x"])
     assert fast2 == slow2 == {"$attr_purchases": 2}
+
+
+# ---------- parameterized (foreach grid) shape compilation: round 2 ----------
+
+
+def test_param_shapes_recognized():
+    from trck_spark.queries import (
+        PROG_ATTRIBUTION_BY_TYPE,
+        PROG_BOUNCE_BY_TYPE,
+        PROG_SESSIONS_BY_TYPE,
+    )
+
+    assert is_gap_sessions_program(TrckQuery(PROG_SESSIONS_BY_TYPE).program)
+    assert is_bounce_program(TrckQuery(PROG_BOUNCE_BY_TYPE).program)
+    assert is_attribution_program(
+        TrckQuery(PROG_ATTRIBUTION_BY_TYPE).program
+    )
+    # no cross-misidentification
+    assert not is_gap_sessions_program(TrckQuery(PROG_BOUNCE_BY_TYPE).program)
+    assert not is_bounce_program(TrckQuery(PROG_SESSIONS_BY_TYPE).program)
+
+
+@pytest.mark.parametrize(
+    "progname",
+    ["PROG_SESSIONS_BY_TYPE", "PROG_BOUNCE_BY_TYPE",
+     "PROG_ATTRIBUTION_BY_TYPE"],
+)
+def test_param_compiled_vs_fsm_on_events(spark, progname):
+    import trck_spark.queries as Q
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    fast, slow = _both(spark, ev, getattr(Q, progname))
+    assert fast == slow
+
+
+def test_param_sessions_micro(spark):
+    from trck_spark.queries import PROG_SESSIONS_BY_TYPE
+
+    trails = [
+        {
+            "u1": [  # island 1: a,b; island 2: b only
+                {"timestamp": 100, "event_type": "a"},
+                {"timestamp": 200, "event_type": "b"},
+                {"timestamp": 5000, "event_type": "b"},
+            ],
+            "u2": [  # one island, only "a"
+                {"timestamp": 100, "event_type": "a"},
+                {"timestamp": 200, "event_type": "a"},
+            ],
+        }
+    ]
+    df = trails_json_to_df(spark, trails)
+    fast, slow = _both(spark, df, PROG_SESSIONS_BY_TYPE)
+    assert fast == slow
+    by_t = {r["%t"]: r["$sessions"] for r in fast}
+    assert by_t == {"": 0, "a": 2, "b": 2}
+
+
+def test_param_attribution_collision_tuple(spark):
+    """%t bound to the B literal ('purchase') must yield 0 (first-match:
+    the A clause consumes the event before the yielding B clause)."""
+    from trck_spark.queries import PROG_ATTRIBUTION_BY_TYPE
+
+    trails = [
+        {
+            "u1": [
+                {"timestamp": 0, "event_type": "click"},
+                {"timestamp": 3600, "event_type": "purchase"},
+                {"timestamp": 7200, "event_type": "purchase"},
+            ],
+        }
+    ]
+    df = trails_json_to_df(spark, trails)
+    fast, slow = _both(spark, df, PROG_ATTRIBUTION_BY_TYPE)
+    assert fast == slow
+    by_t = {r["%t"]: r["$attr_purchases"] for r in fast}
+    # click attributes both purchases; purchase-as-A yields none
+    assert by_t == {"": 0, "click": 2, "purchase": 0}
+
+
+def test_param_attribution_stale_a(spark):
+    """A older than the window must not attribute, even when a fresher
+    non-A event exists."""
+    from trck_spark.queries import PROG_ATTRIBUTION_BY_TYPE
+
+    trails = [
+        {
+            "u1": [
+                {"timestamp": 0, "event_type": "click"},
+                {"timestamp": 700000, "event_type": "purchase"},
+            ],
+        }
+    ]
+    df = trails_json_to_df(spark, trails)
+    fast, slow = _both(spark, df, PROG_ATTRIBUTION_BY_TYPE)
+    assert fast == slow
+    by_t = {r["%t"]: r["$attr_purchases"] for r in fast}
+    assert by_t["click"] == 0
+
+
+def test_param_shapes_compile_to_catalyst(spark):
+    """The grid shapes must actually take the compiled path: no Python
+    FSM worker (mapInPandas/ArrowEvalPython) in the physical plan."""
+    import trck_spark.queries as Q
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    for progname in (
+        "PROG_SESSIONS_BY_TYPE", "PROG_BOUNCE_BY_TYPE",
+        "PROG_ATTRIBUTION_BY_TYPE",
+    ):
+        rs = TrckSparkEngine(spark).run(
+            ev, getattr(Q, progname), uuid_col="uuid", ts_col="timestamp",
+            seq_col="event_id",
+        )
+        plan = rs.agg_df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan and "EvalPython" not in plan, (
+            progname
+        )

@@ -516,7 +516,18 @@ class TrckSparkEngine:
                 (is_attribution_program, compile_attribution),
             ):
                 if match(program):
-                    agg_df = compiler(self, df, program, extra_dedup)
+                    # grid attribution uses the exists-rewrite, which
+                    # needs monotonic per-trail stream order (single db)
+                    if (
+                        compiler is compile_attribution
+                        and program.groupby
+                        and has_db
+                    ):
+                        break
+                    grid_tuples = tuples if program.groupby else None
+                    agg_df = compiler(
+                        self, df, program, grid_tuples, extra_dedup
+                    )
                     return TrckResultSet(self, agg_df, program, tuples)
 
         # --- the single shuffle: co-locate each trail, sort within

@@ -173,52 +173,10 @@ def compile_funnel(engine, df, program: Program, tuples=None,
     else:
         d = _deduped(df, fields, extra_dedup)
 
-    gvars = program.groupby_vars
-    grid = None
-    if tuples is not None:
-        grid_rows = [
-            (i,) + tuple(
-                list(x) if isinstance(x, (tuple, frozenset)) else x
-                for x in tup
-            )
-            for i, tup in enumerate(tuples)
-        ]
-        schema = ", ".join(
-            ["__tuple_id long"]
-            + [f"`__p_{v[1:]}` string" for v in gvars]
-        )
-        grid = engine.spark.createDataFrame(grid_rows, schema)
-
-    def _split(clause):
-        """-> (literal_pred, grid_join_cond_or_None)."""
-        lit_pred = F.lit(True)
-        join_cond = None
-        for field, conditions in clause["attrs"].items():
-            for expr in conditions:
-                if is_param(expr):
-                    term = F.col("__f_" + field) == F.col(
-                        f"__p_{expr[1:]}"
-                    )
-                    join_cond = (
-                        term if join_cond is None else (join_cond & term)
-                    )
-                elif field == "timestamp":
-                    bare = expr.lstrip("<=>")
-                    op = expr[: len(expr) - len(bare)] or "=="
-                    c = F.col("__ts")
-                    val = F.lit(int(bare))
-                    lit_pred = lit_pred & {
-                        "<": c < val, ">": c > val, "<=": c <= val,
-                        ">=": c >= val, "==": c == val,
-                    }[op]
-                else:
-                    lit_pred = lit_pred & (
-                        F.col("__f_" + field) == F.lit(expr)
-                    )
-        return lit_pred, join_cond
+    grid = _grid_df(engine, program, tuples)
 
     def _stage(clause):
-        lit_pred, join_cond = _split(clause)
+        lit_pred, join_cond, _full = _split_clause(clause["attrs"])
         out = d.filter(lit_pred)
         if grid is not None:
             out = out.join(
@@ -358,14 +316,47 @@ def _literal_attrs_only(attrs) -> bool:
     return True
 
 
+def _compilable_attrs(attrs, program: Program) -> bool:
+    """Attrs compile when every condition is a plain literal, a literal
+    timestamp relop, or a scalar ``field = %var`` equality over a foreach
+    var (set-membership and timestamp params stay on the FSM path)."""
+    for field, conditions in attrs.items():
+        for expr in conditions:
+            bare = expr.lstrip("<=>")
+            if is_param(bare):
+                if (
+                    bare[0] != "%"
+                    or expr != bare
+                    or field == "timestamp"
+                    or bare not in program.groupby_vars
+                ):
+                    return False
+    return True
+
+
+def _groupby_ok(program: Program) -> bool:
+    """Foreach grids compile when all vars are scalar %params and results
+    are not merged (merged results stay on the FSM/relational paths)."""
+    if not program.groupby:
+        return True
+    if program.merge_results:
+        return False
+    return all(v[0] == "%" for v in program.groupby_vars)
+
+
 def is_gap_sessions_program(program: Program) -> bool:
-    """start: [* -> yield $counters..., NEXT(1)]
+    """start: [A -> yield $counters..., NEXT(1)] [+ * -> repeat]
        insession(window N): [* -> NEXT(1)], after -> HERE(0), no yields.
 
-    Per trail this is gaps-and-islands: a new session starts at the first
-    event and at every event with gap >= N from its (deduplicated)
-    predecessor."""
-    if len(program.rules) != 2 or program.groupby:
+    Per trail this is gaps-and-islands over ALL (deduplicated) events:
+    a session chain starts at an event with gap >= N from its
+    predecessor (or the first event) and extends through every event
+    with gap < N.  With the wildcard-A original the count is the number
+    of islands; with a predicated A (literals and/or foreach params) the
+    FSM yields once per island containing >= 1 A-match — start-state
+    skips non-A events without arming a window, and the first island A
+    enters insession, which every following island event re-arms."""
+    if len(program.rules) != 2 or not _groupby_ok(program):
         return False
     r0, r1 = program.rules
     if r0.get("window") is not None or "after" in r0 or r0.get("outer"):
@@ -374,11 +365,24 @@ def is_gap_sessions_program(program: Program) -> bool:
         return False
     c0 = r0.get("clauses", [])
     c1 = r1.get("clauses", [])
-    if len(c0) != 1 or len(c1) != 1:
+    if len(c0) not in (1, 2) or len(c1) != 1:
         return False
     a0, act0, counters0, has_attrs0 = _clause_shape(c0[0])
     a1, act1, _c1, has_attrs1 = _clause_shape(c1[0])
-    if has_attrs0 or has_attrs1:
+    if has_attrs1 or c0[0].get("op"):
+        return False
+    if has_attrs0:
+        # predicated A needs the wildcard (non-exhaustive match = error)
+        if len(c0) != 2:
+            return False
+        wild = c0[1]
+        if wild.get("attrs") or wild["_action"][0] != A_REPEAT or wild.get(
+            "yield"
+        ):
+            return False
+        if not _compilable_attrs(a0, program):
+            return False
+    elif len(c0) != 1:
         return False
     if act0 != (A_NEXT, 1) or act1 != (A_NEXT, 1):
         return False
@@ -396,8 +400,10 @@ def is_bounce_program(program: Program) -> bool:
        after -> yield $counters..., HERE(0).
 
     Every A event (re)arms the wait; a bounce fires per A event whose next
-    (deduplicated) event is >= N later or absent."""
-    if len(program.rules) != 2 or program.groupby:
+    (deduplicated) event is >= N later or absent.  A may bind foreach
+    params (the lead window is tuple-independent; only the A filter
+    varies per tuple)."""
+    if len(program.rules) != 2 or not _groupby_ok(program):
         return False
     r0, r1 = program.rules
     if r0.get("window") is not None or "after" in r0 or r0.get("outer"):
@@ -416,7 +422,7 @@ def is_bounce_program(program: Program) -> bool:
         return False
     if c0[0].get("op") or c1[0].get("op"):
         return False
-    if aA != bA or not _literal_attrs_only(aA):
+    if aA != bA or not _compilable_attrs(aA, program):
         return False
     if actA != (A_NEXT, 1) or actW != (A_REPEAT, None):
         return False
@@ -439,9 +445,11 @@ def is_attribution_program(program: Program) -> bool:
                         * -> repeat], after -> HERE(0), no yields.
 
     Per B event: counted iff the last A event before it (deduplicated
-    order) is < N older.  A/B must be provably disjoint (shared field,
-    different literals)."""
-    if len(program.rules) != 2 or program.groupby:
+    order) is < N older.  Without a foreach grid A/B must be provably
+    disjoint (shared field, different literals) for the segment rewrite;
+    with a grid the exists-rewrite carries an explicit first-match guard
+    instead, so A may bind params that even collide with B's literals."""
+    if len(program.rules) != 2 or not _groupby_ok(program):
         return False
     r0, r1 = program.rules
     if r0.get("window") is not None or "after" in r0 or r0.get("outer"):
@@ -461,7 +469,9 @@ def is_attribution_program(program: Program) -> bool:
         return False
     if any(c.get("op") for c in (c0[0], c1[0], c1[1])):
         return False
-    if aA != bA or not _literal_attrs_only(aA) or not _literal_attrs_only(bB):
+    if aA != bA or not _compilable_attrs(aA, program) or not _compilable_attrs(
+        bB, program
+    ):
         return False
     if actA != (A_NEXT, 1) or actW != (A_REPEAT, None):
         return False
@@ -476,6 +486,9 @@ def is_attribution_program(program: Program) -> bool:
     after = r1.get("after")
     if not after or after.get("yield") or after["_action"] != (A_HERE, 0):
         return False
+    if program.groupby:
+        # exists-rewrite path: first-match guard replaces disjointness
+        return True
     # A/B disjointness so dedup can't blur the last-A-before-B ordering
     for field, exprs_a in aA.items():
         if field == "timestamp":
@@ -484,6 +497,60 @@ def is_attribution_program(program: Program) -> bool:
         if exprs_b and set(exprs_a).isdisjoint(exprs_b):
             return True
     return False
+
+
+def _grid_df(engine, program: Program, tuples):
+    """Foreach tuples -> broadcast-able grid DataFrame
+    (__tuple_id, __p_<var> ...), or None when the program has no grid."""
+    if tuples is None:
+        return None
+    gvars = program.groupby_vars
+    grid_rows = [
+        (i,) + tuple(
+            list(x) if isinstance(x, (tuple, frozenset)) else x
+            for x in tup
+        )
+        for i, tup in enumerate(tuples)
+    ]
+    schema = ", ".join(
+        ["__tuple_id long"] + [f"`__p_{v[1:]}` string" for v in gvars]
+    )
+    return engine.spark.createDataFrame(grid_rows, schema)
+
+
+def _split_clause(attrs):
+    """-> (literal_pred, grid_join_cond_or_None, full_pred).
+
+    literal_pred covers plain literals and timestamp relops; the join
+    cond equi-joins param-bound fields against grid columns (__p_<var>);
+    full_pred is their conjunction — the clause's complete predicate
+    for rows already joined to the grid."""
+    from pyspark.sql import functions as F
+
+    lit_pred = F.lit(True)
+    join_cond = None
+    for field, conditions in attrs.items():
+        for expr in conditions:
+            if is_param(expr):
+                term = F.col("__f_" + field) == F.col(f"__p_{expr[1:]}")
+                join_cond = (
+                    term if join_cond is None else (join_cond & term)
+                )
+            elif field == "timestamp":
+                bare = expr.lstrip("<=>")
+                op = expr[: len(expr) - len(bare)] or "=="
+                c = F.col("__ts")
+                val = F.lit(int(bare))
+                lit_pred = lit_pred & {
+                    "<": c < val, ">": c > val, "<=": c <= val,
+                    ">=": c >= val, "==": c == val,
+                }[op]
+            else:
+                lit_pred = lit_pred & (
+                    F.col("__f_" + field) == F.lit(expr)
+                )
+    full = lit_pred if join_cond is None else (lit_pred & join_cond)
+    return lit_pred, join_cond, full
 
 
 def _literal_pred(attrs):
@@ -548,14 +615,24 @@ def _trail_part_order(d):
 
 
 def _counter_pieces(program, n_df, weights):
+    """Counter partials from an ``n`` frame: one row (or one per
+    __tuple_id when present) per counter var, weighted by yield
+    multiplicity.  Missing tuples densify to zero downstream
+    (TrckResultSet.counters_df grid left-join)."""
     from pyspark.sql import functions as F
 
+    has_grid = "__tuple_id" in n_df.columns
+    tid = (
+        F.col("__tuple_id").cast("long")
+        if has_grid
+        else F.lit(0).cast("long")
+    )
     pieces = []
     for var in program.yield_counters:
         w = weights.get(var, 0)
         pieces.append(
             n_df.select(
-                F.lit(0).cast("long").alias("tuple_id"),
+                tid.alias("tuple_id"),
                 F.lit(var).alias("var"),
                 F.lit(None).cast("binary").alias("key"),
                 F.lit(None).cast("long").alias("reg"),
@@ -569,39 +646,80 @@ def _counter_pieces(program, n_df, weights):
     return out
 
 
-def compile_sessions(engine, df, program: Program, extra_dedup=None):
+def compile_sessions(engine, df, program: Program, tuples=None,
+                     extra_dedup=None):
     """Gap sessionization -> lag window over the deduplicated trail.
 
     Exact under db-major ordering: the FSM counts one session at the
     trail's first event plus one per consecutive pair with gap >= N in
     stream order, which is precisely the lag comparison — monotonicity
-    of timestamps is not required."""
+    of timestamps is not required.
+
+    With a predicated A clause and/or a foreach grid, sessions become
+    islands-with-a-match: the island decomposition is tuple-independent
+    (computed once over all events), then each tuple counts distinct
+    islands containing >= 1 A-matching event (see
+    is_gap_sessions_program for why that is the FSM's yield count)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    r0 = program.rules[0]
     window = program.rules[1]["window"]
     fields = sorted(program.kvs.keys())
     d = _deduped(df, fields, extra_dedup)
     part_cols, order_cols = _trail_part_order(d)
     order = Window.partitionBy(*part_cols).orderBy(*order_cols)
     d = d.withColumn("__prev_ts", F.lag("__ts").over(order))
-    starts = d.filter(
+    start_flag = F.when(
         F.col("__prev_ts").isNull()
-        | (F.col("__ts") >= F.col("__prev_ts") + window)
-    )
-    n_df = starts.agg(F.count(F.lit(1)).alias("n"))
+        | (F.col("__ts") >= F.col("__prev_ts") + window),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+
+    a_clause = r0["clauses"][0]
+    grid = _grid_df(engine, program, tuples)
     weights: dict[str, int] = {}
-    for y in program.rules[0]["clauses"][0]["yield"]:
+    for y in a_clause["yield"]:
         weights[y["dst"]] = weights.get(y["dst"], 0) + 1
+
+    if grid is None and not a_clause.get("attrs"):
+        # wildcard A: every island yields — count session starts directly
+        starts = d.filter(start_flag == 1)
+        n_df = starts.agg(F.count(F.lit(1)).alias("n"))
+        return _counter_pieces(program, n_df, weights)
+
+    # island id = running count of session starts within the trail
+    d = d.withColumn(
+        "__isl",
+        F.sum(start_flag).over(
+            order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    lit_pred, join_cond, _full = _split_clause(a_clause.get("attrs", {}))
+    matched = d.filter(lit_pred)
+    if grid is not None:
+        matched = matched.join(
+            F.broadcast(grid),
+            join_cond if join_cond is not None else F.lit(True),
+        )
+    else:
+        matched = matched.withColumn("__tuple_id", F.lit(0).cast("long"))
+    n_df = matched.groupBy("__tuple_id").agg(
+        F.count_distinct(*part_cols, F.col("__isl")).alias("n")
+    )
     return _counter_pieces(program, n_df, weights)
 
 
-def compile_bounce(engine, df, program: Program, extra_dedup=None):
+def compile_bounce(engine, df, program: Program, tuples=None,
+                   extra_dedup=None):
     """Bounce detection -> lead window over the deduplicated trail.
 
     Exact under db-major ordering: a bounce fires per A event whose
     successor in stream order is >= N later or absent, which is exactly
-    the lead comparison; each A is independent (a following A re-arms)."""
+    the lead comparison; each A is independent (a following A re-arms).
+    The lead window is tuple-independent, so a foreach grid only varies
+    the A filter: one window pass, then a broadcast grid join on the
+    param-bound fields and a per-tuple count."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -612,22 +730,33 @@ def compile_bounce(engine, df, program: Program, extra_dedup=None):
     part_cols, order_cols = _trail_part_order(d)
     order = Window.partitionBy(*part_cols).orderBy(*order_cols)
     d = d.withColumn("__next_ts", F.lead("__ts").over(order))
-    pred_a = _literal_pred(r0["clauses"][0]["attrs"])
+    lit_pred, join_cond, _full = _split_clause(r0["clauses"][0]["attrs"])
     bounces = d.filter(
-        pred_a
+        lit_pred
         & (
             F.col("__next_ts").isNull()
             | (F.col("__next_ts") >= F.col("__ts") + window)
         )
     )
-    n_df = bounces.agg(F.count(F.lit(1)).alias("n"))
+    grid = _grid_df(engine, program, tuples)
     weights: dict[str, int] = {}
     for y in r1["after"]["yield"]:
         weights[y["dst"]] = weights.get(y["dst"], 0) + 1
+    if grid is None:
+        n_df = bounces.agg(F.count(F.lit(1)).alias("n"))
+    else:
+        bounces = bounces.join(
+            F.broadcast(grid),
+            join_cond if join_cond is not None else F.lit(True),
+        )
+        n_df = bounces.groupBy("__tuple_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
     return _counter_pieces(program, n_df, weights)
 
 
-def compile_attribution(engine, df, program: Program, extra_dedup=None):
+def compile_attribution(engine, df, program: Program, tuples=None,
+                        extra_dedup=None):
     """Last-A-before-B attribution via A-segment windows.
 
     Each A starts a segment (running count of A matches); within a
@@ -638,7 +767,17 @@ def compile_attribution(engine, df, program: Program, extra_dedup=None):
     monotonically increasing stream order (c) follows from (b); it only
     bites when db-major assembly makes timestamps non-monotonic, which is
     exactly where the previous rewrite (plain running last_value) could
-    overcount."""
+    overcount.
+
+    With a foreach grid the A-segment decomposition is tuple-dependent,
+    so the rewrite switches to an exists-semi-join (engine gates this on
+    single-db input, where stream order is monotonic): a B event is
+    attributed iff >= 1 A-match lies strictly before it within
+    (b_ts - N, b_ts] — if any is, the LAST A before b is in range too.
+    First-match is enforced explicitly: a B row that also matches the
+    tuple's A predicate is consumed by the A clause (rule order), never
+    yielded — which also makes a param binding colliding with B's
+    literals exact (the FSM yields 0 for that tuple)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -647,6 +786,52 @@ def compile_attribution(engine, df, program: Program, extra_dedup=None):
     fields = sorted(program.kvs.keys())
     d = _deduped(df, fields, extra_dedup)
     part_cols, order_cols = _trail_part_order(d)
+
+    weights_g: dict[str, int] = {}
+    for y in r1["clauses"][1]["yield"]:
+        weights_g[y["dst"]] = weights_g.get(y["dst"], 0) + 1
+
+    if tuples is not None:
+        grid = _grid_df(engine, program, tuples)
+        a_lit, a_join, a_full = _split_clause(r0["clauses"][0]["attrs"])
+        b_lit, b_join, _bf = _split_clause(r1["clauses"][1]["attrs"])
+        a_rows = (
+            d.filter(a_lit)
+            .join(
+                F.broadcast(grid),
+                a_join if a_join is not None else F.lit(True),
+            )
+            .select(
+                *[F.col(c).alias("__a_" + c.lstrip("_")) for c in part_cols],
+                F.col("__tuple_id").alias("__a_tid"),
+                F.col("__ts").alias("__a_ts"),
+                F.col("__seq").alias("__a_seq"),
+            )
+        )
+        b_rows = (
+            d.filter(b_lit)
+            .join(
+                F.broadcast(grid),
+                b_join if b_join is not None else F.lit(True),
+            )
+            .filter(~a_full)  # first-match: A clause consumes the event
+        )
+        cond = (F.col("__tuple_id") == F.col("__a_tid"))
+        for c in part_cols:
+            cond = cond & (F.col(c) == F.col("__a_" + c.lstrip("_")))
+        cond = cond & (
+            (F.col("__a_ts") < F.col("__ts"))
+            | (
+                (F.col("__a_ts") == F.col("__ts"))
+                & (F.col("__a_seq") < F.col("__seq"))
+            )
+        ) & (F.col("__ts") < F.col("__a_ts") + window)
+        hits = b_rows.join(a_rows, cond, "left_semi")
+        n_df = hits.groupBy("__tuple_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        return _counter_pieces(program, n_df, weights_g)
+
     pred_a = _literal_pred(r0["clauses"][0]["attrs"])
     pred_b = _literal_pred(r1["clauses"][1]["attrs"])
     base = Window.partitionBy(*part_cols).orderBy(*order_cols)
@@ -674,10 +859,7 @@ def compile_attribution(engine, df, program: Program, extra_dedup=None):
         & (F.col("__max_prev_ts") < F.col("__a_ts") + window)
     )
     n_df = hits.agg(F.count(F.lit(1)).alias("n"))
-    weights: dict[str, int] = {}
-    for y in r1["clauses"][1]["yield"]:
-        weights[y["dst"]] = weights.get(y["dst"], 0) + 1
-    return _counter_pieces(program, n_df, weights)
+    return _counter_pieces(program, n_df, weights_g)
 
 
 def compile_counter_implicit(

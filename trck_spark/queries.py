@@ -317,6 +317,68 @@ def q_trck_funnel_by_type(spark, sf_dir):
     return _run_trck(spark, sf_dir, PROG_FUNNEL_BY_TYPE).counters_df()
 
 
+PROG_SESSIONS_BY_TYPE = """
+foreach %t
+    start ->
+        receive
+            event_type = %t -> yield $sessions, insession
+            * -> repeat
+    insession ->
+        receive
+            * -> insession
+        after 30m -> start
+"""
+
+
+def q_trck_sessions_by_type(spark, sf_dir):
+    """Parameterized sessionization: per event type, count 30-minute
+    session chains containing >= 1 event of that type (compiled to one
+    island decomposition + a per-tuple distinct-island count)."""
+    return _run_trck(spark, sf_dir, PROG_SESSIONS_BY_TYPE).counters_df()
+
+
+PROG_BOUNCE_BY_TYPE = """
+foreach %t
+    start ->
+        receive
+            event_type = %t -> wait
+            * -> repeat
+    wait ->
+        receive
+            event_type = %t -> wait
+            * -> start
+        after 30m -> yield $bounces, start
+"""
+
+
+def q_trck_bounce_by_type(spark, sf_dir):
+    """Parameterized bounce: per event type, events of that type whose
+    successor is >= 30m away or absent (one lead window, grid-joined)."""
+    return _run_trck(spark, sf_dir, PROG_BOUNCE_BY_TYPE).counters_df()
+
+
+PROG_ATTRIBUTION_BY_TYPE = """
+foreach %t
+    start ->
+        receive
+            event_type = %t -> attr
+            * -> repeat
+    attr ->
+        receive
+            event_type = %t -> attr
+            event_type = "purchase" -> yield $attr_purchases, repeat
+            * -> repeat
+        after 7d -> start
+"""
+
+
+def q_trck_attribution_by_type(spark, sf_dir):
+    """Parameterized attribution: purchases whose last %t-event is < 7d
+    older (exists-semi-join rewrite; %t = "purchase" correctly yields 0
+    by first-match rule order)."""
+    return _run_trck(spark, sf_dir, PROG_ATTRIBUTION_BY_TYPE).counters_df()
+
+
 PROG_NESTED_WINDOW = """
 start ->
     receive
@@ -414,6 +476,64 @@ lc AS (SELECT p.user_id, p.t AS pt, max(c.t) AS ct
         AND c.event_type='click' AND c.t < p.t
        GROUP BY 1, 2)
 SELECT count(*)::BIGINT AS attr_purchases FROM lc WHERE pt < ct + 604800
+""",
+    # Parameterized shapes: dedup identity is (second, event_type) —
+    # event_type is program-referenced — per user in (t, event_id) order,
+    # mirroring the engine's consecutive-duplicate skip.
+    "trck_sessions_by_type": """
+WITH raw AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t, event_type,
+                    event_id FROM events),
+d0 AS (SELECT *, lag(t) OVER w AS pt, lag(event_type) OVER w AS pe
+       FROM raw WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+d AS (SELECT user_id, t, event_type, event_id FROM d0
+      WHERE pt IS NULL OR t <> pt OR event_type <> pe),
+g0 AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+              AS pt FROM d),
+i AS (SELECT *, sum(CASE WHEN pt IS NULL OR t >= pt + 1800 THEN 1 ELSE 0
+                    END) OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS UNBOUNDED PRECEDING) AS isl
+      FROM g0),
+c AS (SELECT event_type AS ty,
+             count(DISTINCT (user_id, isl))::BIGINT AS n
+      FROM i GROUP BY 1),
+grid AS (SELECT '' AS ty UNION SELECT DISTINCT event_type FROM events)
+SELECT g.ty AS t, coalesce(c.n, 0)::BIGINT AS sessions
+FROM grid g LEFT JOIN c USING (ty)
+""",
+    "trck_bounce_by_type": """
+WITH raw AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t, event_type,
+                    event_id FROM events),
+d0 AS (SELECT *, lag(t) OVER w AS pt, lag(event_type) OVER w AS pe
+       FROM raw WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+d AS (SELECT user_id, t, event_type, event_id FROM d0
+      WHERE pt IS NULL OR t <> pt OR event_type <> pe),
+l AS (SELECT *, lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+             AS nt FROM d),
+c AS (SELECT event_type AS ty, count(*)::BIGINT AS n FROM l
+      WHERE nt IS NULL OR nt >= t + 1800 GROUP BY 1),
+grid AS (SELECT '' AS ty UNION SELECT DISTINCT event_type FROM events)
+SELECT g.ty AS t, coalesce(c.n, 0)::BIGINT AS bounces
+FROM grid g LEFT JOIN c USING (ty)
+""",
+    "trck_attribution_by_type": """
+WITH raw AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t, event_type,
+                    event_id FROM events),
+d0 AS (SELECT *, lag(t) OVER w AS pt, lag(event_type) OVER w AS pe
+       FROM raw WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+d AS (SELECT user_id, t, event_type, event_id FROM d0
+      WHERE pt IS NULL OR t <> pt OR event_type <> pe),
+grid AS (SELECT '' AS ty UNION SELECT DISTINCT event_type FROM events),
+c AS (SELECT g.ty, count(*)::BIGINT AS n
+      FROM grid g JOIN d b ON b.event_type = 'purchase'
+                          AND g.ty <> 'purchase'
+      WHERE EXISTS (SELECT 1 FROM d a
+                    WHERE a.user_id = b.user_id AND a.event_type = g.ty
+                      AND (a.t < b.t
+                           OR (a.t = b.t AND a.event_id < b.event_id))
+                      AND b.t < a.t + 604800)
+      GROUP BY 1)
+SELECT g.ty AS t, coalesce(c.n, 0)::BIGINT AS attr_purchases
+FROM grid g LEFT JOIN c USING (ty)
 """,
     "trck_purchases_by_user": (
         "SELECT user_id::VARCHAR AS item, count(*)::BIGINT AS count "
@@ -537,6 +657,9 @@ def spark_queries() -> dict:
         "trck_bounce": q_trck_bounce,
         "trck_sessions": q_trck_sessions,
         "trck_attribution": q_trck_attribution,
+        "trck_sessions_by_type": q_trck_sessions_by_type,
+        "trck_bounce_by_type": q_trck_bounce_by_type,
+        "trck_attribution_by_type": q_trck_attribution_by_type,
         "trck_purchases_by_user": q_trck_purchases_by_user,
         "trck_uniques_hll": q_trck_uniques_hll,
         "trck_window_file": q_trck_window_file,
