@@ -101,3 +101,24 @@ def test_hll_register_update_matches_dense_add():
         idx, rank = hll_register_update(data)
         h2.set_register(idx, rank)
     assert h1.to_hex() == h2.to_hex()
+
+
+def test_hll_estimate_accuracy():
+    """Bias-corrected estimate() must track exact cardinalities within
+    the p=14 error envelope (1.04/sqrt(m) ~ 0.81%; allow ~3 sigma plus
+    sparse-regime exactness) across linear-counting, bias-corrected and
+    raw regimes."""
+    from trck_spark.fsm.hll import Hll
+
+    for n, tol in [
+        (100, 0.02), (1000, 0.02), (5000, 0.02),    # linear counting
+        (11000, 0.025),                              # crossover
+        (20000, 0.025), (60000, 0.025),              # bias-corrected
+        (200000, 0.025),                             # raw regime
+    ]:
+        h = Hll()
+        for i in range(n):
+            h.add(f"item-{i}".encode())
+        est = h.estimate()
+        err = abs(est - n) / n
+        assert err <= tol, f"n={n}: est={est:.1f} err={err:.4f}"

@@ -146,12 +146,14 @@ class Hll:
         return "%02x%02x%s" % (HLL_P, 1, _rle_encode(self.M).hex())
 
     def estimate(self) -> float:
-        """Raw HLL estimate with linear counting for the sparse regime.
-
-        Close to but not identical to the reference's bias-corrected
-        estimator (we skip the empirical bias tables); the *sketch bytes*
-        are what must match, estimation is advisory."""
+        """Bias-corrected cardinality estimate (reference hll_estimate,
+        hyperloglog.c:299-349): raw harmonic-mean estimate with alpha_m,
+        empirical HLL++ bias subtraction below 5m, linear counting while
+        zeros remain, and the p=14 crossover threshold choosing between
+        the two."""
         import math
+
+        from trck_spark.fsm.hll_bias import THRESHOLD_P14, estimate_bias
 
         m = HLL_M
         s = 0.0
@@ -160,11 +162,12 @@ class Hll:
             s += 2.0**-r
             if r == 0:
                 zeros += 1
-        alpha = 0.7213 / (1.0 + 1.079 / m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)  # m=16384 -> default branch
         e = alpha * m * m / s
-        if zeros and e < 2.5 * m:
-            return m * math.log(m / zeros)
-        return e
+        if e < 5 * m:
+            e -= estimate_bias(e)
+        h = m * math.log(m / zeros) if zeros else e
+        return h if h <= THRESHOLD_P14 else e
 
 
 EMPTY_HLL_HEX = "0e00"
