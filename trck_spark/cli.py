@@ -36,7 +36,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--uuid-col", default="uuid")
     p.add_argument("--ts-col", default="timestamp")
     p.add_argument("--seq-col", default=None)
+    p.add_argument(
+        "--fns",
+        help="Python file whose public callables become the FFI function "
+        "registry (the analog of linking a user .tr.c module; reference "
+        "fns_imported.h). Reserved names `initialize`/`finalize` run "
+        "before/after the query like the reference's weak-symbol hooks "
+        "(match_traildb.c:1221-1256).",
+    )
     return p
+
+
+def load_fn_registry(path: str) -> dict:
+    """Execute a user Python file and collect its public callables."""
+    import runpy
+
+    ns = runpy.run_path(path)
+    return {
+        name: fn
+        for name, fn in ns.items()
+        if callable(fn) and not name.startswith("_")
+    }
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -65,6 +85,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.exclude_file
         else None
     )
+    fn_registry = load_fn_registry(args.fns) if args.fns else None
 
     spark = get_spark("trck_spark_cli")
     spark.sparkContext.setLogLevel("ERROR")
@@ -90,6 +111,7 @@ def main(argv: list[str] | None = None) -> int:
         ts_col=args.ts_col,
         seq_col=args.seq_col,
         db_col="__db_index",
+        fn_registry=fn_registry,
     )
 
     blob = write_results(

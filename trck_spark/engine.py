@@ -57,7 +57,12 @@ def _uuid_hex_col(col):
 def _worker_query(
     spec_json: str, fn_registry: dict | None = None
 ) -> tuple[TrckQuery, list | None]:
-    """Rebuild (and cache) the compiled query inside an executor."""
+    """Rebuild (and cache) the compiled query inside an executor.
+
+    The reserved ``initialize`` fn_registry hook runs here once per
+    worker process before the first trail is evaluated — the distributed
+    analog of the reference's per-process user hook
+    (match_traildb.c:1226-1229, called once in main before run_query)."""
     hit = _QUERY_CACHE.get(spec_json)
     if hit is not None:
         return hit
@@ -65,6 +70,8 @@ def _worker_query(
     q = TrckQuery(
         spec["ir"], params=spec.get("params"), fn_registry=fn_registry
     )
+    if fn_registry and "initialize" in fn_registry:
+        fn_registry["initialize"]()
     tuples = None
     if spec.get("tuples") is not None:
         tuples = [
@@ -79,11 +86,24 @@ class TrckResultSet:
     """Handle over the aggregated partials DataFrame."""
 
     def __init__(self, engine: "TrckSparkEngine", agg_df, program: Program,
-                 tuples: list | None):
+                 tuples: list | None, fn_registry: dict | None = None):
         self.engine = engine
         self.agg_df = agg_df
         self.program = program
         self.tuples = tuples
+        self.fn_registry = fn_registry
+        self._finalized = False
+
+    def _run_finalize(self) -> None:
+        """Driver-side ``finalize`` hook, once per result materialization
+        (the analog of the reference's post-run_query finalize(),
+        match_traildb.c:1221-1224 — worker processes get no end-of-query
+        signal in a distributed engine, so finalize is driver-only)."""
+        if not self._finalized and self.fn_registry and (
+            "finalize" in self.fn_registry
+        ):
+            self._finalized = True
+            self.fn_registry["finalize"]()
 
     def collect_partials(self) -> dict[int, Results]:
         """Collect the aggregated monoid partials per foreach tuple."""
@@ -109,6 +129,7 @@ class TrckResultSet:
                 reg = int(row["reg"])
                 if d.get(reg, 0) < int(row["max_n"]):
                     d[reg] = int(row["max_n"])
+        self._run_finalize()
         return per_tuple
 
     def collect_json(self) -> dict | list:
@@ -208,18 +229,23 @@ class TrckFrameResultSet:
     rows themselves — when a driver-side output format asks for it."""
 
     def __init__(self, engine: "TrckSparkEngine", frame, program: Program,
-                 params: dict | None):
+                 params: dict | None, fn_registry: dict | None = None):
         self.engine = engine
         self.frame = frame
         self.program = program
         self.params = params
         self.tuples: list | None = None
+        self.fn_registry = fn_registry
+        self._finalized = False
+
+    _run_finalize = TrckResultSet._run_finalize
 
     def counters_df(self):
         return self.frame
 
     def collect_partials(self) -> dict[int, Results]:
         rows = self.frame.collect()
+        self._run_finalize()
         lex = [r[0] for r in rows if r[0] != ""]
         self.tuples = foreach_tuples(
             self.program, self.params, lexicon_values=lex
@@ -286,6 +312,13 @@ class TrckSparkEngine:
         )
         program = q.program
         fields = q.compiled.fields
+
+        # user pre-query hook (reference match_traildb.c:1226-1229,
+        # 1248): once on the driver here, once per worker process in
+        # _worker_query; the matching `finalize` hook runs driver-side
+        # when the result set materializes.
+        if fn_registry and "initialize" in fn_registry:
+            fn_registry["initialize"]()
 
         df = events_df
         cols = df.columns
@@ -473,7 +506,9 @@ class TrckSparkEngine:
                     src.distinct() if need_grid else None,
                     params, extra_dedup,
                 )
-                return TrckFrameResultSet(self, frame, program, params)
+                return TrckFrameResultSet(
+                    self, frame, program, params, fn_registry
+                )
             # FSM / tuple-grid path: the grid must materialize (the task
             # closure ships it), so cap the cardinality with a hard error
             # instead of silently OOMing the driver at scale
@@ -499,7 +534,7 @@ class TrckSparkEngine:
             agg_df = compile_relational(
                 self, df, program, tuples, params, extra_dedup
             )
-            return TrckResultSet(self, agg_df, program, tuples)
+            return TrckResultSet(self, agg_df, program, tuples, fn_registry)
         if fastpath_on:
             # funnel min-agg rewrite is unsound under db-major assembly
             # (timeout edge can fire before a smaller-ts B in a later db);
@@ -509,7 +544,7 @@ class TrckSparkEngine:
                 agg_df = compile_funnel(
                     self, df, program, tuples, extra_dedup
                 )
-                return TrckResultSet(self, agg_df, program, tuples)
+                return TrckResultSet(self, agg_df, program, tuples, fn_registry)
             for match, compiler in (
                 (is_gap_sessions_program, compile_sessions),
                 (is_bounce_program, compile_bounce),
@@ -528,7 +563,7 @@ class TrckSparkEngine:
                     agg_df = compiler(
                         self, df, program, grid_tuples, extra_dedup
                     )
-                    return TrckResultSet(self, agg_df, program, tuples)
+                    return TrckResultSet(self, agg_df, program, tuples, fn_registry)
 
         # --- the single shuffle: co-locate each trail, sort within
         # (skipped entirely when the input is already uuid-clustered) ---
@@ -680,7 +715,7 @@ class TrckSparkEngine:
         agg_df = partials.groupBy("tuple_id", "var", "key", "reg").agg(
             F2.sum("n").alias("sum_n"), F2.max("n").alias("max_n")
         )
-        return TrckResultSet(self, agg_df, program, tuples)
+        return TrckResultSet(self, agg_df, program, tuples, fn_registry)
 
 
 def _cookie_from_uuid(uuid: str) -> bytes:

@@ -62,6 +62,7 @@ class TrckQuery:
             ir = program_text_or_ir
         self.program = Program(ir)
         self.compiled = CompiledProgram(self.program, fn_registry)
+        self.fn_registry = fn_registry
         self.params = params or {}
         self.base_env = base_env(params)
         self.event_filter = event_filter
@@ -141,10 +142,17 @@ class TrckQuery:
     def run_local(self, trails_dbs: list[dict]) -> dict | list:
         """trails_dbs: list (one per source file) of {cookie: [event...]}
         where event = {"timestamp": int, field: str, ...}.
-        Returns trck-shaped JSON (dict, or list for foreach programs)."""
+        Returns trck-shaped JSON (dict, or list for foreach programs).
+
+        The reserved fn_registry entries ``initialize`` / ``finalize``
+        run before/after the query, mirroring the reference's weak-symbol
+        user hooks around run_query (match_traildb.c:1221-1256)."""
         program = self.program
         fields = self.compiled.fields
         pred = cnf_predicate(self.event_filter)
+        hooks = self.fn_registry or {}
+        if "initialize" in hooks:
+            hooks["initialize"]()
 
         # assemble trails: cookie -> per-db event lists
         cookies: dict[str, list[list]] = {}
@@ -213,7 +221,10 @@ class TrckQuery:
                     copy.merge(res)
                     agg[ti] = copy
 
-        return format_output(program, agg, tuples)
+        out = format_output(program, agg, tuples)
+        if "finalize" in hooks:
+            hooks["finalize"]()
+        return out
 
     def _local_lexicon(self, trails_dbs: list[dict]) -> list[str]:
         var = self.program.groupby_vars[0]
