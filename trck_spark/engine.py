@@ -187,16 +187,24 @@ class TrckResultSet:
         return out
 
     def sets_df(self, var: str):
-        """Exploded set/multiset rows: (param bindings..., item, count)."""
+        """Exploded set/multiset rows: (param bindings..., item, count).
+
+        Key decoding is an Arrow-batched pandas UDF (not a per-row
+        Python UDF): post-aggregation volume is small, but the decode
+        should still amortize serialization over whole batches."""
         from pyspark.sql import functions as F
-        from pyspark.sql.types import StringType
+        from pyspark.sql.functions import pandas_udf
 
         from trck_spark.fsm.tuples import tuple_to_display
 
-        display = F.udf(
-            lambda b: tuple_to_display(bytes(b)) if b is not None else None,
-            StringType(),
-        )
+        @pandas_udf("string")
+        def display(keys):
+            return keys.map(
+                lambda b: tuple_to_display(bytes(b))
+                if b is not None
+                else None
+            )
+
         rows = (
             self.agg_df.filter(F.col("var") == var)
             .select(
