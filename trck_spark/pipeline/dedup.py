@@ -137,15 +137,30 @@ def _perm_coeffs():
     return a, b
 
 
-def minhash_signatures(spark, sf_dir: str):
-    """(doc_id, sig array<long>[128]) via vectorized numpy over Arrow
-    batches of exploded shingle hashes."""
+def _shingle_h32(spark, sf_dir: str):
+    """(doc_id, h32): 32-bit md5-derived shingle hash (first 8 hex
+    chars).  md5 instead of an engine-private hash so the DuckDB oracle
+    reproduces signatures exactly; stays a built-in JVM expression."""
     from pyspark.sql import functions as F
 
-    sh = shingle_df(spark, sf_dir).select(
+    return shingle_df(spark, sf_dir).select(
         "doc_id",
-        (F.xxhash64("s").bitwiseAND(F.lit((1 << 32) - 1))).alias("h32"),
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h32"),
     )
+
+
+def minhash_signatures(spark, sf_dir: str):
+    """(doc_id, sig array<long>[128]) via vectorized numpy over Arrow
+    batches of exploded shingle hashes.
+
+    Permutation j of shingle hash h is (a_j*h + b_j) mod (2^61 - 1);
+    a_j, b_j < 2^29 and h < 2^32, so the product stays below 2^61 —
+    exact in int64 on every engine (no wraparound)."""
+    from pyspark.sql import functions as F
+
+    sh = _shingle_h32(spark, sf_dir)
 
     def sig_batches(batches):
         import numpy as np
@@ -182,8 +197,11 @@ def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2):
     """Near-duplicate candidate pairs via LSH banding over MinHash
     signatures, verified with exact Jaccard on the candidates only.
 
-    Probabilistic recall (<1.0 near the threshold), so this query gets a
-    rows-only driver check; exactness is covered by ngram_jaccard_pairs.
+    Every stage (md5 shingle hashes, int64 permutations, md5 band
+    digests, exact verification) is reproducible in ANSI SQL, so the
+    driver hash-checks this against a DuckDB oracle despite the banding
+    (see _minhash_oracle_sql); recall near the threshold remains
+    probabilistic by construction, covered by the recall test.
     """
     from pyspark.sql import functions as F
 
@@ -193,8 +211,10 @@ def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2):
         F.explode(
             F.expr(
                 f"transform(sequence(0, {N_BANDS - 1}), b -> "
-                f"struct(b AS band, xxhash64(to_json(slice(sig, "
-                f"b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}))) AS bh))"
+                f"struct(b AS band, cast(conv(substring(md5(concat_ws(',', "
+                f"transform(slice(sig, b * {ROWS_PER_BAND} + 1, "
+                f"{ROWS_PER_BAND}), x -> cast(x AS string)))), 1, 15), "
+                f"16, 10) AS bigint) AS bh))"
             )
         ).alias("e"),
     ).select("doc_id", "e.band", "e.bh")
@@ -212,9 +232,13 @@ def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2):
         )
         .distinct()
     )
-    # exact verification on candidates only
+    # exact verification on candidates only (60-bit md5-derived shingle
+    # ids: negligible collision mass, oracle-reproducible)
     sh = shingle_df(spark, sf_dir).select(
-        "doc_id", F.xxhash64("s").alias("h")
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
     )
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("a"), "h")
@@ -248,45 +272,78 @@ def simhash_pairs(spark, sf_dir: str, max_hamming: int = 3):
     fingerprint into 4 x 16-bit keys; any pair within hamming distance 3
     agrees exactly on at least one key, so an equi-join per key finds all
     candidates without O(n^2) comparison; candidates verified with
-    bit_count(xor).  Rows-only driver check (hash-function dependent).
-    """
+    bit_count(xor).
+
+    Token bits come from md5 (first/second 8 hex chars = two 32-bit
+    words) rather than an engine-private hash, so an ANSI-SQL oracle
+    reproduces every fingerprint exactly; the fingerprint is likewise
+    carried as two 32-bit halves (fp_hi, fp_lo), which keeps every shift
+    in the signed-64 safe range on both engines.  md5 is a built-in JVM
+    expression — the whole pipeline stays whole-stage-codegen."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", F.expr(WORDS).alias("w")
     )
     tokens = docs.select("doc_id", F.explode("w").alias("tok"))
-    th = tokens.select("doc_id", F.xxhash64("tok").alias("h"))
+    th = tokens.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hi"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10)
+        .cast("long")
+        .alias("lo"),
+    )
+
+    def bit(word: str, i: int):
+        return F.shiftright(F.col(word), i).bitwiseAND(F.lit(1))
+
     # per bit: sum(+1 if bit set else -1); sign -> fingerprint bit
     bit_sums = th.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1)
-                .otherwise(-1)
+                F.when(bit("lo", i) == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(64)
-        ]
+            for i in range(32)
+        ],
+        *[
+            F.sum(
+                F.when(bit("hi", i) == 1, 1).otherwise(-1)
+            ).alias(f"b{i + 32}")
+            for i in range(32)
+        ],
     )
-    fp_expr = None
-    for i in range(64):
-        term = F.shiftleft(
-            F.when(F.col(f"b{i}") > 0, F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long"),
-            i,
-        )
-        fp_expr = term if fp_expr is None else fp_expr.bitwiseOR(term)
-    fps = bit_sums.select("doc_id", fp_expr.alias("fp"))
+
+    def half(lo_bit: int):
+        expr = None
+        for i in range(32):
+            term = F.shiftleft(
+                F.when(F.col(f"b{lo_bit + i}") > 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long"),
+                i,
+            )
+            expr = term if expr is None else expr.bitwiseOR(term)
+        return expr
+
+    fps = bit_sums.select(
+        "doc_id", half(0).alias("fp_lo"), half(32).alias("fp_hi")
+    )
     fps.cache()
     keys = fps.select(
         "doc_id",
-        "fp",
+        "fp_lo",
+        "fp_hi",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(k).alias("k"),
-                        F.shiftright(F.col("fp"), k * 16)
+                        F.shiftright(
+                            F.col("fp_lo" if k < 2 else "fp_hi"),
+                            (k % 2) * 16,
+                        )
                         .bitwiseAND((1 << 16) - 1)
                         .alias("kv"),
                     )
@@ -294,12 +351,12 @@ def simhash_pairs(spark, sf_dir: str, max_hamming: int = 3):
                 ]
             )
         ).alias("e"),
-    ).select("doc_id", "fp", "e.k", "e.kv")
+    ).select("doc_id", "fp_lo", "fp_hi", "e.k", "e.kv")
     a = keys.alias("a")
     b = keys.alias("b")
     ham = F.bit_count(
-        F.col("a.fp").bitwiseXOR(F.col("b.fp"))
-    )
+        F.col("a.fp_lo").bitwiseXOR(F.col("b.fp_lo"))
+    ) + F.bit_count(F.col("a.fp_hi").bitwiseXOR(F.col("b.fp_hi")))
     return (
         a.join(
             b,

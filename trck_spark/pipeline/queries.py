@@ -104,6 +104,130 @@ WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.2
 ORDER BY a, b
 """
 
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB SQL reproducing simhash_pairs bit-for-bit: same md5-derived
+    token words, same sign-of-sum fingerprint halves, same 16-bit
+    pigeonhole bands (generated programmatically — 64 bit columns)."""
+    b_lo = ",\n         ".join(
+        f"sum(CASE WHEN (lo >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(32)
+    )
+    b_hi = ",\n         ".join(
+        f"sum(CASE WHEN (hi >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i + 32}"
+        for i in range(32)
+    )
+    fp_lo = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(32)
+    )
+    fp_hi = " + ".join(
+        f"CASE WHEN b{i + 32} > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(32)
+    )
+    ham = (
+        "bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi))"
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(w) AS tok FROM words),
+th AS (SELECT doc_id,
+              ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+              ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+       FROM tok),
+bits AS (
+  SELECT doc_id,
+         {b_lo},
+         {b_hi}
+  FROM th GROUP BY 1
+),
+fp AS (SELECT doc_id, ({fp_lo})::BIGINT AS fp_lo,
+              ({fp_hi})::BIGINT AS fp_hi FROM bits),
+k AS (
+  SELECT doc_id, fp_lo, fp_hi, 0 AS k, fp_lo % 65536 AS kv FROM fp
+  UNION ALL
+  SELECT doc_id, fp_lo, fp_hi, 1, (fp_lo // 65536) % 65536 FROM fp
+  UNION ALL
+  SELECT doc_id, fp_lo, fp_hi, 2, fp_hi % 65536 FROM fp
+  UNION ALL
+  SELECT doc_id, fp_lo, fp_hi, 3, (fp_hi // 65536) % 65536 FROM fp
+)
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, ({ham})::INT AS hamming
+FROM k a JOIN k b
+  ON a.k = b.k AND a.kv = b.kv AND a.doc_id < b.doc_id
+WHERE {ham} <= {max_hamming}
+ORDER BY a, b
+"""
+
+
+def _minhash_oracle_sql(threshold: float = 0.2) -> str:
+    """DuckDB SQL reproducing minhash_lsh_pairs end-to-end: md5-derived
+    32-bit shingle hashes, the 128 seeded permutations (embedded as a
+    VALUES table — a_j*h+b_j stays under 2^61, exact in BIGINT), md5
+    band digests over the comma-joined signature slices, candidate
+    banding, and exact Jaccard verification on 60-bit shingle ids."""
+    from trck_spark.pipeline.dedup import (
+        ROWS_PER_BAND,
+        _MERSENNE,
+        _perm_coeffs,
+    )
+
+    a, b = _perm_coeffs()
+    perm_rows = ",\n    ".join(
+        f"({j}, {int(a[j])}, {int(b[j])})" for j in range(len(a))
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS s
+  FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 0))) AS g)
+),
+sh AS (SELECT doc_id,
+              ('0x' || substr(md5(s), 1, 8))::BIGINT AS h32,
+              ('0x' || substr(md5(s), 1, 15))::BIGINT AS h60
+       FROM sh0),
+perm(j, a, b) AS (VALUES
+    {perm_rows}
+),
+sig AS (
+  SELECT doc_id, j,
+         min((a * h32 + b) % {_MERSENNE}) AS v
+  FROM sh CROSS JOIN perm GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, j // {ROWS_PER_BAND} AS band,
+         ('0x' || substr(md5(string_agg(v::VARCHAR, ',' ORDER BY j)),
+                         1, 15))::BIGINT AS bh
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+i AS (
+  SELECT cand.a, cand.b, count(*) AS inter
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.a
+  JOIN sh sb ON sb.doc_id = cand.b AND sb.h60 = sa.h60
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       floor(inter::DOUBLE / (ca.n + cb.n - inter) * 1000000)::BIGINT
+         AS jaccard_e6
+FROM i JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= {threshold}
+ORDER BY a, b
+"""
+
+
 _COSINE_ORACLE = """
 WITH q AS (
   SELECT vec_id AS qid, [CAST(round(x::DOUBLE * 1000000) AS BIGINT) for x in embedding] AS v
@@ -181,6 +305,8 @@ def pipeline_oracles() -> dict:
             "FROM documents GROUP BY 1 ORDER BY 1"
         ),
         "ngram_jaccard_pairs": _NGRAM_ORACLE,
+        "simhash_pairs": _simhash_oracle_sql(),
+        "minhash_lsh_pairs": _minhash_oracle_sql(),
         "ann_cosine_topk": _COSINE_ORACLE,
         "knn_label_vote": _KNN_ORACLE,
         "lang_id": lang_id_oracle_sql(),
