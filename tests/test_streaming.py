@@ -16,9 +16,16 @@ from trck_spark.output import format_output
 from trck_spark.fsm.interpreter import Results
 
 
-def _stream_fixture(spark, tmp_path, trails_dbs, program, params):
+def _stream_fixture(spark, tmp_path, trails_dbs, program, params,
+                    finalize="markers"):
     """Write one parquet file per source DB, stream them one per trigger
-    through the stateful FSM, and collect the partial rows."""
+    through the stateful FSM, and collect the partial rows.
+
+    finalize="markers": a trailing file of end-of-trail sentinel events
+    (the batch engine's explicit finalization).  "watermark": no markers;
+    trailing files of far-future dummy-trail events advance the event-
+    time watermark past every fixture trail instead, so pending `after`
+    edges fire via the event-time timeout."""
     from trck_spark.streaming import aggregate_partials, streaming_partials
 
     src = tmp_path / "stream_src"
@@ -42,6 +49,10 @@ def _stream_fixture(spark, tmp_path, trails_dbs, program, params):
     all_cookies = sorted(
         {cookie_to_bytes(c).hex() for db in trails_dbs for c in db}
     )
+    # watermark mode shifts event times off epoch zero: Spark's initial
+    # watermark is 0, and fixture events AT ts=0 would be late-dropped
+    # (window semantics are shift-invariant; yields here are counters)
+    ts_offset = 1_000_000 if finalize == "watermark" else 0
     schema = None
     for i, db in enumerate(trails_dbs):
         df = trails_json_to_df(spark, [db])
@@ -50,16 +61,34 @@ def _stream_fixture(spark, tmp_path, trails_dbs, program, params):
                 from pyspark.sql import functions as F
 
                 df = df.withColumn(f, F.lit(None).cast("string"))
+        if ts_offset:
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                "timestamp", F.col("timestamp") + F.lit(ts_offset)
+            )
         df = df.select("uuid", "db", "seq", "timestamp", *all_fields)
         schema = df.schema
         df.coalesce(1).write.parquet(str(src / f"db{i:03d}.parquet"))
-    end_rows = [
-        (u, len(trails_dbs), 0, MAX_TIMESTAMP) + (None,) * len(all_fields)
-        for u in all_cookies
-    ]
-    spark.createDataFrame(end_rows, schema).coalesce(1).write.parquet(
-        str(src / "zzz_end.parquet")
-    )
+    if finalize == "markers":
+        end_rows = [
+            (u, len(trails_dbs), 0, MAX_TIMESTAMP) + (None,) * len(all_fields)
+            for u in all_cookies
+        ]
+        spark.createDataFrame(end_rows, schema).coalesce(1).write.parquet(
+            str(src / "zzz_end.parquet")
+        )
+    else:
+        # far-future dummy-trail batches: the first advances the
+        # watermark past every fixture deadline, the second triggers the
+        # armed event-time timers
+        far = 4_000_000_000  # far past any fixture ts, Arrow-ns safe
+        for k in range(2):
+            spark.createDataFrame(
+                [("zz_dummy", len(trails_dbs) + k, 0, far + k)
+                 + (None,) * len(all_fields)],
+                schema,
+            ).coalesce(1).write.parquet(str(src / f"zzz_wm{k}.parquet"))
 
     stream = (
         spark.readStream.schema(schema)
@@ -73,6 +102,7 @@ def _stream_fixture(spark, tmp_path, trails_dbs, program, params):
         uuid_col="uuid",
         ts_col="timestamp",
         seq_col="seq",
+        finalize_idle_gap=1 if finalize == "watermark" else None,
     )
     collected = []
 
@@ -161,6 +191,104 @@ def test_streaming_split_fixtures(spark, tmp_path, fixture):
                     for e in case["expected"]
                 )
             ]
+        for prob in compare_results(case["expected"], actual):
+            failures.append(f"case {i}: {prob}")
+    assert not failures, "\n".join(failures)
+
+
+PROG_BOUNCE_STREAM = {
+    "rules": [
+        {
+            "clauses": [
+                {"attrs": {"event_type": ["view"]}, "action": "restart-from-next(1)"},
+                {"attrs": {}, "action": "repeat"},
+            ]
+        },
+        {
+            "window": 1800,
+            "clauses": [
+                {"attrs": {"event_type": ["view"]}, "action": "restart-from-next(1)"},
+                {"attrs": {}, "action": "restart-from-next(0)"},
+            ],
+            "after": {
+                "action": "restart-from-here",
+                "yield": [{"dst": "$bounces"}],
+            },
+        },
+    ]
+}
+
+
+def test_event_time_watermark_finalization(spark, tmp_path):
+    """An idle trail's pending `after` edge must fire when the event-time
+    watermark passes it — no end-of-trail markers, no wall clock: a later
+    batch of OTHER trails' events advances the watermark and finalizes
+    the idle trail deterministically."""
+    from pyspark.sql import functions as F
+
+    from trck_spark.streaming import streaming_partials
+
+    src = tmp_path / "wm_src"
+    src.mkdir(parents=True)
+    schema = "uuid string, timestamp long, seq long, event_type string"
+    # batch a: u1 arms the bounce window at ts=100 and goes idle forever
+    spark.createDataFrame(
+        [("u1", 100, 0, "view")], schema
+    ).coalesce(1).write.parquet(str(src / "a.parquet"))
+    # batch b: unrelated trail far in the future -> watermark jumps
+    spark.createDataFrame(
+        [("u2", 100000, 0, "click")], schema
+    ).coalesce(1).write.parquet(str(src / "b.parquet"))
+    # batch c: another advance; u1's event-time timer fires here
+    spark.createDataFrame(
+        [("u2", 200000, 1, "click")], schema
+    ).coalesce(1).write.parquet(str(src / "c.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*.parquet"))
+    )
+    parts = streaming_partials(
+        stream,
+        PROG_BOUNCE_STREAM,
+        uuid_col="uuid",
+        ts_col="timestamp",
+        seq_col="seq",
+        finalize_idle_gap=60,
+    )
+    collected = []
+
+    def sink(batch_df, batch_id):
+        collected.extend(batch_df.collect())
+
+    q = parts.writeStream.foreachBatch(sink).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(300)
+    got = {(r["uuid"], r["var"]): r["n"] for r in collected}
+    assert got == {("u1", "$bounces"): 1}
+
+
+def test_streaming_split_fixture_watermark(spark, tmp_path):
+    """The bounces split fixture (after-edge dependent) must produce the
+    reference results with WATERMARK-driven finalization — no explicit
+    end-of-trail markers anywhere in the stream."""
+    path = os.path.join(REF_TEST_DIR, "json", "test_bounces_split.json")
+    ir, trailer = load_json_fixture(path)
+    params = trailer.get("params")
+    failures = []
+    for i, case in enumerate(trailer["tests"]):
+        if len(case["trails"]) < 2:
+            continue
+        case_params = case.get("params", params)
+        prog_ir = {k: v for k, v in ir.items() if k != "tests"}
+        rows = _stream_fixture(
+            spark, tmp_path / f"w{i}", case["trails"], prog_ir,
+            case_params, finalize="watermark",
+        )
+        rows = [r for r in rows if r["uuid"] != "zz_dummy"]
+        actual = _rows_to_output(prog_ir, case_params, rows)
         for prob in compare_results(case["expected"], actual):
             failures.append(f"case {i}: {prob}")
     assert not failures, "\n".join(failures)

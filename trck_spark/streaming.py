@@ -11,9 +11,13 @@ Semantics notes (mirroring the reference's cross-DB behavior):
   arrival order — the reference behaves the same across DB files;
 - consecutive-duplicate skip applies within a batch only (the reference's
   duplicate check never spans file boundaries);
-- when a trail goes idle for ``finalize_after_ms`` of processing time, the
-  end-of-data sentinel runs (pending ``after`` edges fire) and the state is
-  dropped — the streaming analog of end-of-run finalization.
+- when a trail goes idle for ``finalize_after_ms`` of processing time, OR
+  when the event-time watermark passes its last event by
+  ``finalize_idle_gap`` seconds, the end-of-data sentinel runs (pending
+  ``after`` edges fire) and the state is dropped — the streaming analog of
+  end-of-run finalization.  The event-time form is deterministic w.r.t.
+  the data (replay-safe): idle trails finalize because the *stream*
+  advanced past them, not because wall-clock elapsed.
 
 The operator emits partial monoid rows (tuple_id, var, key, reg, n); sum
 them with ``aggregate_partials`` (e.g. inside foreachBatch) exactly like
@@ -68,14 +72,32 @@ def streaming_partials(
     seq_col: str | None = None,
     foreach_values: list | None = None,
     finalize_after_ms: int = 0,
+    finalize_idle_gap: int | None = None,
+    watermark_delay: str = "0 seconds",
 ):
     """streaming events DataFrame -> streaming partial-monoid rows.
 
     foreach_values: for implicit-foreach programs the lexicon cannot be
     computed from an unbounded stream; pass the value list explicitly.
+
     finalize_after_ms > 0 arms a processing-time timeout per trail that
     fires pending ``after`` edges once the trail goes idle.
+
+    finalize_idle_gap (seconds, event time) instead arms an event-time
+    timeout: a trail finalizes once the stream's watermark passes its
+    last event by the gap.  The watermark is derived from the event
+    timestamp column with ``watermark_delay`` late-data allowance, so
+    finalization depends only on the data, never on wall clock.  Standard
+    watermark semantics apply: events at or below the current watermark
+    are dropped as late — size watermark_delay to the stream's real
+    disorder (and note the initial watermark is epoch 0, so event times
+    must be positive).
     """
+    if finalize_after_ms > 0 and finalize_idle_gap is not None:
+        raise ValueError(
+            "choose one of finalize_after_ms (processing time) or "
+            "finalize_idle_gap (event time)"
+        )
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import (
         GroupState,
@@ -126,7 +148,15 @@ def streaming_partials(
         else:
             df = df.withColumn("__f_" + f, F.lit(""))
         proj.append("__f_" + f)
+    use_event_time = finalize_idle_gap is not None
+    if use_event_time:
+        df = df.withColumn(
+            "__event_time", F.timestamp_seconds(F.col("__ts"))
+        )
+        proj.append("__event_time")
     df = df.select(*proj)
+    if use_event_time:
+        df = df.withWatermark("__event_time", watermark_delay)
 
     def step(key, pdf_iter, state: "GroupState") -> Iterator[Any]:
         import pandas as pd
@@ -137,11 +167,9 @@ def streaming_partials(
         entrypoint = q.compiled.entrypoint
 
         if state.exists:
-            machine_states: dict[int, Any] = pickle.loads(
-                bytes(state.get[0])
-            )
+            machine_states, last_ts = pickle.loads(bytes(state.get[0]))
         else:
-            machine_states = {}
+            machine_states, last_ts = {}, None
 
         n_tuples = len(tuples_w) if tuples_w is not None else 1
         agg: dict[int, Results] = {}
@@ -188,6 +216,14 @@ def streaming_partials(
                 vals = [()] * len(pdf)
             rows_in.extend(zip(tss, seqs, vals))
         rows_in.sort(key=lambda r: (r[0], r[1]))
+        batch_max = max(
+            (ts for ts, _s, _v in rows_in if ts < STREAM_END_TS),
+            default=None,
+        )
+        if batch_max is not None:
+            last_ts = batch_max if last_ts is None else max(
+                last_ts, batch_max
+            )
         # events at ts >= STREAM_END_TS are explicit end-of-trail markers:
         # they trigger finalization (pending `after` edges fire), mirroring
         # the reference's end-of-run sentinel (match_traildb.c:902-944)
@@ -230,20 +266,33 @@ def streaming_partials(
         if finalize:
             state.remove()
         else:
-            state.update((bytearray(pickle.dumps(machine_states)),))
+            state.update(
+                (bytearray(pickle.dumps((machine_states, last_ts))),)
+            )
         if finalize_after_ms > 0:
             state.setTimeoutDuration(finalize_after_ms)
+        elif use_event_time and not finalize:
+            # finalize when the watermark passes the trail's last event
+            # by the idle gap (must stay strictly above the watermark)
+            wm = state.getCurrentWatermarkMs()
+            deadline_ms = (
+                (last_ts + finalize_idle_gap) * 1000
+                if last_ts is not None
+                else wm + 1
+            )
+            state.setTimeoutTimestamp(max(deadline_ms, wm + 1))
         rows = _results_rows(uuid, agg)
         if rows:
             yield pd.DataFrame(
                 rows, columns=["uuid", "tuple_id", "var", "key", "reg", "n"]
             )
 
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if finalize_after_ms > 0
-        else GroupStateTimeout.NoTimeout
-    )
+    if finalize_after_ms > 0:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    elif use_event_time:
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
     return df.groupBy("__uuid").applyInPandasWithState(
         step,
         outputStructType=STREAM_PARTIAL_SCHEMA,
