@@ -183,13 +183,14 @@ def compile_funnel(engine, df, program: Program, tuples=None,
                 F.broadcast(grid),
                 join_cond if join_cond is not None else F.lit(True),
             )
-        else:
-            out = out.withColumn("__tuple_id", F.lit(0).cast("long"))
         return out
 
-    keys = [c for c in ("__uuid", "__entry") if c in d.columns] + [
-        "__tuple_id"
-    ]
+    # a constant __tuple_id must NOT be a grouping key: the literal both
+    # breaks hash-aggregation order reuse and inserts a Sort a
+    # trail-clustered (bucketed) scan would otherwise elide
+    keys = [c for c in ("__uuid", "__entry") if c in d.columns]
+    if grid is not None:
+        keys.append("__tuple_id")
     a = (
         _stage(r0["clauses"][0])
         .groupBy(*keys)
@@ -217,7 +218,14 @@ def compile_funnel(engine, df, program: Program, tuples=None,
         )
         .filter(F.col("__b_ts") < F.col("__a_ts2") + window)
     )
-    n_conv = b.groupBy("__tuple_id").agg(F.count(F.lit(1)).alias("n"))
+    if grid is not None:
+        n_conv = b.groupBy("__tuple_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    else:
+        n_conv = b.agg(F.count(F.lit(1)).alias("n")).withColumn(
+            "__tuple_id", F.lit(0).cast("long")
+        )
 
     weights: dict[str, int] = {}
     for y in r1["clauses"][0]["yield"]:
