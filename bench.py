@@ -99,13 +99,16 @@ def run_baseline_gate(spark) -> dict:
     from trck_spark.store import (
         is_trail_store,
         open_trail_store,
+        read_manifest,
         write_trail_store,
     )
 
     path = ensure_perf_dataset(spark, PERF_PATH)
     flat = spark.read.parquet(path)
     store_path = os.path.join(os.path.dirname(PERF_PATH), "perf20m_store")
-    if is_trail_store(store_path):
+    if is_trail_store(store_path) and "ts_unique" in read_manifest(
+        store_path
+    ):
         store = open_trail_store(spark, store_path)
     else:
         store = write_trail_store(flat, store_path)

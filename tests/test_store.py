@@ -86,3 +86,50 @@ def test_engine_over_store_matches_flat(spark, store):
         df, PROG_SESSIONS, assume_clustered=True, **kw
     ).collect_json()
     assert flat == clustered
+
+
+def test_manifest_ts_unique_and_dedup_skip(spark, store):
+    """sf0.001 events have unique per-trail timestamps, so the store
+    proves dedup is a no-op: sessions on the store must plan with ONE
+    Window (the gap lag), no dedup window, no Exchange, no Sort — and
+    clustering is assumed automatically (no assume_clustered needed)."""
+    path, ev, df = store
+    m = read_manifest(path)
+    assert m["ts_unique"] is True
+    eng = TrckSparkEngine(spark)
+    kw = dict(uuid_col="uuid", ts_col="timestamp", seq_col="event_id")
+    rs = eng.run(df, PROG_SESSIONS, **kw)
+    plan = rs.agg_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1, plan
+    assert "Exchange" not in plan.split("HashAggregate")[0]
+    assert rs.collect_json() == eng.run(ev, PROG_SESSIONS, **kw).collect_json()
+
+
+def test_dup_timestamps_keep_dedup(spark, tmp_path):
+    """A store containing same-(uuid, ts) rows must NOT set ts_unique,
+    and results must still dedup exactly like the flat path."""
+    from trck_spark.io import trails_json_to_df
+
+    trails = [
+        {
+            "u1": [
+                {"timestamp": 100, "event_type": "a"},
+                {"timestamp": 100, "event_type": "a"},  # true duplicate
+                {"timestamp": 5000, "event_type": "a"},
+            ],
+        }
+    ]
+    df = trails_json_to_df(spark, trails)
+    path = str(tmp_path / "dup_store")
+    sdf = write_trail_store(
+        df, path, uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+        n_buckets=2,
+    )
+    assert read_manifest(path)["ts_unique"] is False
+    eng = TrckSparkEngine(spark)
+    kw = dict(uuid_col="uuid", ts_col="timestamp", seq_col="seq")
+    assert (
+        eng.run(sdf, PROG_SESSIONS, **kw).collect_json()
+        == eng.run(df, PROG_SESSIONS, **kw).collect_json()
+        == {"$sessions": 2}
+    )

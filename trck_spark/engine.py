@@ -311,9 +311,22 @@ class TrckSparkEngine:
         assume_clustered: caller guarantees every uuid's rows already live
         in a single partition (e.g. the input was written bucketed by
         uuid); skips the repartition shuffle — only the in-partition sort
-        runs.
+        runs.  A DataFrame opened via store.open_trail_store carries its
+        manifest: clustering is then assumed automatically, and when the
+        store proved at write time that no trail repeats a timestamp,
+        the consecutive-duplicate skip (whose identity always includes
+        ts) is dropped as provably no-op from every compiled plan.
         """
         from pyspark.sql import functions as F
+
+        manifest = getattr(events_df, "_trailstore_manifest", None) or {}
+        if manifest.get("uuid_col") == uuid_col:
+            assume_clustered = True
+        no_dedup = bool(
+            manifest.get("ts_unique")
+            and manifest.get("uuid_col") == uuid_col
+            and manifest.get("ts_col") == ts_col
+        )
 
         q = TrckQuery(
             program_text_or_ir, params=params, fn_registry=fn_registry
@@ -512,7 +525,7 @@ class TrckSparkEngine:
                 frame = compile_counter_implicit(
                     self, df, program,
                     src.distinct() if need_grid else None,
-                    params, extra_dedup,
+                    params, extra_dedup, no_dedup=no_dedup,
                 )
                 return TrckFrameResultSet(
                     self, frame, program, params, fn_registry
@@ -540,7 +553,8 @@ class TrckSparkEngine:
         # (no Python workers, whole-stage codegen; see planner.py) ---
         if fastpath_on and is_simple_counter_program(program):
             agg_df = compile_relational(
-                self, df, program, tuples, params, extra_dedup
+                self, df, program, tuples, params, extra_dedup,
+                no_dedup=no_dedup,
             )
             return TrckResultSet(self, agg_df, program, tuples, fn_registry)
         if fastpath_on:
@@ -550,7 +564,8 @@ class TrckSparkEngine:
             # order, so they stay on the fast path with db_col set.
             if is_simple_funnel_program(program) and not has_db:
                 agg_df = compile_funnel(
-                    self, df, program, tuples, extra_dedup
+                    self, df, program, tuples, extra_dedup,
+                    no_dedup=no_dedup,
                 )
                 return TrckResultSet(self, agg_df, program, tuples, fn_registry)
             for match, compiler in (
@@ -569,7 +584,8 @@ class TrckSparkEngine:
                         break
                     grid_tuples = tuples if program.groupby else None
                     agg_df = compiler(
-                        self, df, program, grid_tuples, extra_dedup
+                        self, df, program, grid_tuples, extra_dedup,
+                        no_dedup=no_dedup,
                     )
                     return TrckResultSet(self, agg_df, program, tuples, fn_registry)
 

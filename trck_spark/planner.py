@@ -139,7 +139,7 @@ def is_simple_funnel_program(program: Program) -> bool:
 
 
 def compile_funnel(engine, df, program: Program, tuples=None,
-                   extra_dedup=None):
+                   extra_dedup=None, no_dedup=False):
     """Compile the two-block funnel to min-aggregations (see
     is_simple_funnel_program).  Runs over the lag-deduplicated trail so
     the rewrite is exact regardless of duplicate events; foreach grids
@@ -171,7 +171,7 @@ def compile_funnel(engine, df, program: Program, tuples=None,
     ):
         d = df
     else:
-        d = _deduped(df, fields, extra_dedup)
+        d = df if no_dedup else _deduped(df, fields, extra_dedup)
 
     grid = _grid_df(engine, program, tuples)
 
@@ -655,7 +655,7 @@ def _counter_pieces(program, n_df, weights):
 
 
 def compile_sessions(engine, df, program: Program, tuples=None,
-                     extra_dedup=None):
+                     extra_dedup=None, no_dedup=False):
     """Gap sessionization -> lag window over the deduplicated trail.
 
     Exact under db-major ordering: the FSM counts one session at the
@@ -674,7 +674,7 @@ def compile_sessions(engine, df, program: Program, tuples=None,
     r0 = program.rules[0]
     window = program.rules[1]["window"]
     fields = sorted(program.kvs.keys())
-    d = _deduped(df, fields, extra_dedup)
+    d = df if no_dedup else _deduped(df, fields, extra_dedup)
     part_cols, order_cols = _trail_part_order(d)
     order = Window.partitionBy(*part_cols).orderBy(*order_cols)
     d = d.withColumn("__prev_ts", F.lag("__ts").over(order))
@@ -719,7 +719,7 @@ def compile_sessions(engine, df, program: Program, tuples=None,
 
 
 def compile_bounce(engine, df, program: Program, tuples=None,
-                   extra_dedup=None):
+                   extra_dedup=None, no_dedup=False):
     """Bounce detection -> lead window over the deduplicated trail.
 
     Exact under db-major ordering: a bounce fires per A event whose
@@ -734,7 +734,7 @@ def compile_bounce(engine, df, program: Program, tuples=None,
     r0, r1 = program.rules
     window = r1["window"]
     fields = sorted(program.kvs.keys())
-    d = _deduped(df, fields, extra_dedup)
+    d = df if no_dedup else _deduped(df, fields, extra_dedup)
     part_cols, order_cols = _trail_part_order(d)
     order = Window.partitionBy(*part_cols).orderBy(*order_cols)
     d = d.withColumn("__next_ts", F.lead("__ts").over(order))
@@ -764,7 +764,7 @@ def compile_bounce(engine, df, program: Program, tuples=None,
 
 
 def compile_attribution(engine, df, program: Program, tuples=None,
-                        extra_dedup=None):
+                        extra_dedup=None, no_dedup=False):
     """Last-A-before-B attribution via A-segment windows.
 
     Each A starts a segment (running count of A matches); within a
@@ -792,7 +792,7 @@ def compile_attribution(engine, df, program: Program, tuples=None,
     r0, r1 = program.rules
     window = r1["window"]
     fields = sorted(program.kvs.keys())
-    d = _deduped(df, fields, extra_dedup)
+    d = df if no_dedup else _deduped(df, fields, extra_dedup)
     part_cols, order_cols = _trail_part_order(d)
 
     weights_g: dict[str, int] = {}
@@ -877,6 +877,7 @@ def compile_counter_implicit(
     lexicon_df,
     base_params: dict | None,
     extra_dedup: list[str] | None = None,
+    no_dedup: bool = False,
 ):
     """Value-keyed compilation of implicit-foreach counter programs.
 
@@ -913,7 +914,7 @@ def compile_counter_implicit(
     pcol = "__p_" + var[1:]
 
     single_scan = lexicon_df is None
-    d = _deduped(df, fields, extra_dedup)
+    d = df if no_dedup else _deduped(df, fields, extra_dedup)
     if single_scan:
         d = d.withColumn(pcol, F.col("__f_" + field))
         grid = None
@@ -1025,6 +1026,7 @@ def compile_relational(
     tuples: list | None,
     base_params: dict | None,
     extra_dedup: list[str] | None = None,
+    no_dedup: bool = False,
 ):
     """-> aggregated partials DataFrame (same shape the FSM path's
     aggregation produces: tuple_id, var, key, reg, sum_n, max_n)."""

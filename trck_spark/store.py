@@ -47,6 +47,8 @@ def write_trail_store(df, path: str, uuid_col: str = "uuid",
     file — the layout Spark requires before it will trust the sort order
     of a bucketed scan.
     """
+    from pyspark.sql import functions as F
+
     spark = df.sparkSession
     sort_cols = [uuid_col, ts_col] + ([seq_col] if seq_col else [])
     table = _table_name(path)
@@ -60,17 +62,33 @@ def write_trail_store(df, path: str, uuid_col: str = "uuid",
         .mode("overwrite")
         .saveAsTable(table)
     )
+    # one write-time pass: if no trail ever repeats a timestamp, the
+    # engine's consecutive-duplicate skip (identity always includes ts)
+    # is provably a no-op for EVERY program — queries over this store
+    # skip the dedup window entirely (engine.run reads this flag)
+    ts_unique = (
+        spark.table(table)
+        .groupBy(uuid_col, ts_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .limit(1)
+        .count()
+        == 0
+    )
     manifest = {
         "version": 1,
         "uuid_col": uuid_col,
         "ts_col": ts_col,
         "seq_col": seq_col,
         "n_buckets": n_buckets,
+        "ts_unique": ts_unique,
         "schema_ddl": _schema_ddl(df),
     }
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(manifest, f)
-    return spark.table(table)
+    out = spark.table(table)
+    out._trailstore_manifest = manifest
+    return out
 
 
 def _schema_ddl(df) -> str:
@@ -109,4 +127,6 @@ def open_trail_store(spark, path: str):
             f"INTO {m['n_buckets']} BUCKETS "
             f"LOCATION '{os.path.abspath(path)}'"
         )
-    return spark.table(table)
+    out = spark.table(table)
+    out._trailstore_manifest = m
+    return out
