@@ -251,6 +251,60 @@ FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS r
 WHERE rn <= 5 ORDER BY qid, score_e6 DESC, did
 """
 
+def _lsh_oracle_sql(k: int = 5, n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB SQL reproducing cosine_topk_lsh exactly: same integer
+    hyperplane weights (embedded as a VALUES table of BIGINT lists),
+    same sign-pattern buckets over the quantized embeddings, same
+    integer-dot cosine top-k within each bucket."""
+    from trck_spark.pipeline.similarity import _lsh_planes
+
+    planes = _lsh_planes(n_planes, dim)
+    plane_rows = ",\n    ".join(
+        "({}, [{}]::BIGINT[])".format(
+            p, ", ".join(str(int(w)) for w in planes[p])
+        )
+        for p in range(n_planes)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         [CAST(round(x::DOUBLE * 1000000) AS BIGINT) for x in embedding] AS v
+  FROM embeddings
+),
+planes(p, w) AS (VALUES
+    {plane_rows}
+),
+proj AS (
+  SELECT e.vec_id, pl.p,
+         list_sum([e.v[i] * pl.w[i]
+                   for i in generate_series(1, len(e.v))]) AS s
+  FROM e CROSS JOIN planes pl
+),
+bkt AS (
+  SELECT vec_id,
+         sum(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END)::BIGINT AS bucket
+  FROM proj GROUP BY 1
+),
+eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN bkt b USING (vec_id)),
+s AS (
+  SELECT q.vec_id AS qid, d.vec_id AS did,
+         list_sum([q.v[i] * d.v[i]
+                   for i in generate_series(1, len(q.v))])::DOUBLE
+         / (sqrt(list_sum([q.v[i] * q.v[i]
+                           for i in generate_series(1, len(q.v))])::DOUBLE)
+            * sqrt(list_sum([d.v[i] * d.v[i]
+                             for i in generate_series(1, len(d.v))])::DOUBLE))
+         AS cos
+  FROM eb q JOIN eb d ON q.bucket = d.bucket AND q.vec_id <> d.vec_id
+)
+SELECT qid, did, floor(cos * 1000000)::BIGINT AS score_e6
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos DESC, did) AS rn
+      FROM s)
+WHERE rn <= {k} ORDER BY qid, score_e6 DESC, did
+"""
+
+
 _KNN_ORACLE = """
 WITH q AS (
   SELECT vec_id AS qid, [CAST(round(x::DOUBLE * 1000000) AS BIGINT) for x in embedding] AS v
@@ -308,6 +362,7 @@ def pipeline_oracles() -> dict:
         "simhash_pairs": _simhash_oracle_sql(),
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "ann_cosine_topk": _COSINE_ORACLE,
+        "ann_cosine_topk_lsh": _lsh_oracle_sql(),
         "knn_label_vote": _KNN_ORACLE,
         "lang_id": lang_id_oracle_sql(),
         "text_quality": text_quality_oracle_sql(),

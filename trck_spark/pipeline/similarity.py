@@ -59,28 +59,43 @@ def cosine_topk(spark, sf_dir: str, k: int = 5, n_queries: int = 5):
     )
 
 
-def cosine_topk_lsh(spark, sf_dir: str, k: int = 5, n_planes: int = 8):
-    """Approximate top-k via random-hyperplane LSH buckets: vectors are
-    bucketed by the sign pattern of n_planes fixed random projections;
-    each query scores only its own bucket.  Rows-only driver check
-    (approximate by construction)."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
+def _lsh_planes(n_planes: int, dim: int):
+    """Deterministic integer hyperplane weights (standard normals scaled
+    by 1e6 and rounded).  Integer projections over the quantized
+    embeddings are order-free exact sums, so bucket assignment is
+    bit-identical on every engine — the property that lets the DuckDB
+    oracle reproduce the whole LSH pipeline (max |term| ~3e12, dim
+    terms: far inside int64)."""
     import numpy as np
 
     rng = np.random.RandomState(7)
+    return np.round(
+        rng.standard_normal((n_planes, dim)) * 1_000_000
+    ).astype(np.int64)
+
+
+def cosine_topk_lsh(spark, sf_dir: str, k: int = 5, n_planes: int = 8):
+    """Approximate top-k via random-hyperplane LSH buckets: vectors are
+    bucketed by the sign pattern of n_planes fixed integer projections
+    over the quantized embeddings; each query scores only its own
+    bucket.  Deterministic end-to-end — the driver hash-checks it
+    against a DuckDB oracle (approximation is vs exact top-k, covered
+    by the recall test)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb0.select("embedding").first()[0])
-    planes = rng.standard_normal((n_planes, dim))
+    planes = _lsh_planes(n_planes, dim)
 
     proj_cols = []
     for p in range(n_planes):
         arr = "array(%s)" % ", ".join(
-            "%.17gD" % x for x in planes[p]
+            "%dL" % w for w in planes[p]
         )
         proj_cols.append(
-            f"CASE WHEN aggregate(zip_with(embedding, {arr}, "
-            f"(x, y) -> x * y), 0D, (acc, v) -> acc + v) >= 0 "
+            f"CASE WHEN aggregate(zip_with({QUANT}, {arr}, "
+            f"(x, y) -> x * y), 0L, (acc, v) -> acc + v) >= 0 "
             f"THEN {1 << p}L ELSE 0L END"
         )
     bucket = F.expr(" + ".join(proj_cols)).alias("bucket")
