@@ -133,3 +133,20 @@ def test_dup_timestamps_keep_dedup(spark, tmp_path):
         == eng.run(df, PROG_SESSIONS, **kw).collect_json()
         == {"$sessions": 2}
     )
+
+
+def test_funnel_single_pass_on_store(spark, store):
+    """Clustered input switches the funnel to the single-pass window
+    form: result must equal the flat two-scan form, with no Exchange
+    before the final count and exactly one Window."""
+    from trck_spark.queries import PROG_FUNNEL
+
+    path, ev, df = store
+    eng = TrckSparkEngine(spark)
+    kw = dict(uuid_col="uuid", ts_col="timestamp", seq_col="event_id")
+    rs_store = eng.run(df, PROG_FUNNEL, **kw)
+    plan = rs_store.agg_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1, plan
+    assert rs_store.collect_json() == eng.run(
+        ev, PROG_FUNNEL, **kw
+    ).collect_json()

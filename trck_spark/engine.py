@@ -565,7 +565,7 @@ class TrckSparkEngine:
             if is_simple_funnel_program(program) and not has_db:
                 agg_df = compile_funnel(
                     self, df, program, tuples, extra_dedup,
-                    no_dedup=no_dedup,
+                    no_dedup=no_dedup, clustered=assume_clustered,
                 )
                 return TrckResultSet(self, agg_df, program, tuples, fn_registry)
             for match, compiler in (

@@ -139,7 +139,7 @@ def is_simple_funnel_program(program: Program) -> bool:
 
 
 def compile_funnel(engine, df, program: Program, tuples=None,
-                   extra_dedup=None, no_dedup=False):
+                   extra_dedup=None, no_dedup=False, clustered=False):
     """Compile the two-block funnel to min-aggregations (see
     is_simple_funnel_program).  Runs over the lag-deduplicated trail so
     the rewrite is exact regardless of duplicate events; foreach grids
@@ -166,14 +166,68 @@ def compile_funnel(engine, df, program: Program, tuples=None,
     # no-op and the expensive per-trail lag window (a full shuffle+sort,
     # evaluated once per stage) is skipped entirely: the plan becomes two
     # predicate-pushed filtered scans + small-key aggregations.
-    if _attrs_provably_disjoint(
+    dedup_free = no_dedup or _attrs_provably_disjoint(
         r0["clauses"][0]["attrs"], r1["clauses"][0]["attrs"]
-    ):
-        d = df
-    else:
-        d = df if no_dedup else _deduped(df, fields, extra_dedup)
+    )
+    d = df if dedup_free else _deduped(df, fields, extra_dedup)
 
     grid = _grid_df(engine, program, tuples)
+
+    if (
+        grid is None
+        and clustered
+        and dedup_free
+        and "__entry" not in d.columns
+        and "__db" not in d.columns
+    ):
+        # single-pass form for trail-clustered sorted input (TrailStore):
+        # a running min over the store's (uuid, ts, seq) order finds the
+        # first A with no exchange and no sort, so the whole funnel is
+        # one scan + one streaming window + one aggregation — measurably
+        # faster than the two-scan min-agg form it replaces here.
+        # Gridless funnels have literal-only predicates (params require
+        # a foreach grid), so _split_clause yields pure literal preds.
+        from pyspark.sql.window import Window
+
+        a_pred, _j, _f = _split_clause(r0["clauses"][0]["attrs"])
+        b_pred, _j2, _f2 = _split_clause(r1["clauses"][0]["attrs"])
+        w = Window.partitionBy("__uuid").orderBy("__ts", "__seq").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        amin = F.min(
+            F.when(a_pred, F.struct("__ts", "__seq"))
+        ).over(w)
+        dd = d.withColumn("__a", amin)
+        b = (
+            dd.filter(
+                b_pred
+                & F.col("__a").isNotNull()
+                & (
+                    (F.col("__ts") > F.col("__a.__ts"))
+                    | (
+                        (F.col("__ts") == F.col("__a.__ts"))
+                        & (F.col("__seq") > F.col("__a.__seq"))
+                    )
+                )
+            )
+            .groupBy("__uuid")
+            .agg(
+                F.min("__ts").alias("__b_ts"),
+                F.first("__a.__ts").alias("__a_ts2"),
+            )
+            .filter(F.col("__b_ts") < F.col("__a_ts2") + window)
+        )
+        n_conv = b.agg(F.count(F.lit(1)).alias("n")).withColumn(
+            "__tuple_id", F.lit(0).cast("long")
+        )
+        weights_w: dict[str, int] = {}
+        for y in r1["clauses"][0]["yield"]:
+            weights_w[y["dst"]] = weights_w.get(y["dst"], 0) + 1
+        return _counter_pieces(
+            program,
+            n_conv.select(F.col("__tuple_id"), F.col("n")),
+            weights_w,
+        )
 
     def _stage(clause):
         lit_pred, join_cond, _full = _split_clause(clause["attrs"])
