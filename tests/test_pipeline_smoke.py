@@ -112,3 +112,24 @@ def test_ngram_hot_shingle_cap(spark, tmp_path):
     assert set(pairs) == {(40, 41)}
     # jaccard over non-hot shingles only: 4 shared, union 5 -> 0.8
     assert pairs[(40, 41)] == 800000
+
+
+def test_cosine_ivf_pivot_recall(spark):
+    """Deterministic pivot-cell IVF must keep good recall vs the exact
+    top-k at n_probe/n_cells = 4/16."""
+    from trck_spark.pipeline.similarity import (
+        cosine_topk,
+        cosine_topk_ivf_pivot,
+    )
+
+    exact = {
+        (r["qid"], r["did"])
+        for r in cosine_topk(spark, SF_DIR, k=5, n_queries=5).collect()
+    }
+    piv = {
+        (r["qid"], r["did"])
+        for r in cosine_topk_ivf_pivot(
+            spark, SF_DIR, k=5, n_queries=5
+        ).collect()
+    }
+    assert len(piv & exact) / len(exact) >= 0.8

@@ -33,6 +33,10 @@ def q_ann_cosine_topk_ivf(spark, sf_dir):
     return similarity.cosine_topk_ivf(spark, sf_dir, k=5)
 
 
+def q_ann_cosine_topk_ivf_pivot(spark, sf_dir):
+    return similarity.cosine_topk_ivf_pivot(spark, sf_dir, k=5)
+
+
 def q_knn_label_vote(spark, sf_dir):
     return similarity.knn_label_vote(spark, sf_dir, k=10, n_queries=20)
 
@@ -70,6 +74,7 @@ def pipeline_queries() -> dict:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
+        "ann_cosine_topk_ivf_pivot": q_ann_cosine_topk_ivf_pivot,
         "knn_label_vote": q_knn_label_vote,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
@@ -305,6 +310,57 @@ WHERE rn <= {k} ORDER BY qid, score_e6 DESC, did
 """
 
 
+def _ivf_pivot_oracle_sql(
+    k: int = 5, n_cells: int = 16, n_probe: int = 4, n_queries: int = 20
+) -> str:
+    """DuckDB SQL reproducing cosine_topk_ivf_pivot exactly: same pivot
+    cells (first n_cells vectors), same integer squared-distance cell
+    assignment and probe ranking, same integer-dot cosine top-k."""
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         [CAST(round(x::DOUBLE * 1000000) AS BIGINT) for x in embedding] AS v
+  FROM embeddings
+),
+piv AS (SELECT vec_id AS cell, v AS pv FROM e WHERE vec_id < {n_cells}),
+ranked AS (
+  SELECT e.vec_id, e.v, p.cell,
+         list_sum([(e.v[i] - p.pv[i]) * (e.v[i] - p.pv[i])
+                   for i in generate_series(1, len(e.v))]) AS d2
+  FROM e CROSS JOIN piv p
+),
+rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, cell) AS rn
+       FROM ranked),
+assigned AS (SELECT vec_id, v, cell FROM rk WHERE rn = 1),
+probes AS (SELECT vec_id AS qid, cell FROM rk
+           WHERE vec_id < {n_queries} AND rn <= {n_probe}),
+q AS (SELECT vec_id AS qid, v AS qv FROM assigned
+      WHERE vec_id < {n_queries}),
+cand AS (
+  SELECT pr.qid, a.vec_id AS did, a.v AS dv
+  FROM probes pr JOIN assigned a USING (cell)
+  WHERE a.vec_id <> pr.qid
+),
+s AS (
+  SELECT c.qid, c.did,
+         list_sum([q.qv[i] * c.dv[i]
+                   for i in generate_series(1, len(q.qv))])::DOUBLE
+         / (sqrt(list_sum([q.qv[i] * q.qv[i]
+                           for i in generate_series(1, len(q.qv))])::DOUBLE)
+            * sqrt(list_sum([c.dv[i] * c.dv[i]
+                             for i in generate_series(1, len(c.dv))])::DOUBLE))
+         AS cos
+  FROM cand c JOIN q USING (qid)
+)
+SELECT qid, did, floor(cos * 1000000)::BIGINT AS score_e6
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos DESC, did) AS rn
+      FROM s)
+WHERE rn <= {k} ORDER BY qid, score_e6 DESC, did
+"""
+
+
 _KNN_ORACLE = """
 WITH q AS (
   SELECT vec_id AS qid, [CAST(round(x::DOUBLE * 1000000) AS BIGINT) for x in embedding] AS v
@@ -363,6 +419,7 @@ def pipeline_oracles() -> dict:
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "ann_cosine_topk": _COSINE_ORACLE,
         "ann_cosine_topk_lsh": _lsh_oracle_sql(),
+        "ann_cosine_topk_ivf_pivot": _ivf_pivot_oracle_sql(),
         "knn_label_vote": _KNN_ORACLE,
         "lang_id": lang_id_oracle_sql(),
         "text_quality": text_quality_oracle_sql(),

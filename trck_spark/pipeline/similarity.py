@@ -209,6 +209,78 @@ def cosine_topk_ivf(
     )
 
 
+def cosine_topk_ivf_pivot(
+    spark,
+    sf_dir: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_queries: int = 20,
+):
+    """IVF-style ANN with deterministic pivot cells: the first n_cells
+    vectors act as cell centroids (the k-means++ seeding step without
+    the Lloyd iterations), every vector joins its nearest pivot by
+    exact integer squared distance, and each query probes its n_probe
+    nearest cells.
+
+    Fully deterministic and integer-exact end to end, so the driver
+    hash-checks it against a DuckDB oracle — and unlike the KMeans
+    variant there is no ML fit pass and no driver-side collect: probe
+    assignment is a broadcast join + rank, all distributed."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    emb = _quantized(spark, sf_dir)
+    piv = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("pv")
+    )
+    dist2 = F.expr(
+        "aggregate(zip_with(v, pv, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, t) -> acc + t)"
+    )
+    ranked = emb.crossJoin(F.broadcast(piv)).select(
+        "vec_id", "v", "cell", dist2.alias("d2")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    assigned = (
+        ranked.withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell")
+    )
+    probes = (
+        ranked.filter(F.col("vec_id") < n_queries)
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("vec_id").alias("qid"), "cell")
+    )
+    q = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cand = (
+        probes.join(assigned, "cell")
+        .select("qid", F.col("vec_id").alias("did"),
+                F.col("v").alias("dv"))
+        .filter(F.col("qid") != F.col("did"))
+        .join(F.broadcast(q), "qid")
+    )
+    dot = F.expr(_DOT.format(a="qv", b="dv")).cast("double")
+    nq = F.expr(_DOT.format(a="qv", b="qv")).cast("double")
+    nd = F.expr(_DOT.format(a="dv", b="dv")).cast("double")
+    scored = cand.select(
+        "qid", "did", (dot / (F.sqrt(nq) * F.sqrt(nd))).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("did"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "qid", "did",
+            F.floor(F.col("cos") * 1000000).cast("long").alias("score_e6"),
+        )
+        .orderBy("qid", F.desc("score_e6"), "did")
+    )
+
+
 def knn_label_vote(spark, sf_dir: str, k: int = 10, n_queries: int = 20):
     """k-NN majority label vote for the first n_queries vectors — the
     embedding-classification shape of a training-data pipeline, oracle
