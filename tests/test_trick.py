@@ -122,3 +122,65 @@ def test_trick_adversarial_differential():
         for case in generate(spec, adversarial=True, fillers=3):
             interp, gen = _run_both_local(prog, {"u": case.trail})
             assert interp == gen, (case.mask, case.gaps, interp, gen)
+
+
+def test_trick_corpus_multi_db(spark):
+    """Each generated trail split across two DBs (alternating events):
+    the distributed engine's db-major assembly must agree with the local
+    runner's multi-db evaluation on the whole corpus."""
+    from trck_spark.engine import TrckSparkEngine
+    from trck_spark.io import trails_json_to_df
+
+    cases = generate(FUNNEL_SPEC, adversarial=True)
+    db0: dict = {}
+    db1: dict = {}
+    for idx, c in enumerate(cases):
+        u = f"case{idx:03d}"
+        db0[u] = c.trail[0::2]
+        db1[u] = c.trail[1::2]
+    want = run_program(PROG_FUNNEL, [db0, db1])
+    df = trails_json_to_df(spark, [db0, db1])
+    rs = TrckSparkEngine(spark).run(
+        df, PROG_FUNNEL, uuid_col="uuid", ts_col="timestamp",
+        seq_col="seq", db_col="db",
+    )
+    assert rs.collect_json() == want
+
+
+def test_trick_corpus_window_entries(spark):
+    """Per-uuid window side input over the corpus: events outside each
+    trail's window must vanish identically in the local runner and the
+    engine (list AND DataFrame forms)."""
+    from trck_spark.engine import TrckSparkEngine
+    from trck_spark.io import trails_json_to_df
+    from trck_spark.runner import TrckQuery, cookie_to_bytes
+
+    cases = generate(FUNNEL_SPEC)
+    trails = {f"case{idx:03d}": c.trail for idx, c in enumerate(cases)}
+    # window = first half of each trail's time span
+    entries = []
+    for u, evs in trails.items():
+        ts = [e["timestamp"] for e in evs]
+        lo, hi = min(ts), max(ts)
+        entries.append(
+            (cookie_to_bytes(u).hex(), lo, lo + max((hi - lo) // 2, 1),
+             None)
+        )
+    q = TrckQuery(PROG_FUNNEL, window_set=entries)
+    want = q.run_local([trails])
+    df = trails_json_to_df(spark, [trails])
+    eng = TrckSparkEngine(spark)
+    got = eng.run(
+        df, PROG_FUNNEL, uuid_col="uuid", ts_col="timestamp",
+        seq_col="seq", window_entries=entries,
+    ).collect_json()
+    assert got == want
+    w_df = spark.createDataFrame(
+        [(u, s, e) for u, s, e, _r in entries],
+        "uuid string, s long, e long",
+    )
+    got_df = eng.run(
+        df, PROG_FUNNEL, uuid_col="uuid", ts_col="timestamp",
+        seq_col="seq", window_entries=w_df,
+    ).collect_json()
+    assert got_df == want
