@@ -202,7 +202,8 @@ def main() -> None:
         "lineitem_pricing",     # relational agg
         "revenue_by_segment",   # broadcast join + agg
     ]
-    for extra in ("dedup_exact", "ngram_jaccard_pairs", "ann_cosine_topk",
+    for extra in ("trck_sessions_by_type", "dedup_exact",
+                  "ngram_jaccard_pairs", "ann_cosine_topk",
                   "minhash_lsh_pairs", "text_quality"):
         if extra in queries:
             bench_names.append(extra)
