@@ -184,3 +184,42 @@ def test_trick_corpus_window_entries(spark):
         seq_col="seq", window_entries=w_df,
     ).collect_json()
     assert got_df == want
+
+
+def test_trick_corpus_grid_shapes_fast_vs_fsm(spark):
+    """Adversarial corpus through the parameterized compiled shapes:
+    the grid fast paths (islands / lead / exists-semi-join) must agree
+    with the FSM path on every generated trail mix."""
+    import trck_spark.queries as Q
+    from trck_spark.engine import TrckSparkEngine
+    from trck_spark.io import trails_json_to_df
+
+    spec = [
+        ev({"event_type": "view"}),
+        between(0, 3000, steps=3),
+        ev({"event_type": "click"}),
+        between(0, 700000, steps=3),
+        ev({"event_type": "purchase"}),
+    ]
+    cases = generate(spec, adversarial=True, fillers=2)
+    trails = {f"case{idx:03d}": c.trail for idx, c in enumerate(cases)}
+    df = trails_json_to_df(spark, [trails])
+    for progname in (
+        "PROG_SESSIONS_BY_TYPE", "PROG_BOUNCE_BY_TYPE",
+        "PROG_ATTRIBUTION_BY_TYPE",
+    ):
+        prog = getattr(Q, progname)
+
+        def run():
+            return TrckSparkEngine(spark).run(
+                df, prog, uuid_col="uuid", ts_col="timestamp",
+                seq_col="seq",
+            ).collect_json()
+
+        fast = run()
+        os.environ["TRCK_SPARK_NO_FASTPATH"] = "1"
+        try:
+            slow = run()
+        finally:
+            os.environ.pop("TRCK_SPARK_NO_FASTPATH", None)
+        assert fast == slow, progname
