@@ -332,3 +332,33 @@ def test_param_shapes_compile_to_catalyst(spark):
         assert "MapInPandas" not in plan and "EvalPython" not in plan, (
             progname
         )
+
+
+def test_param_shapes_with_window_entries(spark):
+    """Foreach grids combined with multi-entry window side inputs: each
+    (uuid, entry) is an independent evaluation unit inside the compiled
+    grid paths too."""
+    import trck_spark.queries as Q
+
+    trails = [
+        {
+            "u1": [
+                {"timestamp": 100, "event_type": "view"},
+                {"timestamp": 200, "event_type": "click"},
+                {"timestamp": 5000, "event_type": "view"},
+                {"timestamp": 5100, "event_type": "purchase"},
+            ],
+        }
+    ]
+    df = trails_json_to_df(spark, trails)
+    hexu = "u1".encode().ljust(16, b"\0").hex()
+    # two overlapping entries for the same uuid
+    entries = [(hexu, 0, 1000, None), (hexu, 0, 6000, None)]
+    for progname in (
+        "PROG_SESSIONS_BY_TYPE", "PROG_BOUNCE_BY_TYPE",
+        "PROG_ATTRIBUTION_BY_TYPE",
+    ):
+        fast, slow = _both(
+            spark, df, getattr(Q, progname), window_entries=entries
+        )
+        assert fast == slow, progname
