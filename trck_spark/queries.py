@@ -62,6 +62,23 @@ foreach %t
             * -> repeat
 """
 
+PROG_CLICKS_BY_USER = """
+foreach %u
+    start ->
+        receive
+            user = %u, event_type = "click" -> yield $clicks
+            * -> repeat
+"""
+
+
+def q_trck_clicks_by_user(spark, sf_dir):
+    """High-cardinality implicit foreach (one tuple per user): exercises
+    the value-keyed single-scan compilation — the user-id lexicon never
+    touches the driver, so this is exactly the shape that would OOM a
+    collect-based grid at 10^8 users."""
+    return _run_trck(spark, sf_dir, PROG_CLICKS_BY_USER).counters_df()
+
+
 PROG_FUNNEL = """
 start ->
     receive
@@ -438,6 +455,12 @@ FROM grid g LEFT JOIN c ON c.tt = g.t
         "SELECT event_type AS t, count(*)::BIGINT AS n "
         "FROM events GROUP BY event_type"
     ),
+    "trck_clicks_by_user": (
+        "SELECT '' AS u, 0::BIGINT AS clicks UNION ALL "
+        "SELECT user_id::VARCHAR AS u, "
+        "count(*) FILTER (event_type = 'click')::BIGINT AS clicks "
+        "FROM events GROUP BY user_id"
+    ),
     "trck_funnel": """
 WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t, event_type FROM events),
 v AS (SELECT user_id, min(t) AS vt FROM e WHERE event_type='view' GROUP BY 1),
@@ -648,6 +671,7 @@ def spark_queries() -> dict:
     out = {
         "trck_count_clicks": q_trck_count_clicks,
         "trck_count_by_type": q_trck_count_by_type,
+        "trck_clicks_by_user": q_trck_clicks_by_user,
         "trck_timestamp_params": q_trck_timestamp_params,
         "trck_first_click": q_trck_first_click,
         "trck_funnel_by_type": q_trck_funnel_by_type,
