@@ -137,21 +137,26 @@ def _perm_coeffs():
     return a, b
 
 
-def _shingle_h32(spark, sf_dir: str):
-    """(doc_id, h32): 32-bit md5-derived shingle hash (first 8 hex
-    chars).  md5 instead of an engine-private hash so the DuckDB oracle
-    reproduces signatures exactly; stays a built-in JVM expression."""
+def _shingle_md5(spark, sf_dir: str):
+    """(doc_id, m): md5 hex per distinct (doc, shingle).  md5 instead of
+    an engine-private hash so the DuckDB oracle reproduces every derived
+    hash exactly; stays a built-in JVM expression.  Shared by the
+    signature (first 8 hex chars -> 32-bit) and verification (first 15
+    -> 60-bit) stages so the shingling+hash pass runs once."""
     from pyspark.sql import functions as F
 
     return shingle_df(spark, sf_dir).select(
-        "doc_id",
-        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
-        .cast("long")
-        .alias("h32"),
+        "doc_id", F.md5("s").alias("m")
     )
 
 
-def minhash_signatures(spark, sf_dir: str):
+def _h32(col="m"):
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.col(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(spark, sf_dir: str, md5_df=None):
     """(doc_id, sig array<long>[128]) via vectorized numpy over Arrow
     batches of exploded shingle hashes.
 
@@ -160,7 +165,9 @@ def minhash_signatures(spark, sf_dir: str):
     exact in int64 on every engine (no wraparound)."""
     from pyspark.sql import functions as F
 
-    sh = _shingle_h32(spark, sf_dir)
+    if md5_df is None:
+        md5_df = _shingle_md5(spark, sf_dir)
+    sh = md5_df.select("doc_id", _h32().alias("h32"))
 
     def sig_batches(batches):
         import numpy as np
@@ -205,7 +212,11 @@ def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2):
     """
     from pyspark.sql import functions as F
 
-    sigs = minhash_signatures(spark, sf_dir)
+    # one shingling+md5 pass feeds both signatures and verification
+    # (fixed-width rows; MEMORY_AND_DISK so a 100 TB run spills, not OOMs)
+    md5_df = _shingle_md5(spark, sf_dir)
+    md5_df.persist()
+    sigs = minhash_signatures(spark, sf_dir, md5_df=md5_df)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -234,9 +245,9 @@ def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2):
     )
     # exact verification on candidates only (60-bit md5-derived shingle
     # ids: negligible collision mass, oracle-reproducible)
-    sh = shingle_df(spark, sf_dir).select(
+    sh = md5_df.select(
         "doc_id",
-        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+        F.conv(F.substring(F.col("m"), 1, 15), 16, 10)
         .cast("long")
         .alias("h"),
     )
