@@ -101,3 +101,36 @@ def test_assume_clustered(spark):
     # the FSM input (only the final partials aggregation shuffles)
     plan = rs.agg_df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("hashpartitioning(__uuid") == 0
+
+
+def test_dedup_cols_all_sentinel(spark):
+    """dedup_cols="all" compares every stored field (reference parity,
+    src/ctx.c:106-134): same-second events differing only in an
+    unreferenced column survive."""
+    from trck_spark.engine import TrckSparkEngine
+    from trck_spark.io import trails_json_to_df
+
+    prog = """
+start ->
+    receive
+        event_type = "purchase" -> yield $n, repeat
+        * -> repeat
+"""
+    trails = [
+        {
+            "u1": [
+                {"timestamp": 100, "event_type": "purchase", "x": "a"},
+                {"timestamp": 100, "event_type": "purchase", "x": "b"},
+                {"timestamp": 100, "event_type": "purchase", "x": "b"},
+            ],
+        }
+    ]
+    df = trails_json_to_df(spark, trails)
+    eng = TrckSparkEngine(spark)
+    kw = dict(uuid_col="uuid", ts_col="timestamp", seq_col="seq")
+    # default identity (ts + referenced fields) merges all three
+    assert eng.run(df, prog, **kw).collect_json() == {"$n": 1}
+    # full-field identity keeps the x=a / x=b flip, merges the b-dup
+    assert eng.run(df, prog, dedup_cols="all", **kw).collect_json() == {
+        "$n": 2
+    }

@@ -462,6 +462,13 @@ class TrckSparkEngine:
                 # referenced but absent: reads as "" (reference semantics)
                 df = df.withColumn("__f_" + f, F.lit(""))
             proj.append("__f_" + f)
+        # dedup_cols="all": exact reference parity — the consecutive-dup
+        # identity compares EVERY stored field (src/ctx.c:106-134), not
+        # just the program-referenced ones (wider Arrow rows; see
+        # COVERAGE.md "Known parity divergences")
+        if dedup_cols == "all":
+            skip = {uuid_col, ts_col, seq_col, db_col}
+            dedup_cols = [c for c in cols if c not in skip]
         extra_dedup = [
             c for c in (dedup_cols or []) if c in cols and c not in fields
         ]
