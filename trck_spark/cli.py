@@ -37,6 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ts-col", default="timestamp")
     p.add_argument("--seq-col", default=None)
     p.add_argument(
+        "--dedup-all",
+        action="store_true",
+        help="compare EVERY stored field in the consecutive-duplicate "
+        "identity (exact reference parity, src/ctx.c:106-134); the "
+        "default compares timestamp + program-referenced fields only",
+    )
+    p.add_argument(
         "--fns",
         help="Python file whose public callables become the FFI function "
         "registry (the analog of linking a user .tr.c module; reference "
@@ -112,6 +119,7 @@ def main(argv: list[str] | None = None) -> int:
         seq_col=args.seq_col,
         db_col="__db_index",
         fn_registry=fn_registry,
+        dedup_cols="all" if args.dedup_all else None,
     )
 
     blob = write_results(
