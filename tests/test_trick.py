@@ -223,3 +223,24 @@ def test_trick_corpus_grid_shapes_fast_vs_fsm(spark):
         finally:
             os.environ.pop("TRCK_SPARK_NO_FASTPATH", None)
         assert fast == slow, progname
+
+
+def test_trick_nested_window_differential():
+    """Nested `window {} after` machinery under a generated corpus:
+    interpreter vs generated matcher on every (gap-grid x mask) trail,
+    with the 1d outer window straddled by the gap grid."""
+    from trck_spark.queries import PROG_NESTED_WINDOW
+    from trck_spark.testing.trick import DAY
+
+    spec = [
+        ev({"event_type": "purchase"}),
+        between(0, 2 * DAY, steps=5),
+        ev({"event_type": "click"}),
+        between(0, 2 * DAY, steps=3),
+        ev({"event_type": "click"}),
+    ]
+    for case in generate(spec, adversarial=True, fillers=3):
+        interp, gen = _run_both_local(
+            PROG_NESTED_WINDOW, {"u": case.trail}
+        )
+        assert interp == gen, (case.mask, case.gaps, interp, gen)
