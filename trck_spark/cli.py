@@ -98,13 +98,27 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     from pyspark.sql import functions as F
 
-    dfs = []
-    for i, path in enumerate(args.events):
-        d = spark.read.parquet(path).withColumn("__db_index", F.lit(i))
-        dfs.append(d)
-    df = dfs[0]
-    for d in dfs[1:]:
-        df = df.unionByName(d, allowMissingColumns=True)
+    from trck_spark.store import is_trail_store, open_trail_store
+
+    if len(args.events) == 1 and is_trail_store(args.events[0]):
+        # a TrailStore input keeps its layout manifest: the engine skips
+        # the shuffle and (when the store proved ts-uniqueness) the
+        # dedup window; single-DB, so no __db_index column
+        df = open_trail_store(spark, args.events[0])
+        db_col = None
+    else:
+        dfs = []
+        for i, path in enumerate(args.events):
+            d = (
+                open_trail_store(spark, path)
+                if is_trail_store(path)
+                else spark.read.parquet(path)
+            ).withColumn("__db_index", F.lit(i))
+            dfs.append(d)
+        df = dfs[0]
+        for d in dfs[1:]:
+            df = df.unionByName(d, allowMissingColumns=True)
+        db_col = "__db_index"
 
     engine = TrckSparkEngine(spark)
     rs = engine.run(
@@ -117,7 +131,7 @@ def main(argv: list[str] | None = None) -> int:
         uuid_col=args.uuid_col,
         ts_col=args.ts_col,
         seq_col=args.seq_col,
-        db_col="__db_index",
+        db_col=db_col,
         fn_registry=fn_registry,
         dedup_cols="all" if args.dedup_all else None,
     )

@@ -130,3 +130,43 @@ def open_trail_store(spark, path: str):
     out = spark.table(table)
     out._trailstore_manifest = m
     return out
+
+
+def main(argv=None) -> int:
+    """Store builder (the tdb-build analog):
+
+        python -m trck_spark.store SRC.parquet [SRC2.parquet ...] DEST_DIR
+            [--uuid-col uuid] [--ts-col timestamp] [--seq-col COL]
+            [--buckets 32]
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="trck_spark.store",
+        description="Write parquet event data as a TrailStore "
+        "(uuid-bucketed, (uuid,ts,seq)-sorted layout)",
+    )
+    p.add_argument("src", nargs="+", help="source parquet path(s)")
+    p.add_argument("dest", help="destination store directory")
+    p.add_argument("--uuid-col", default="uuid")
+    p.add_argument("--ts-col", default="timestamp")
+    p.add_argument("--seq-col", default=None)
+    p.add_argument("--buckets", type=int, default=32)
+    args = p.parse_args(argv)
+
+    from trck_spark.session import get_spark
+
+    spark = get_spark("trailstore_build")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(*args.src)
+    write_trail_store(
+        df, args.dest, uuid_col=args.uuid_col, ts_col=args.ts_col,
+        seq_col=args.seq_col, n_buckets=args.buckets,
+    )
+    m = read_manifest(args.dest)
+    print(json.dumps(m))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
