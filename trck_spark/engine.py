@@ -302,6 +302,13 @@ class TrckSparkEngine:
         joined distributed and never materializes on the driver — the
         only form that survives 10^8+-row side inputs.
 
+        seq_col: tie-break for events sharing a timestamp.  When omitted,
+        a partition-layout-dependent id is used, so the relative order of
+        same-timestamp events — and therefore results of order-sensitive
+        programs — can vary across runs and partitionings (the reference
+        relies on stable insertion order within a TrailDB file).  Supply
+        a real sequence column whenever same-ts ordering matters.
+
         dedup_cols: extra columns to include in the consecutive-duplicate
         identity beyond the program's referenced fields (the reference
         compares ALL stored fields — src/ctx.c:106-134; by default we
@@ -455,9 +462,14 @@ class TrckSparkEngine:
             proj += ["__entry", "__wstart", "__wend", "__eff"]
         for f in fields:
             if f in cols:
-                df = df.withColumn(
-                    "__f_" + f, F.coalesce(F.col(f).cast("string"), F.lit(""))
-                )
+                # nullable cast, NOT coalesce(.., ''): null reads as ""
+                # at every consumer (planner predicates are null-aware,
+                # the FSM feed fills ""), but keeping the bare cast lets
+                # Catalyst push literal equality filters down to the
+                # parquet scan — coalesce() blocks pushdown entirely,
+                # which at 100 TB is the difference between pruning
+                # row-groups and reading everything
+                df = df.withColumn("__f_" + f, F.col(f).cast("string"))
             else:
                 # referenced but absent: reads as "" (reference semantics)
                 df = df.withColumn("__f_" + f, F.lit(""))
@@ -689,7 +701,12 @@ class TrckSparkEngine:
                 wends = pdf["__wend"].values if "__wend" in have else None
                 effs = pdf["__eff"].values if "__eff" in have else uuids
                 # bulk-zip event rows: (db, ts, vals, dedup-key) per row
-                fcols = [pdf["__f_" + f].tolist() for f in q.compiled.fields]
+                # __f_ is a bare nullable cast (parquet pushdown); the
+                # FSM reads null as "" (reference absent-value semantics)
+                fcols = [
+                    pdf["__f_" + f].fillna("").tolist()
+                    for f in q.compiled.fields
+                ]
                 if fcols:
                     vals_iter = list(zip(*fcols))
                 else:

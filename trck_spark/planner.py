@@ -580,6 +580,31 @@ def _grid_df(engine, program: Program, tuples):
     return engine.spark.createDataFrame(grid_rows, schema)
 
 
+def _f_col(field):
+    """``__f_<field>`` normalized to the FSM's view: null reads as "".
+
+    Use for group keys, grid-join keys and param comparisons, where the
+    right-hand side is not a compile-time literal."""
+    from pyspark.sql import functions as F
+
+    return F.coalesce(F.col("__f_" + field), F.lit(""))
+
+
+def _f_eq_lit(field, value: str):
+    """Null-aware ``__f_<field> = <literal>``.
+
+    The engine projects ``__f_`` as a bare nullable cast (no coalesce)
+    precisely so this comparison stays parquet-pushable; null means ""
+    (reference semantics for absent values), handled here for the one
+    literal that could match it."""
+    from pyspark.sql import functions as F
+
+    c = F.col("__f_" + field)
+    if value == "":
+        return c.isNull() | (c == "")
+    return c == F.lit(value)
+
+
 def _split_clause(attrs):
     """-> (literal_pred, grid_join_cond_or_None, full_pred).
 
@@ -594,7 +619,7 @@ def _split_clause(attrs):
     for field, conditions in attrs.items():
         for expr in conditions:
             if is_param(expr):
-                term = F.col("__f_" + field) == F.col(f"__p_{expr[1:]}")
+                term = _f_col(field) == F.col(f"__p_{expr[1:]}")
                 join_cond = (
                     term if join_cond is None else (join_cond & term)
                 )
@@ -608,9 +633,7 @@ def _split_clause(attrs):
                     ">=": c >= val, "==": c == val,
                 }[op]
             else:
-                lit_pred = lit_pred & (
-                    F.col("__f_" + field) == F.lit(expr)
-                )
+                lit_pred = lit_pred & _f_eq_lit(field, expr)
     full = lit_pred if join_cond is None else (lit_pred & join_cond)
     return lit_pred, join_cond, full
 
@@ -631,7 +654,7 @@ def _literal_pred(attrs):
                     ">=": c >= val, "==": c == val,
                 }[op]
             else:
-                pred = pred & (F.col("__f_" + field) == F.lit(expr))
+                pred = pred & _f_eq_lit(field, expr)
     return pred
 
 
@@ -651,8 +674,10 @@ def _deduped(df, fields, extra_dedup=None):
     order = Window.partitionBy(*part_cols).orderBy("__ts", "__seq")
     same = F.lag("__ts").over(order) == F.col("__ts")
     for f in fields:
+        # lag over the coalesced value: null and "" are the same stored
+        # value (the __f_ projection is a bare nullable cast)
         same = same & (
-            F.lag("__f_" + f).over(order).eqNullSafe(F.col("__f_" + f))
+            F.lag(_f_col(f)).over(order).eqNullSafe(_f_col(f))
         )
     for c in extra_dedup or []:
         same = same & (
@@ -970,7 +995,7 @@ def compile_counter_implicit(
     single_scan = lexicon_df is None
     d = df if no_dedup else _deduped(df, fields, extra_dedup)
     if single_scan:
-        d = d.withColumn(pcol, F.col("__f_" + field))
+        d = d.withColumn(pcol, _f_col(field))
         grid = None
     else:
         # grid = distinct values ∪ {""} — "" is a real tuple (FSM parity:
@@ -980,7 +1005,7 @@ def compile_counter_implicit(
             .unionAll(spark.createDataFrame([("",)], f"`{pcol}` string"))
             .distinct()
         )
-        d = d.join(F.broadcast(grid), F.col("__f_" + field) == F.col(pcol))
+        d = d.join(F.broadcast(grid), _f_col(field) == F.col(pcol))
 
     def param_col(name: str):
         if name == var:
@@ -1005,14 +1030,13 @@ def compile_counter_implicit(
                 "<": c < val, ">": c > val, "<=": c <= val,
                 ">=": c >= val, "==": c == val,
             }[op]
-        col = F.col("__f_" + field_)
         if is_param(expr):
             if expr[0] == "%":
-                return col == param_col(expr)
+                return _f_col(field_) == param_col(expr)
             return F.array_contains(
-                F.coalesce(param_col(expr), F.array()), col
+                F.coalesce(param_col(expr), F.array()), _f_col(field_)
             )
-        return col == F.lit(expr)
+        return _f_eq_lit(field_, expr)
 
     clauses = program.rules[0].get("clauses", [])
     matched = None
@@ -1099,8 +1123,10 @@ def compile_relational(
     same = F.lit(True)
     same = same & (F.lag("__ts").over(order) == F.col("__ts"))
     for f in fields:
+        # lag over the coalesced value: null and "" are the same stored
+        # value (the __f_ projection is a bare nullable cast)
         same = same & (
-            F.lag("__f_" + f).over(order).eqNullSafe(F.col("__f_" + f))
+            F.lag(_f_col(f)).over(order).eqNullSafe(_f_col(f))
         )
     for c in extra_dedup or []:
         same = same & (
@@ -1132,7 +1158,7 @@ def compile_relational(
         if join_fields is not None:
             cond = None
             for var, field in join_fields.items():
-                term = F.col("__f_" + field) == F.col(f"__p_{var[1:]}")
+                term = _f_col(field) == F.col(f"__p_{var[1:]}")
                 cond = term if cond is None else (cond & term)
             df = df.join(F.broadcast(grid), cond)
         else:
@@ -1163,14 +1189,13 @@ def compile_relational(
                 "<": c < val, ">": c > val, "<=": c <= val,
                 ">=": c >= val, "==": c == val,
             }[op]
-        col = F.col("__f_" + field)
         if is_param(expr):
             if expr[0] == "%":
-                return col == param_col(expr)
+                return _f_col(field) == param_col(expr)
             return F.array_contains(
-                F.coalesce(param_col(expr), F.array()), col
+                F.coalesce(param_col(expr), F.array()), _f_col(field)
             )
-        return col == F.lit(expr)
+        return _f_eq_lit(field, expr)
 
     # --- first-match clause resolution as a CASE chain ---
     clauses = program.rules[0].get("clauses", [])
