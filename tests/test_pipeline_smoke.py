@@ -133,3 +133,41 @@ def test_cosine_ivf_pivot_recall(spark):
         ).collect()
     }
     assert len(piv & exact) / len(exact) >= 0.8
+
+
+def test_embedding_near_dup_recall(spark):
+    """Banded-LSH near-dup pairs must be a subset of the exact cosine
+    pair set (verification is exact), with high recall at this
+    threshold/band config."""
+    from pyspark.sql import functions as F
+
+    from trck_spark.pipeline.dedup import embedding_near_dup_pairs
+    from trck_spark.pipeline.similarity import _DOT, QUANT
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.expr(QUANT).alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    dot = F.expr(_DOT.format(a="va", b="vb")).cast("double")
+    na = F.expr(_DOT.format(a="va", b="va")).cast("double")
+    nb = F.expr(_DOT.format(a="vb", b="vb")).cast("double")
+    exact = {
+        (r["a"], r["b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", dot / (F.sqrt(na) * F.sqrt(nb)))
+        .filter(F.col("cos") >= 0.4)
+        .select("a", "b")
+        .collect()
+    }
+    lsh = {
+        (r["a"], r["b"])
+        for r in embedding_near_dup_pairs(
+            spark, SF_DIR, threshold=0.4
+        ).collect()
+    }
+    assert lsh <= exact
+    assert exact, "threshold 0.4 must be non-trivial on the test data"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"near-dup recall too low: {recall}"

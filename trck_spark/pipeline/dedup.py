@@ -384,3 +384,89 @@ def simhash_pairs(spark, sf_dir: str, max_hamming: int = 3):
         .distinct()
         .orderBy("a", "b")
     )
+
+
+def embedding_near_dup_pairs(
+    spark,
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_bands: int = 12,
+    band_planes: int = 3,
+):
+    """Embedding-cosine near-duplicate pairs via banded random-hyperplane
+    LSH: vectors agreeing with a candidate on ANY band's full sign
+    pattern are verified with an exact cosine over the int64-quantized
+    embeddings (see similarity.py — integer dots are order-free exact, so
+    the DuckDB oracle reproduces the whole pipeline bit-for-bit).
+
+    Scale shape: one projection pass computes all band signatures, the
+    explode ships only (vec_id, band, sig) fixed-width keys, candidate
+    pairs materialize per bucket (never all-pairs), are distinct-ed
+    BEFORE verification (a pair colliding in k bands is scored once),
+    and verification joins the vectors back by id.  At a production
+    near-dup threshold (~0.9) band_planes=8+ keeps buckets tiny; the
+    defaults here are tuned to the synthetic table's cosine range
+    (max pair ~0.6) so the demo output is non-empty with recall >= 0.9
+    at threshold 0.4.
+    """
+    from pyspark.sql import functions as F
+
+    from trck_spark.pipeline.similarity import _DOT, QUANT, _lsh_planes
+
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb0.select("embedding").first()[0])
+    planes = _lsh_planes(n_bands * band_planes, dim)
+
+    sigs = []
+    for band in range(n_bands):
+        bits = []
+        for j in range(band_planes):
+            w = planes[band * band_planes + j]
+            arr = "array(%s)" % ", ".join("%dL" % x for x in w)
+            bits.append(
+                f"CASE WHEN aggregate(zip_with(v, {arr}, "
+                f"(x, y) -> x * y), 0L, (acc, s) -> acc + s) >= 0 "
+                f"THEN {1 << j}L ELSE 0L END"
+            )
+        sigs.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.expr(" + ".join(bits)).alias("sig"),
+            )
+        )
+
+    emb = emb0.select("vec_id", F.expr(QUANT).alias("v"))
+    keys = emb.select(
+        "vec_id", F.explode(F.array(*sigs)).alias("e")
+    ).select("vec_id", "e.band", "e.sig")
+    cand = (
+        keys.alias("x")
+        .join(
+            keys.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b")
+        )
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    dot = F.expr(_DOT.format(a="va", b="vb")).cast("double")
+    na = F.expr(_DOT.format(a="va", b="va")).cast("double")
+    nb = F.expr(_DOT.format(a="vb", b="vb")).cast("double")
+    cos = dot / (F.sqrt(na) * F.sqrt(nb))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select(
+            "a",
+            "b",
+            F.floor(F.col("cos") * 1000000).cast("long").alias("cos_e6"),
+        )
+        .orderBy("a", "b")
+    )

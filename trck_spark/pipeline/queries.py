@@ -21,6 +21,10 @@ def q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_pairs(spark, sf_dir, max_hamming=3)
 
 
+def q_embedding_near_dup_pairs(spark, sf_dir):
+    return dedup.embedding_near_dup_pairs(spark, sf_dir, threshold=0.4)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(spark, sf_dir, k=5, n_queries=5)
 
@@ -71,6 +75,7 @@ def pipeline_queries() -> dict:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
@@ -256,6 +261,64 @@ FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS r
 WHERE rn <= 5 ORDER BY qid, score_e6 DESC, did
 """
 
+def _near_dup_oracle_sql(
+    threshold: float = 0.4,
+    n_bands: int = 12,
+    band_planes: int = 3,
+    dim: int = 64,
+) -> str:
+    """DuckDB SQL reproducing embedding_near_dup_pairs bit-for-bit: same
+    integer hyperplane weights, same per-band sign signatures over the
+    quantized embeddings, same distinct candidate pairs, same
+    integer-dot double cosine verification."""
+    from trck_spark.pipeline.similarity import _lsh_planes
+
+    planes = _lsh_planes(n_bands * band_planes, dim)
+    plane_rows = ",\n    ".join(
+        "({}, {}, [{}]::BIGINT[])".format(
+            p // band_planes,
+            1 << (p % band_planes),
+            ", ".join(str(int(w)) for w in planes[p]),
+        )
+        for p in range(n_bands * band_planes)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         [CAST(round(x::DOUBLE * 1000000) AS BIGINT) for x in embedding] AS v
+  FROM embeddings
+),
+planes(band, bit, w) AS (VALUES
+    {plane_rows}
+),
+sig AS (
+  SELECT e.vec_id, pl.band,
+         sum(CASE WHEN list_sum([e.v[i] * pl.w[i]
+                                 for i in generate_series(1, len(e.v))]) >= 0
+                  THEN pl.bit ELSE 0 END)::BIGINT AS sig
+  FROM e CROSS JOIN planes pl GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM sig x JOIN sig y
+    ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id
+),
+s AS (
+  SELECT c.a, c.b,
+         list_sum([p.v[i] * q.v[i]
+                   for i in generate_series(1, len(p.v))])::DOUBLE
+         / (sqrt(list_sum([p.v[i] * p.v[i]
+                           for i in generate_series(1, len(p.v))])::DOUBLE)
+            * sqrt(list_sum([q.v[i] * q.v[i]
+                             for i in generate_series(1, len(q.v))])::DOUBLE))
+         AS cos
+  FROM cand c JOIN e p ON p.vec_id = c.a JOIN e q ON q.vec_id = c.b
+)
+SELECT a, b, floor(cos * 1000000)::BIGINT AS cos_e6
+FROM s WHERE cos >= {threshold} ORDER BY a, b
+"""
+
+
 def _lsh_oracle_sql(k: int = 5, n_planes: int = 8, dim: int = 64) -> str:
     """DuckDB SQL reproducing cosine_topk_lsh exactly: same integer
     hyperplane weights (embedded as a VALUES table of BIGINT lists),
@@ -417,6 +480,7 @@ def pipeline_oracles() -> dict:
         "ngram_jaccard_pairs": _NGRAM_ORACLE,
         "simhash_pairs": _simhash_oracle_sql(),
         "minhash_lsh_pairs": _minhash_oracle_sql(),
+        "embedding_near_dup_pairs": _near_dup_oracle_sql(),
         "ann_cosine_topk": _COSINE_ORACLE,
         "ann_cosine_topk_lsh": _lsh_oracle_sql(),
         "ann_cosine_topk_ivf_pivot": _ivf_pivot_oracle_sql(),
