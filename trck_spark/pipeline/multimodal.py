@@ -117,3 +117,83 @@ SELECT doc_id,
                   // {every_nth} + 1) END::BIGINT AS n_sampled
 FROM documents ORDER BY doc_id
 """
+
+
+def video_frame_sample(
+    spark,
+    sf_dir: str,
+    frame_bytes: int = 64,
+    stride: int = 2,
+):
+    """Frame sampling over fake video containers: a 1-to-N mapInPandas
+    (each blob explodes into its sampled frames) — the batch shape a real
+    ffmpeg-backed sampler would have.  The deterministic fake container
+    reads fps from the byte length and treats each ``frame_bytes`` slice
+    as one frame; every ``stride``-th frame is emitted with its
+    timestamp and an md5 frame fingerprint, so the whole operator is
+    oracle-checkable (documents are ASCII: byte and char offsets agree
+    between the binary slice here and the SQL substring).
+
+    Real decode would replace ``_frames`` with ffmpeg; the Spark-side
+    plumbing — binary column in, multi-row Arrow batches out, no shuffle
+    until the final presentation sort — is the production shape.
+    """
+
+    df = binary_docs(spark, sf_dir)
+
+    def sample(batches):
+        import hashlib
+
+        import pandas as pd
+
+        def _frames(blob):
+            fps = len(blob) % 30 + 1
+            n_frames = len(blob) // frame_bytes
+            for idx in range(0, n_frames, stride):
+                piece = blob[idx * frame_bytes : (idx + 1) * frame_bytes]
+                yield (
+                    idx,
+                    idx * 1000 // fps,
+                    hashlib.md5(piece).hexdigest(),
+                )
+
+        for pdf in batches:
+            rows = [
+                (int(doc_id), idx, ts, h)
+                for doc_id, blob in zip(pdf["doc_id"], pdf["blob"])
+                for idx, ts, h in _frames(blob)
+            ]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "ts_ms", "frame_md5"]
+            )
+
+    return df.mapInPandas(
+        sample,
+        schema="doc_id long, frame_idx long, ts_ms long, frame_md5 string",
+    ).orderBy("doc_id", "frame_idx")
+
+
+def video_frame_sample_oracle_sql(
+    frame_bytes: int = 64, stride: int = 2
+) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         (g - 1) * {stride} AS frame_idx,
+         (g - 1) * {stride} * 1000 // (n % 30 + 1) AS ts_ms,
+         md5(substring(text,
+                       (g - 1) * {stride} * {frame_bytes} + 1,
+                       {frame_bytes})) AS frame_md5
+  FROM d, LATERAL (
+    SELECT unnest(generate_series(
+        1, greatest((n // {frame_bytes} + {stride} - 1) // {stride}, 0)
+    )) AS g)
+)
+SELECT doc_id, frame_idx::BIGINT AS frame_idx, ts_ms::BIGINT AS ts_ms,
+       frame_md5
+FROM f ORDER BY doc_id, frame_idx
+"""

@@ -69,6 +69,10 @@ def q_audio_frame_sample(spark, sf_dir):
     return multimodal.audio_frame_sample(spark, sf_dir)
 
 
+def q_video_frame_sample(spark, sf_dir):
+    return multimodal.video_frame_sample(spark, sf_dir)
+
+
 def pipeline_queries() -> dict:
     return {
         "dedup_exact": q_dedup_exact,
@@ -87,6 +91,7 @@ def pipeline_queries() -> dict:
         "doc_fingerprint": q_doc_fingerprint,
         "image_metadata": q_image_metadata,
         "audio_frame_sample": q_audio_frame_sample,
+        "video_frame_sample": q_video_frame_sample,
     }
 
 
@@ -462,6 +467,7 @@ def pipeline_oracles() -> dict:
     from trck_spark.pipeline.multimodal import (
         audio_frame_sample_oracle_sql,
         image_metadata_oracle_sql,
+        video_frame_sample_oracle_sql,
     )
     from trck_spark.pipeline.text import (
         doc_fingerprint_oracle_sql,
@@ -491,6 +497,7 @@ def pipeline_oracles() -> dict:
         "doc_fingerprint": doc_fingerprint_oracle_sql(),
         "image_metadata": image_metadata_oracle_sql(),
         "audio_frame_sample": audio_frame_sample_oracle_sql(),
+        "video_frame_sample": video_frame_sample_oracle_sql(),
         # minhash_lsh_pairs, simhash_pairs, ann_cosine_topk_lsh,
         # trck_uniques_hll: approximate / hash-defined -> rows-only check
     }
