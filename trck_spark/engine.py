@@ -351,31 +351,70 @@ class TrckSparkEngine:
         df = events_df
         cols = df.columns
 
-        # --- canonical columns ---
-        df = df.withColumn("__uuid", F.col(uuid_col).cast("string"))
-        df = df.withColumn("__ts", F.col(ts_col).cast("long"))
-        df = df.withColumn(
-            "__seq",
-            F.col(seq_col).cast("long") if seq_col else F.monotonically_increasing_id(),
-        )
-        df = df.withColumn(
-            "__db", F.col(db_col).cast("int") if db_col else F.lit(0)
-        )
-
         # --- CNF pre-scan filter: pure Catalyst, pushes to the scan ---
         cond = cnf_to_spark_condition(event_filter, cols)
         if cond is not None:
             df = df.filter(cond)
 
+        exclude_on = exclude is not None and not (
+            isinstance(exclude, (list, set, tuple)) and not exclude
+        )
+        has_window_input = window_entries is not None
+        has_db = db_col is not None
+
+        # dedup_cols="all": exact reference parity — the consecutive-dup
+        # identity compares EVERY stored field (src/ctx.c:106-134), not
+        # just the program-referenced ones (wider Arrow rows; see
+        # COVERAGE.md "Known parity divergences")
+        if dedup_cols == "all":
+            skip = {uuid_col, ts_col, seq_col, db_col}
+            dedup_cols = [c for c in cols if c not in skip]
+        extra_dedup = [
+            c for c in (dedup_cols or []) if c in cols and c not in fields
+        ]
+
+        # --- canonical + program columns in ONE projection (each
+        # withColumn is a py4j round-trip + an analysis pass; on
+        # sub-second queries the chatter is measurable) ---
+        uuid_c = F.col(uuid_col).cast("string")
+        sel = [
+            uuid_c.alias("__uuid"),
+            F.col(ts_col).cast("long").alias("__ts"),
+            (
+                F.col(seq_col).cast("long")
+                if seq_col
+                else F.monotonically_increasing_id()
+            ).alias("__seq"),
+            (
+                F.col(db_col).cast("int") if db_col else F.lit(0)
+            ).alias("__db"),
+        ]
         # canonical 32-hex cookie form of the uuid (matches
         # runner.cookie_to_bytes: well-formed hex passes through, anything
         # else is utf-8 zero-padded to 16 bytes) — exclude/window side
         # inputs are keyed by this form, as in the reference
-        exclude_on = exclude is not None and not (
-            isinstance(exclude, (list, set, tuple)) and not exclude
-        )
-        if exclude_on or window_entries is not None:
-            df = df.withColumn("__uuid_hex", _uuid_hex_col(F.col("__uuid")))
+        if exclude_on or has_window_input:
+            sel.append(_uuid_hex_col(uuid_c).alias("__uuid_hex"))
+        for f in fields:
+            if f in cols:
+                # nullable cast, NOT coalesce(.., ''): null reads as ""
+                # at every consumer (planner predicates are null-aware,
+                # the FSM feed fills ""), but keeping the bare cast lets
+                # Catalyst push literal equality filters down to the
+                # parquet scan — coalesce() blocks pushdown entirely,
+                # which at 100 TB is the difference between pruning
+                # row-groups and reading everything
+                sel.append(F.col(f).cast("string").alias("__f_" + f))
+            else:
+                # referenced but absent: reads as "" (reference semantics)
+                sel.append(F.lit("").alias("__f_" + f))
+        for c in extra_dedup:
+            sel.append(
+                F.coalesce(F.col(c).cast("string"), F.lit("")).alias(
+                    "__d_" + c
+                )
+            )
+        df = df.select(*sel)
 
         # --- exclude anti-join: a driver list broadcasts (CLI exclude
         # files are small); a DataFrame joins distributed — at 100 TB an
@@ -401,7 +440,6 @@ class TrckSparkEngine:
         # LIST (the same uuid may appear on several lines, each an
         # independent evaluation — reference match_traildb.c:521-549), so
         # every entry needs a distinct __entry id within its uuid. ---
-        has_window_input = window_entries is not None
         if has_window_input:
             if isinstance(window_entries, list):
                 w_df = self.spark.createDataFrame(
@@ -452,43 +490,15 @@ class TrckSparkEngine:
                 & (F.col("__ts") < F.col("__wend"))
             )
 
-        # --- project to program fields (column pruning reaches the scan);
-        # constant metadata columns are NOT shipped through Arrow ---
-        has_db = db_col is not None
+        # --- prune to the live columns (constant metadata columns are
+        # NOT shipped through Arrow) ---
         proj = ["__uuid", "__ts", "__seq"]
         if has_db:
             proj.append("__db")
         if has_window_input:
             proj += ["__entry", "__wstart", "__wend", "__eff"]
-        for f in fields:
-            if f in cols:
-                # nullable cast, NOT coalesce(.., ''): null reads as ""
-                # at every consumer (planner predicates are null-aware,
-                # the FSM feed fills ""), but keeping the bare cast lets
-                # Catalyst push literal equality filters down to the
-                # parquet scan — coalesce() blocks pushdown entirely,
-                # which at 100 TB is the difference between pruning
-                # row-groups and reading everything
-                df = df.withColumn("__f_" + f, F.col(f).cast("string"))
-            else:
-                # referenced but absent: reads as "" (reference semantics)
-                df = df.withColumn("__f_" + f, F.lit(""))
-            proj.append("__f_" + f)
-        # dedup_cols="all": exact reference parity — the consecutive-dup
-        # identity compares EVERY stored field (src/ctx.c:106-134), not
-        # just the program-referenced ones (wider Arrow rows; see
-        # COVERAGE.md "Known parity divergences")
-        if dedup_cols == "all":
-            skip = {uuid_col, ts_col, seq_col, db_col}
-            dedup_cols = [c for c in cols if c not in skip]
-        extra_dedup = [
-            c for c in (dedup_cols or []) if c in cols and c not in fields
-        ]
-        for c in extra_dedup:
-            df = df.withColumn(
-                "__d_" + c, F.coalesce(F.col(c).cast("string"), F.lit(""))
-            )
-            proj.append("__d_" + c)
+        proj += ["__f_" + f for f in fields]
+        proj += ["__d_" + c for c in extra_dedup]
         df = df.select(*proj)
 
         from trck_spark.planner import (

@@ -1068,26 +1068,28 @@ def compile_counter_implicit(
         if expr is None:
             expr = F.lit(0)
         aggs.append(F.sum(expr).cast("long").alias(v[1:]))
-    grouped = d.groupBy(pcol).agg(*aggs)
-
     cnames = [v[1:] for v in program.yield_counters]
     if single_scan:
         # every distinct value IS a group key already (dedup keeps >=1 row
         # per run, a non-matching row still lands in its value's group
         # with weight 0) — only the implicit "" tuple may be missing.
-        # union a zero row and re-aggregate (tiny: grid-cardinality rows).
-        zero = spark.createDataFrame(
-            [("",) + (0,) * len(cnames)],
-            f"`{pcol}` string, " + ", ".join(f"`{c}` long" for c in cnames),
-        )
+        # Densification rides the SAME aggregation: union one synthetic
+        # ("", no-clause) INPUT row before the groupBy, so the whole
+        # query stays one exchange (the union-then-re-aggregate form
+        # added a second shuffle stage + AQE round to every query).
+        slim = d.select(F.col(pcol), F.col("__clause"))
+        synth = spark.createDataFrame(
+            [("",)], f"`{pcol}` string"
+        ).withColumn("__clause", F.lit(None).cast("integer"))
         return (
-            grouped.unionByName(zero)
+            slim.unionByName(synth)
             .groupBy(pcol)
-            .agg(*[F.sum(c).cast("long").alias(c) for c in cnames])
+            .agg(*aggs)
             .select(
                 F.col(pcol).alias(var[1:]), *[F.col(c) for c in cnames]
             )
         )
+    grouped = d.groupBy(pcol).agg(*aggs)
     return (
         grid.join(grouped, pcol, "left")
         .fillna(0, subset=cnames)
