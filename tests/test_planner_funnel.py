@@ -148,10 +148,21 @@ def test_funnel_window_entries_are_independent(spark):
     assert fast == slow == {"$conv": 1}
 
 
-def test_funnel_multidb_falls_back_to_fsm(spark):
-    """db-major assembly can put a smaller-ts click after a timeout-firing
-    event; the min-agg rewrite is unsound there, so db_col must route to
-    the FSM path (results equal by construction — assert the semantics)."""
+def _both_db(spark, df):
+    os.environ.pop("TRCK_SPARK_NO_FASTPATH", None)
+    fast = _run(spark, df, db_col="db")
+    os.environ["TRCK_SPARK_NO_FASTPATH"] = "1"
+    try:
+        slow = _run(spark, df, db_col="db")
+    finally:
+        os.environ.pop("TRCK_SPARK_NO_FASTPATH", None)
+    return fast, slow
+
+
+def test_funnel_multidb_quit_before_smaller_ts_click(spark):
+    """db-major assembly puts a smaller-ts click after a timeout-firing
+    event; the stream-position compiled form must fire the quit (the
+    naive min-agg would count the conversion)."""
     dbs = [
         {
             COOKIE: [
@@ -161,12 +172,40 @@ def test_funnel_multidb_falls_back_to_fsm(spark):
         },
         {COOKIE: [{"timestamp": 300, "event_type": "click"}]},
     ]
-    df = trails_json_to_df(spark, dbs)
-    os.environ.pop("TRCK_SPARK_NO_FASTPATH", None)
-    fast = _run(spark, df, db_col="db")
-    os.environ["TRCK_SPARK_NO_FASTPATH"] = "1"
-    try:
-        slow = _run(spark, df, db_col="db")
-    finally:
-        os.environ.pop("TRCK_SPARK_NO_FASTPATH", None)
+    fast, slow = _both_db(spark, trails_json_to_df(spark, dbs))
+    assert fast == slow == {"$conv": 0}
+
+
+def test_funnel_multidb_converts_across_dbs(spark):
+    """view in db0, click in db1 inside the window, no intermediate
+    timeout event -> conversion carries across the db boundary."""
+    dbs = [
+        {COOKIE: [{"timestamp": 1000, "event_type": "view"}]},
+        {COOKIE: [{"timestamp": 2000, "event_type": "click"}]},
+    ]
+    fast, slow = _both_db(spark, trails_json_to_df(spark, dbs))
+    assert fast == slow == {"$conv": 1}
+
+
+def test_funnel_multidb_click_before_view_in_stream(spark):
+    """the click lives in an EARLIER db than the view, so in stream
+    order it precedes the A event and must not convert, even though
+    its timestamp is inside the window."""
+    dbs = [
+        {COOKIE: [{"timestamp": 500, "event_type": "click"}]},
+        {COOKIE: [{"timestamp": 100, "event_type": "view"}]},
+    ]
+    fast, slow = _both_db(spark, trails_json_to_df(spark, dbs))
+    assert fast == slow == {"$conv": 0}
+
+
+def test_funnel_multidb_click_at_deadline_quits(spark):
+    """the first click after the view arrives exactly at the deadline:
+    the after-edge fires before the clause match (expires > ts must
+    hold to stay in the block)."""
+    dbs = [
+        {COOKIE: [{"timestamp": 0, "event_type": "view"}]},
+        {COOKIE: [{"timestamp": 3600, "event_type": "click"}]},
+    ]
+    fast, slow = _both_db(spark, trails_json_to_df(spark, dbs))
     assert fast == slow == {"$conv": 0}

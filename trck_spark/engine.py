@@ -587,11 +587,15 @@ class TrckSparkEngine:
             )
             return TrckResultSet(self, agg_df, program, tuples, fn_registry)
         if fastpath_on:
-            # funnel min-agg rewrite is unsound under db-major assembly
-            # (timeout edge can fire before a smaller-ts B in a later db);
-            # sessions/bounce/attribution compile exactly for any stream
-            # order, so they stay on the fast path with db_col set.
-            if is_simple_funnel_program(program) and not has_db:
+            # funnels compile for any stream order: single-db uses the
+            # min-agg rewrite, multi-db the stream-position form
+            # (planner.compile_funnel db branch) — except grids, where
+            # the segment-max guard would need every event per tuple
+            # (FSM path instead).  sessions/bounce/attribution compile
+            # exactly for any stream order with db_col set.
+            if is_simple_funnel_program(program) and not (
+                has_db and program.groupby
+            ):
                 agg_df = compile_funnel(
                     self, df, program, tuples, extra_dedup,
                     no_dedup=no_dedup, clustered=assume_clustered,

@@ -229,6 +229,68 @@ def compile_funnel(engine, df, program: Program, tuples=None,
             weights_w,
         )
 
+    if grid is None and "__db" in d.columns:
+        # db-major stream-order form (multi-db): under cross-TrailDB
+        # state carry timestamps are NOT monotonic along the stream, so
+        # "b.ts < a.ts + N" alone is unsound — an intermediate event
+        # with ts >= deadline fires the `after -> quit` edge before the
+        # B is ever reached.  Evaluate in true stream position
+        # pos = (db, ts, seq): first A = min pos among A-matches, first
+        # B after it, and the quit guard is max(ts) over the stream
+        # segment (A, B] staying under the deadline.  Two chained
+        # whole-partition windows share one sort; trails are small, so
+        # the unbounded frames buffer a few hundred rows.
+        from pyspark.sql.window import Window
+
+        a_pred, _j, _f = _split_clause(r0["clauses"][0]["attrs"])
+        b_pred, _j2, _f2 = _split_clause(r1["clauses"][0]["attrs"])
+        part = [c for c in ("__uuid", "__entry") if c in d.columns]
+        wfull = (
+            Window.partitionBy(*part)
+            .orderBy("__db", "__ts", "__seq")
+            .rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        dd = d.withColumn(
+            "__pos", F.struct("__db", "__ts", "__seq")
+        ).withColumn(
+            "__a", F.min(F.when(a_pred, F.col("__pos"))).over(wfull)
+        )
+        dd = dd.withColumn(
+            "__b",
+            F.min(
+                F.when(
+                    b_pred & (F.col("__pos") > F.col("__a")),
+                    F.col("__pos"),
+                )
+            ).over(wfull),
+        )
+        conv = (
+            dd.filter(F.col("__b").isNotNull())
+            .groupBy(*part)
+            .agg(
+                F.max(
+                    F.when(
+                        (F.col("__pos") > F.col("__a"))
+                        & (F.col("__pos") <= F.col("__b")),
+                        F.col("__ts"),
+                    )
+                ).alias("__seg_max"),
+                F.first(F.col("__a.__ts")).alias("__a_ts"),
+            )
+            .filter(F.col("__seg_max") < F.col("__a_ts") + window)
+        )
+        n_conv = conv.agg(F.count(F.lit(1)).alias("n")).withColumn(
+            "__tuple_id", F.lit(0).cast("long")
+        )
+        weights_db: dict[str, int] = {}
+        for y in r1["clauses"][0]["yield"]:
+            weights_db[y["dst"]] = weights_db.get(y["dst"], 0) + 1
+        return _counter_pieces(
+            program, n_conv.select("__tuple_id", "n"), weights_db
+        )
+
     def _stage(clause):
         lit_pred, join_cond, _full = _split_clause(clause["attrs"])
         out = d.filter(lit_pred)
