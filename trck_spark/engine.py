@@ -500,6 +500,10 @@ class TrckSparkEngine:
         proj += ["__f_" + f for f in fields]
         proj += ["__d_" + c for c in extra_dedup]
         df = df.select(*proj)
+        # planner reads column membership from this tuple instead of
+        # df.columns — each .columns on a fresh plan runs the full JVM
+        # analyzer, which is measurable on sub-second queries
+        df._trck_cols = tuple(proj)
 
         from trck_spark.planner import (
             _equi_join_fields,
@@ -632,7 +636,7 @@ class TrckSparkEngine:
         sort_cols = [
             c
             for c in ("__uuid", "__entry", "__db", "__ts", "__seq")
-            if c in df.columns
+            if c in proj
         ]
         df = df.sortWithinPartitions(*sort_cols)
 

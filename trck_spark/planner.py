@@ -147,11 +147,11 @@ def compile_funnel(engine, df, program: Program, tuples=None,
 
     Window-file side inputs are supported: each (uuid, entry) line is an
     independent evaluation unit, so __entry joins the aggregation keys.
-    Multi-db inputs are NOT (engine gates this path on db_col being
-    unset): under db-major assembly timestamps can be non-monotonic, and
-    the ``after N -> quit`` edge can fire on an intermediate event before
-    a B with a smaller timestamp is reached — not expressible as a pure
-    min-aggregation."""
+    Multi-db inputs take the stream-position branch below (db-major
+    assembly makes timestamps non-monotonic, so the min-agg rewrite
+    alone is unsound there); multi-db + foreach grids stay on the FSM
+    path — the segment-max guard would need every event replicated per
+    tuple, where the FSM ships each event once."""
     from pyspark.sql import functions as F
 
     r0, r1 = program.rules
@@ -177,8 +177,8 @@ def compile_funnel(engine, df, program: Program, tuples=None,
         grid is None
         and clustered
         and dedup_free
-        and "__entry" not in d.columns
-        and "__db" not in d.columns
+        and "__entry" not in _cols(d)
+        and "__db" not in _cols(d)
     ):
         # single-pass form for trail-clustered sorted input (TrailStore):
         # a running min over the store's (uuid, ts, seq) order finds the
@@ -227,9 +227,10 @@ def compile_funnel(engine, df, program: Program, tuples=None,
             program,
             n_conv.select(F.col("__tuple_id"), F.col("n")),
             weights_w,
+            has_grid=True,
         )
 
-    if grid is None and "__db" in d.columns:
+    if grid is None and "__db" in _cols(d):
         # db-major stream-order form (multi-db): under cross-TrailDB
         # state carry timestamps are NOT monotonic along the stream, so
         # "b.ts < a.ts + N" alone is unsound — an intermediate event
@@ -244,7 +245,7 @@ def compile_funnel(engine, df, program: Program, tuples=None,
 
         a_pred, _j, _f = _split_clause(r0["clauses"][0]["attrs"])
         b_pred, _j2, _f2 = _split_clause(r1["clauses"][0]["attrs"])
-        part = [c for c in ("__uuid", "__entry") if c in d.columns]
+        part = [c for c in ("__uuid", "__entry") if c in _cols(d)]
         wfull = (
             Window.partitionBy(*part)
             .orderBy("__db", "__ts", "__seq")
@@ -288,7 +289,8 @@ def compile_funnel(engine, df, program: Program, tuples=None,
         for y in r1["clauses"][0]["yield"]:
             weights_db[y["dst"]] = weights_db.get(y["dst"], 0) + 1
         return _counter_pieces(
-            program, n_conv.select("__tuple_id", "n"), weights_db
+            program, n_conv.select("__tuple_id", "n"), weights_db,
+            has_grid=True,
         )
 
     def _stage(clause):
@@ -304,7 +306,7 @@ def compile_funnel(engine, df, program: Program, tuples=None,
     # a constant __tuple_id must NOT be a grouping key: the literal both
     # breaks hash-aggregation order reuse and inserts a Sort a
     # trail-clustered (bucketed) scan would otherwise elide
-    keys = [c for c in ("__uuid", "__entry") if c in d.columns]
+    keys = [c for c in ("__uuid", "__entry") if c in _cols(d)]
     if grid is not None:
         keys.append("__tuple_id")
     a = (
@@ -720,6 +722,15 @@ def _literal_pred(attrs):
     return pred
 
 
+def _cols(df):
+    """Column names without triggering analysis: the engine attaches
+    the projection list as ``_trck_cols`` (each ``df.columns`` on a
+    fresh plan runs the full JVM analyzer — measurable driver latency
+    on sub-second queries)."""
+    c = getattr(df, "_trck_cols", None)
+    return c if c is not None else df.columns
+
+
 def _deduped(df, fields, extra_dedup=None):
     """Consecutive-duplicate removal via lag (one uuid-clustered window).
 
@@ -731,7 +742,7 @@ def _deduped(df, fields, extra_dedup=None):
     from pyspark.sql.window import Window
 
     part_cols = [
-        c for c in ("__uuid", "__entry", "__db") if c in df.columns
+        c for c in ("__uuid", "__entry", "__db") if c in _cols(df)
     ]
     order = Window.partitionBy(*part_cols).orderBy("__ts", "__seq")
     same = F.lag("__ts").over(order) == F.col("__ts")
@@ -745,9 +756,11 @@ def _deduped(df, fields, extra_dedup=None):
         same = same & (
             F.lag("__d_" + c).over(order).eqNullSafe(F.col("__d_" + c))
         )
-    return df.withColumn(
+    out = df.withColumn(
         "__dup", F.coalesce(same, F.lit(False))
     ).filter(~F.col("__dup"))
+    out._trck_cols = tuple(_cols(df)) + ("__dup",)
+    return out
 
 
 def _trail_part_order(d):
@@ -758,19 +771,20 @@ def _trail_part_order(d):
     db, ts, seq — mirroring the reference's cross-TrailDB state carry).
     So stateful shape windows partition by (uuid, entry) only and order
     by (db, ts, seq); __db must NOT be a partition key."""
-    part = [c for c in ("__uuid", "__entry") if c in d.columns]
-    order = [c for c in ("__db", "__ts", "__seq") if c in d.columns]
+    part = [c for c in ("__uuid", "__entry") if c in _cols(d)]
+    order = [c for c in ("__db", "__ts", "__seq") if c in _cols(d)]
     return part, order
 
 
-def _counter_pieces(program, n_df, weights):
+def _counter_pieces(program, n_df, weights, has_grid):
     """Counter partials from an ``n`` frame: one row (or one per
     __tuple_id when present) per counter var, weighted by yield
     multiplicity.  Missing tuples densify to zero downstream
-    (TrckResultSet.counters_df grid left-join)."""
+    (TrckResultSet.counters_df grid left-join).  ``has_grid`` states
+    whether n_df carries __tuple_id (callers know statically; probing
+    n_df.columns would run the analyzer on the whole plan)."""
     from pyspark.sql import functions as F
 
-    has_grid = "__tuple_id" in n_df.columns
     tid = (
         F.col("__tuple_id").cast("long")
         if has_grid
@@ -835,7 +849,7 @@ def compile_sessions(engine, df, program: Program, tuples=None,
         # wildcard A: every island yields — count session starts directly
         starts = d.filter(start_flag == 1)
         n_df = starts.agg(F.count(F.lit(1)).alias("n"))
-        return _counter_pieces(program, n_df, weights)
+        return _counter_pieces(program, n_df, weights, has_grid=False)
 
     # island id = running count of session starts within the trail
     d = d.withColumn(
@@ -856,7 +870,7 @@ def compile_sessions(engine, df, program: Program, tuples=None,
     n_df = matched.groupBy("__tuple_id").agg(
         F.count_distinct(*part_cols, F.col("__isl")).alias("n")
     )
-    return _counter_pieces(program, n_df, weights)
+    return _counter_pieces(program, n_df, weights, has_grid=True)
 
 
 def compile_bounce(engine, df, program: Program, tuples=None,
@@ -901,7 +915,7 @@ def compile_bounce(engine, df, program: Program, tuples=None,
         n_df = bounces.groupBy("__tuple_id").agg(
             F.count(F.lit(1)).alias("n")
         )
-    return _counter_pieces(program, n_df, weights)
+    return _counter_pieces(program, n_df, weights, has_grid=grid is not None)
 
 
 def compile_attribution(engine, df, program: Program, tuples=None,
@@ -979,7 +993,7 @@ def compile_attribution(engine, df, program: Program, tuples=None,
         n_df = hits.groupBy("__tuple_id").agg(
             F.count(F.lit(1)).alias("n")
         )
-        return _counter_pieces(program, n_df, weights_g)
+        return _counter_pieces(program, n_df, weights_g, has_grid=True)
 
     pred_a = _literal_pred(r0["clauses"][0]["attrs"])
     pred_b = _literal_pred(r1["clauses"][1]["attrs"])
@@ -1008,7 +1022,7 @@ def compile_attribution(engine, df, program: Program, tuples=None,
         & (F.col("__max_prev_ts") < F.col("__a_ts") + window)
     )
     n_df = hits.agg(F.count(F.lit(1)).alias("n"))
-    return _counter_pieces(program, n_df, weights_g)
+    return _counter_pieces(program, n_df, weights_g, has_grid=False)
 
 
 def compile_counter_implicit(
@@ -1181,7 +1195,7 @@ def compile_relational(
     # --- consecutive-duplicate dedup (reference ctx.c:106-134): drop rows
     # identical to their predecessor within the (uuid, entry, db) trail ---
     part_cols = [
-        c for c in ("__uuid", "__entry", "__db") if c in df.columns
+        c for c in ("__uuid", "__entry", "__db") if c in _cols(df)
     ]
     order = Window.partitionBy(*part_cols).orderBy("__ts", "__seq")
     same = F.lit(True)
