@@ -210,7 +210,8 @@ def main() -> None:
     ]
     for extra in ("trck_sessions_by_type", "dedup_exact",
                   "ngram_jaccard_pairs", "ann_cosine_topk",
-                  "minhash_lsh_pairs", "text_quality"):
+                  "minhash_lsh_pairs", "text_quality",
+                  "embedding_near_dup_pairs", "video_frame_sample"):
         if extra in queries:
             bench_names.append(extra)
 
@@ -218,6 +219,18 @@ def main() -> None:
     # warm the JVM, codegen, python workers and parquet footers
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
     queries["trck_count_clicks"](spark, sf_dir).count()
+
+    # the baseline gate runs FIRST: its 20M-event dataset is freshly
+    # written/read (page-cache warm) and the heavy sf0.1 pipeline
+    # queries haven't pressured memory yet — running it last made the
+    # DuckDB oracle's wallclock swing 4-6x between invocations
+    baseline = None
+    if os.environ.get("SPARK_GRAFT_SKIP_BASELINE") != "1":
+        try:
+            baseline = run_baseline_gate(spark)
+        except Exception as e:  # never let the gate break the contract line
+            baseline = {"error": f"{type(e).__name__}: {e}"}
+            print(f"# baseline gate failed: {e}", file=sys.stderr)
 
     for name in bench_names:
         fn = queries[name]
@@ -248,14 +261,6 @@ def main() -> None:
         f"{n_trails / b1:.0f}, events/sec = {n_events / b1:.0f}",
         file=sys.stderr,
     )
-
-    baseline = None
-    if os.environ.get("SPARK_GRAFT_SKIP_BASELINE") != "1":
-        try:
-            baseline = run_baseline_gate(spark)
-        except Exception as e:  # never let the gate break the contract line
-            baseline = {"error": f"{type(e).__name__}: {e}"}
-            print(f"# baseline gate failed: {e}", file=sys.stderr)
 
     result = {
         "metric": "bench_total",
