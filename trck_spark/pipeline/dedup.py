@@ -435,7 +435,15 @@ def embedding_near_dup_pairs(
             )
         )
 
-    emb = emb0.select("vec_id", F.expr(QUANT).alias("v"))
+    # squared norm computed ONCE per vector — recomputing it per pair
+    # (the naive form) is 2x64 wasted ops on millions of candidates
+    n2 = (
+        f"aggregate(zip_with({QUANT}, {QUANT}, (x, y) -> x * y), "
+        "0L, (acc, s) -> acc + s)"
+    )
+    emb = emb0.select(
+        "vec_id", F.expr(QUANT).alias("v"), F.expr(n2).alias("n2")
+    )
     keys = emb.select(
         "vec_id", F.explode(F.array(*sigs)).alias("e")
     ).select("vec_id", "e.band", "e.sig")
@@ -452,12 +460,21 @@ def embedding_near_dup_pairs(
         )
         .distinct()
     )
-    va = emb.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    va = emb.select(
+        F.col("vec_id").alias("a"),
+        F.col("v").alias("va"),
+        F.col("n2").alias("na2"),
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("b"),
+        F.col("v").alias("vb"),
+        F.col("n2").alias("nb2"),
+    )
     dot = F.expr(_DOT.format(a="va", b="vb")).cast("double")
-    na = F.expr(_DOT.format(a="va", b="va")).cast("double")
-    nb = F.expr(_DOT.format(a="vb", b="vb")).cast("double")
-    cos = dot / (F.sqrt(na) * F.sqrt(nb))
+    cos = dot / (
+        F.sqrt(F.col("na2").cast("double"))
+        * F.sqrt(F.col("nb2").cast("double"))
+    )
     return (
         cand.join(va, "a")
         .join(vb, "b")

@@ -288,10 +288,16 @@ def _near_dup_oracle_sql(
         for p in range(n_bands * band_planes)
     )
     return f"""
-WITH e AS (
+WITH e0 AS (
   SELECT vec_id,
          [CAST(round(x::DOUBLE * 1000000) AS BIGINT) for x in embedding] AS v
   FROM embeddings
+),
+e AS (
+  SELECT vec_id, v,
+         list_sum([v[i] * v[i]
+                   for i in generate_series(1, len(v))]) AS n2
+  FROM e0
 ),
 planes(band, bit, w) AS (VALUES
     {plane_rows}
@@ -312,11 +318,7 @@ s AS (
   SELECT c.a, c.b,
          list_sum([p.v[i] * q.v[i]
                    for i in generate_series(1, len(p.v))])::DOUBLE
-         / (sqrt(list_sum([p.v[i] * p.v[i]
-                           for i in generate_series(1, len(p.v))])::DOUBLE)
-            * sqrt(list_sum([q.v[i] * q.v[i]
-                             for i in generate_series(1, len(q.v))])::DOUBLE))
-         AS cos
+         / (sqrt(p.n2::DOUBLE) * sqrt(q.n2::DOUBLE)) AS cos
   FROM cand c JOIN e p ON p.vec_id = c.a JOIN e q ON q.vec_id = c.b
 )
 SELECT a, b, floor(cos * 1000000)::BIGINT AS cos_e6
