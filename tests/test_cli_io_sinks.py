@@ -116,3 +116,34 @@ foreach %aeid
     rows = json.loads(out.read_text())
     by_aeid = {r["%aeid"]: r["$match"] for r in rows}
     assert by_aeid == {"": 0, "a1": 1, "a2": 1}
+
+
+def test_cli_emit_matcher_compile_only(tmp_path):
+    """`--emit-matcher` with no event paths is the reference's
+    `trck -c prog.tr -o matcher` compile entry point: writes the
+    generated per-trail matcher source and exits without Spark."""
+    import subprocess
+    import sys as _sys
+
+    prog = tmp_path / "f.tr"
+    prog.write_text(
+        'start ->\n    receive\n        event_type = "click" -> '
+        "yield $n\n        * -> repeat\n"
+    )
+    out = tmp_path / "matcher.py"
+    res = subprocess.run(
+        [_sys.executable, "-m", "trck_spark", str(prog),
+         "--emit-matcher", str(out)],
+        capture_output=True, cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr.decode()[-1000:]
+    src = out.read_text()
+    assert "def match_trail(events, state, results, env, ev):" in src
+    # the emitted source must be valid python
+    compile(src, str(out), "exec")
+    # no events and no --emit-matcher -> usage error
+    res2 = subprocess.run(
+        [_sys.executable, "-m", "trck_spark", str(prog)],
+        capture_output=True, cwd="/root/repo",
+    )
+    assert res2.returncode != 0
