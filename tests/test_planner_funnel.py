@@ -209,3 +209,31 @@ def test_funnel_multidb_click_at_deadline_quits(spark):
     ]
     fast, slow = _both_db(spark, trails_json_to_df(spark, dbs))
     assert fast == slow == {"$conv": 0}
+
+
+def test_funnel_multidb_random_differential(spark):
+    """Random trails with random db splits: the stream-position compiled
+    form must agree with the FSM path on every trail (seeded, so
+    deterministic across runs)."""
+    import random
+
+    rng = random.Random(20260813)
+    types = ["view", "click", "error", "buy"]
+    db0: dict = {}
+    db1: dict = {}
+    for i in range(60):
+        u = f"rnd{i:03d}"
+        n = rng.randint(1, 10)
+        ts = 0
+        evs = []
+        for _ in range(n):
+            ts += rng.choice([1, 100, 1700, 1900, 3500, 3700, 4000])
+            evs.append({"timestamp": ts, "event_type": rng.choice(types)})
+        cut = rng.randint(0, len(evs))
+        # db0 takes a prefix, db1 the rest — db-major assembly then
+        # interleaves non-monotonic timestamps whenever cut > 0
+        db0[u] = evs[:cut]
+        db1[u] = rng.sample(evs[cut:], len(evs) - cut)
+    df = trails_json_to_df(spark, [db0, db1])
+    fast, slow = _both_db(spark, df)
+    assert fast == slow
