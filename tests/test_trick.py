@@ -244,3 +244,46 @@ def test_trick_nested_window_differential():
             PROG_NESTED_WINDOW, {"u": case.trail}
         )
         assert interp == gen, (case.mask, case.gaps, interp, gen)
+
+
+def test_trick_corpus_grid_shapes_multidb(spark):
+    """The parameterized sessions/bounce compiled shapes stay enabled
+    with db_col set (stream-order-exact constructions): split every
+    generated trail across two DBs (alternating events, so db-major
+    assembly scrambles timestamps hard) and diff fast vs FSM.
+    Attribution's grid path is gated to single-db, so with db_col it
+    routes to FSM on both sides — included as a routing check."""
+    import trck_spark.queries as Q
+    from trck_spark.engine import TrckSparkEngine
+    from trck_spark.io import trails_json_to_df
+
+    spec = [
+        ev({"event_type": "view"}),
+        between(0, 3000, steps=3),
+        ev({"event_type": "click"}),
+        between(0, 700000, steps=3),
+        ev({"event_type": "purchase"}),
+    ]
+    cases = generate(spec, adversarial=True, fillers=2)
+    db0 = {f"case{i:03d}": c.trail[0::2] for i, c in enumerate(cases)}
+    db1 = {f"case{i:03d}": c.trail[1::2] for i, c in enumerate(cases)}
+    df = trails_json_to_df(spark, [db0, db1])
+    for progname in (
+        "PROG_SESSIONS_BY_TYPE", "PROG_BOUNCE_BY_TYPE",
+        "PROG_ATTRIBUTION_BY_TYPE",
+    ):
+        prog = getattr(Q, progname)
+
+        def run():
+            return TrckSparkEngine(spark).run(
+                df, prog, uuid_col="uuid", ts_col="timestamp",
+                seq_col="seq", db_col="db",
+            ).collect_json()
+
+        fast = run()
+        os.environ["TRCK_SPARK_NO_FASTPATH"] = "1"
+        try:
+            slow = run()
+        finally:
+            os.environ.pop("TRCK_SPARK_NO_FASTPATH", None)
+        assert fast == slow, progname
