@@ -147,3 +147,36 @@ def test_cli_emit_matcher_compile_only(tmp_path):
         capture_output=True, cwd="/root/repo",
     )
     assert res2.returncode != 0
+
+
+def test_cli_json_event_input(spark, tmp_path):
+    """A .json event path (trails-JSON, the json2tdb input shape) is
+    accepted directly and mixes with parquet DBs in path order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import subprocess
+    import sys as _sys
+
+    c = "ab" * 16
+    (tmp_path / "db0.json").write_text(json.dumps(
+        {c: [{"timestamp": 100, "event_type": "view"},
+             {"timestamp": 200, "event_type": "click"}]}
+    ))
+    pq.write_table(
+        pa.table({"uuid": [c], "timestamp": [300], "seq": [0],
+                  "event_type": ["click"]}),
+        tmp_path / "db1.parquet",
+    )
+    (tmp_path / "p.tr").write_text(
+        'start ->\n    receive\n        event_type = "click" -> '
+        "yield $n\n        * -> repeat\n"
+    )
+    out = tmp_path / "out.json"
+    res = subprocess.run(
+        [_sys.executable, "-m", "trck_spark", str(tmp_path / "p.tr"),
+         str(tmp_path / "db0.json"), str(tmp_path / "db1.parquet"),
+         "--seq-col", "seq", "--output", str(out)],
+        capture_output=True, cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr.decode()[-1500:]
+    assert json.loads(out.read_text()) == {"$n": 2}
