@@ -32,6 +32,13 @@ def load_events(spark, sf_dir: str):
     if ts_type == "bigint":
         # TIMESTAMP(NANOS) read via nanosAsLong -> floor to epoch seconds
         ts_col = F.expr("ts div 1000000000")
+    elif ts_type == "timestamp_ntz":
+        # naive timestamp[us]: epoch seconds computed timezone-free, so the
+        # result matches DuckDB's epoch_ns(ts) // 1e9 on the same naive value
+        # regardless of session/driver timezone (NTZ -> BIGINT cast is illegal)
+        ts_col = F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
     else:
         ts_col = F.col("ts").cast("long")
     return (
