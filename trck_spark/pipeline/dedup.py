@@ -26,6 +26,21 @@ SHINGLES = (
 )
 
 
+def spread_input(spark, df):
+    """Widen a narrow scan to the session's parallelism.
+
+    A small local table is one parquet file -> one input partition, which
+    serializes every downstream narrow stage (shingling, quantization,
+    signatures) onto a single core.  At production scale the file count
+    far exceeds the core count and this is a no-op — the repartition only
+    fires when the scan has fewer partitions than the cluster has slots.
+    """
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def normalized_docs(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
@@ -55,7 +70,9 @@ def shingle_df(spark, sf_dir: str):
     """(doc_id, shingle) exploded, distinct per doc."""
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spread_input(
+        spark, spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
     return (
         docs.select("doc_id", F.expr(WORDS).alias("w"))
         .select("doc_id", F.explode(F.expr(SHINGLES)).alias("s"))
@@ -413,7 +430,9 @@ def embedding_near_dup_pairs(
 
     from trck_spark.pipeline.similarity import _DOT, QUANT, _lsh_planes
 
-    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb0 = spread_input(
+        spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
     dim = len(emb0.select("embedding").first()[0])
     planes = _lsh_planes(n_bands * band_planes, dim)
 
@@ -441,12 +460,17 @@ def embedding_near_dup_pairs(
         f"aggregate(zip_with({QUANT}, {QUANT}, (x, y) -> x * y), "
         "0L, (acc, s) -> acc + s)"
     )
+    # quantized vectors feed three consumers (both self-join sides via the
+    # band keys, and each verification side); the band signatures feed two
+    # — persist both so the hyperplane projections run once, not per use
     emb = emb0.select(
         "vec_id", F.expr(QUANT).alias("v"), F.expr(n2).alias("n2")
+    ).persist()
+    keys = (
+        emb.select("vec_id", F.explode(F.array(*sigs)).alias("e"))
+        .select("vec_id", "e.band", "e.sig")
+        .persist()
     )
-    keys = emb.select(
-        "vec_id", F.explode(F.array(*sigs)).alias("e")
-    ).select("vec_id", "e.band", "e.sig")
     cand = (
         keys.alias("x")
         .join(

@@ -22,9 +22,11 @@ _DOT = (
 def _quantized(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.expr(QUANT).alias("v")
-    )
+    from trck_spark.pipeline.dedup import spread_input
+
+    return spread_input(
+        spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ).select("vec_id", F.expr(QUANT).alias("v"))
 
 
 def cosine_topk(spark, sf_dir: str, k: int = 5, n_queries: int = 5):
