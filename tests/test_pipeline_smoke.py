@@ -171,3 +171,55 @@ def test_embedding_near_dup_recall(spark):
     assert exact, "threshold 0.4 must be non-trivial on the test data"
     recall = len(lsh) / len(exact)
     assert recall >= 0.9, f"near-dup recall too low: {recall}"
+
+
+def test_dedup_clusters_invariants(spark):
+    """Cluster labels must be closed over the edge set (both endpoints of
+    every pair share a label), each label must be the minimum doc_id of
+    its cluster, and sizes must sum back to the corpus."""
+    from trck_spark.pipeline.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    labels = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup_clusters(spark, SF_DIR).collect()
+    }
+    edges = ngram_jaccard_pairs(spark, SF_DIR).collect()
+    assert edges, "fixture corpus should contain near-dup pairs"
+    for e in edges:
+        assert labels[e["a"]][0] == labels[e["b"]][0]
+    by_cluster: dict = {}
+    for doc, (cid, size) in labels.items():
+        by_cluster.setdefault(cid, []).append((doc, size))
+    for cid, members in by_cluster.items():
+        assert cid == min(d for d, _ in members)
+        assert all(s == len(members) for _, s in members)
+    assert sum(len(m) for m in by_cluster.values()) == len(labels)
+
+
+def test_quota_sample_group_limit_plan(spark):
+    """The rank filter must compile to a map-side (Partial)
+    WindowGroupLimit so the stratum shuffle carries O(strata x N) rows,
+    not the corpus — the property that makes deterministic quota
+    sampling viable at 100 TB."""
+    from trck_spark.pipeline.curation import quota_sample
+
+    df = quota_sample(spark, SF_DIR, per_source=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    rows = df.collect()
+    per_source: dict = {}
+    for r in rows:
+        per_source.setdefault(r["source"], []).append(r["rk"])
+    for rks in per_source.values():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 10
+
+
+def test_contamination_bounds(spark):
+    from trck_spark.pipeline.curation import contamination_check
+
+    rows = contamination_check(spark, SF_DIR, n_eval=100).collect()
+    for r in rows:
+        assert r["doc_id"] >= 100
+        assert 1 <= r["n_shared"] <= r["n_shingles"]
+        assert 0 < r["overlap_e6"] <= 1_000_000

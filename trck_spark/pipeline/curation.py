@@ -1,0 +1,115 @@
+"""Corpus curation operators: sampling, vocabulary, contamination.
+
+These are the selection/auditing steps of a training-data pipeline that
+sit between dedup and the final mix:
+
+- quota_sample: deterministic stratified sampling (the "data mixing"
+  step — N docs per source, reproducible across runs and engines);
+- vocab_topk: global token frequency top-k (tokenizer/vocab audits);
+- contamination_check: n-gram overlap of corpus documents against a
+  held-out evaluation set (benchmark leak detection).
+
+Scale notes (the 100 TB story):
+- quota_sample's rank-filter compiles to Spark's WindowGroupLimit: each
+  map task keeps at most N rows per stratum BEFORE the shuffle, so the
+  exchange carries O(strata x N), not the corpus;
+- vocab_topk is a partial-aggregated word count + TakeOrdered top-k (no
+  global sort of the vocabulary);
+- contamination_check broadcasts the evaluation shingle set (benchmark
+  suites are tiny next to a corpus) — the corpus side is one streamed
+  semi-join, no shuffle of corpus shingles.
+"""
+
+from __future__ import annotations
+
+from trck_spark.pipeline.dedup import WORDS, shingle_df, spread_input
+
+
+def quota_sample(spark, sf_dir: str, per_source: int = 10):
+    """Deterministic per-source quota sample: the first ``per_source``
+    documents of each source in md5(doc_id) order.
+
+    Hash-rank order is the standard trick for reproducible sampling at
+    scale: it is stable under reruns, engine-independent (the DuckDB
+    oracle reproduces it exactly), and uncorrelated with ingestion order
+    — unlike LIMIT, which samples whatever happened to arrive first.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = spread_input(
+        spark, spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= per_source)
+        .select("doc_id", "source", "rk")
+        .orderBy("source", "rk")
+    )
+
+
+def vocab_topk(spark, sf_dir: str, k: int = 100):
+    """Global top-k tokens by frequency (ties broken by token asc, so the
+    result set is deterministic and oracle-comparable)."""
+    from pyspark.sql import functions as F
+
+    docs = spread_input(
+        spark, spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    words = docs.select(
+        F.explode(F.expr(WORDS)).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(k)
+    )
+
+
+def contamination_check(spark, sf_dir: str, n_eval: int = 100):
+    """Benchmark-contamination audit: for every corpus document
+    (doc_id >= n_eval), the count and ratio of its word-3-gram shingles
+    that also appear in the evaluation set (doc_id < n_eval).  Only
+    contaminated documents (at least one shared shingle) are returned.
+
+    The doc_id split stands in for a real benchmark table; swap the
+    ``evl`` side for `spark.read.parquet(<benchmark>)` in production.
+    Shingles are compared through 60-bit md5-derived ids (the same
+    oracle-reproducible trick as MinHash verification; collision mass is
+    negligible).
+    """
+    from pyspark.sql import functions as F
+
+    sh = shingle_df(spark, sf_dir).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    evl = (
+        sh.filter(F.col("doc_id") < n_eval).select("h").distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= n_eval)
+    totals = corpus.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    shared = (
+        corpus.join(F.broadcast(evl), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ratio = F.col("n_shared") / F.col("n_shingles")
+    return (
+        shared.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "n_shared",
+            "n_shingles",
+            F.floor(ratio * 1000000).cast("long").alias("overlap_e6"),
+        )
+        .orderBy("doc_id")
+    )

@@ -511,3 +511,81 @@ def embedding_near_dup_pairs(
         )
         .orderBy("a", "b")
     )
+
+
+# ------------------------------------------------- near-dup clustering
+
+
+def dedup_clusters(
+    spark, sf_dir: str, threshold: float = 0.2, max_iters: int = 25
+):
+    """Connected components over the verified near-duplicate pairs:
+    every document labeled with the minimum doc_id reachable through
+    Jaccard >= threshold edges (the canonical survivor of its duplicate
+    cluster), plus the cluster size.  Singletons label themselves.
+
+    This is the step that turns pairwise dedup output into an actual
+    keep/drop decision (keep doc_id == cluster_id, drop the rest) —
+    pairwise lists alone can't be applied when near-dups chain A~B~C
+    without A~C.
+
+    Algorithm: iterative min-label propagation over the symmetrized edge
+    set.  Each round is one shuffle-join (labels x edges) + a min
+    aggregation; labels are localCheckpoint'ed so lineage stays flat.
+    Rounds needed = component diameter, which for near-dup clusters is
+    small (similarity edges are clique-ish: members of a cluster pair
+    with most other members directly).  The convergence probe is an
+    any-change LIMIT 1 count, not a collect.  For adversarially deep
+    graphs (long chains), swap the propagation step for
+    large-star/small-star pointer jumping (O(log n) rounds); the join
+    shape per round is identical.
+    """
+    from pyspark.sql import functions as F
+
+    edges = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select(
+        "a", "b"
+    )
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["doc_id"])
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["a"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("doc_id")
+    )

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from trck_spark.pipeline import dedup, multimodal, similarity, text
+from trck_spark.pipeline import curation, dedup, multimodal, similarity, text
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -23,6 +23,22 @@ def q_simhash_pairs(spark, sf_dir):
 
 def q_embedding_near_dup_pairs(spark, sf_dir):
     return dedup.embedding_near_dup_pairs(spark, sf_dir, threshold=0.4)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    return dedup.dedup_clusters(spark, sf_dir, threshold=0.2)
+
+
+def q_quota_sample(spark, sf_dir):
+    return curation.quota_sample(spark, sf_dir, per_source=10)
+
+
+def q_vocab_topk(spark, sf_dir):
+    return curation.vocab_topk(spark, sf_dir, k=100)
+
+
+def q_contamination_check(spark, sf_dir):
+    return curation.contamination_check(spark, sf_dir, n_eval=100)
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -80,6 +96,10 @@ def pipeline_queries() -> dict:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "quota_sample": q_quota_sample,
+        "vocab_topk": q_vocab_topk,
+        "contamination_check": q_contamination_check,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
@@ -465,6 +485,88 @@ WHERE rk = 1 ORDER BY qid
 """
 
 
+_CLUSTERS_ORACLE = """
+WITH RECURSIVE words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS s
+  FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 0))) AS g)
+),
+sh AS (
+  SELECT * FROM sh0 WHERE s NOT IN (
+    SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000)
+),
+c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+i AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+e AS (
+  SELECT a, b FROM i JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+  WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.2
+),
+sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.node, sym.b FROM reach JOIN sym ON sym.a = reach.r
+),
+lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+       FROM lab GROUP BY 1)
+SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
+FROM lab JOIN sz USING (cluster_id)
+ORDER BY lab.doc_id
+"""
+
+
+_QUOTA_ORACLE = """
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+  FROM documents) t
+WHERE rk <= 10
+ORDER BY source, rk
+"""
+
+
+_VOCAB_ORACLE = """
+WITH w AS (
+  SELECT unnest(string_split(
+           regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS word
+  FROM documents
+)
+SELECT word, count(*)::BIGINT AS n FROM w WHERE word <> ''
+GROUP BY 1 ORDER BY n DESC, word LIMIT 100
+"""
+
+
+_CONTAMINATION_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS s
+  FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 0))) AS g)
+),
+sh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh0),
+evl AS (SELECT DISTINCT h FROM sh WHERE doc_id < 100),
+corpus AS (SELECT * FROM sh WHERE doc_id >= 100),
+totals AS (SELECT doc_id, count(*)::BIGINT AS n_shingles
+           FROM corpus GROUP BY 1),
+shared AS (SELECT doc_id, count(*)::BIGINT AS n_shared
+           FROM corpus JOIN evl USING (h) GROUP BY 1)
+SELECT shared.doc_id, n_shared, n_shingles,
+       floor(n_shared::DOUBLE / n_shingles * 1000000)::BIGINT AS overlap_e6
+FROM shared JOIN totals USING (doc_id)
+ORDER BY shared.doc_id
+"""
+
+
 def pipeline_oracles() -> dict:
     from trck_spark.pipeline.multimodal import (
         audio_frame_sample_oracle_sql,
@@ -489,6 +591,10 @@ def pipeline_oracles() -> dict:
         "simhash_pairs": _simhash_oracle_sql(),
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
+        "dedup_clusters": _CLUSTERS_ORACLE,
+        "quota_sample": _QUOTA_ORACLE,
+        "vocab_topk": _VOCAB_ORACLE,
+        "contamination_check": _CONTAMINATION_ORACLE,
         "ann_cosine_topk": _COSINE_ORACLE,
         "ann_cosine_topk_lsh": _lsh_oracle_sql(),
         "ann_cosine_topk_ivf_pivot": _ivf_pivot_oracle_sql(),
