@@ -211,7 +211,9 @@ def main() -> None:
     for extra in ("trck_sessions_by_type", "dedup_exact",
                   "ngram_jaccard_pairs", "ann_cosine_topk",
                   "minhash_lsh_pairs", "text_quality",
-                  "embedding_near_dup_pairs", "video_frame_sample"):
+                  "embedding_near_dup_pairs", "video_frame_sample",
+                  "dedup_clusters", "quota_sample",
+                  "vocab_topk", "contamination_check"):
         if extra in queries:
             bench_names.append(extra)
 

@@ -193,13 +193,23 @@ def minhash_signatures(spark, sf_dir: str, md5_df=None):
         a, b = _perm_coeffs()
         acc: dict[int, "np.ndarray"] = {}
         for pdf in batches:
-            for doc_id, grp in pdf.groupby("doc_id"):
-                h = grp["h32"].values.astype(np.int64)
-                # (128, n) permutation values, min over shingles
-                vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
-                mins = vals.min(axis=1)
+            doc_ids = pdf["doc_id"].values
+            if not len(doc_ids):
+                continue
+            h = pdf["h32"].values.astype(np.int64)
+            # (128, n) permutation values for the whole Arrow batch at
+            # once, then a segmented min per doc run — the sort above
+            # guarantees each doc's shingles are contiguous, so one
+            # reduceat replaces a per-doc python loop
+            vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
+            starts = np.concatenate(
+                ([0], np.nonzero(np.diff(doc_ids))[0] + 1)
+            )
+            mins = np.minimum.reduceat(vals, starts, axis=1)
+            for i, doc_id in enumerate(doc_ids[starts]):
                 prev = acc.get(doc_id)
-                acc[doc_id] = mins if prev is None else np.minimum(prev, mins)
+                m = mins[:, i]
+                acc[doc_id] = m if prev is None else np.minimum(prev, m)
             del pdf
         yield pd.DataFrame(
             {

@@ -606,6 +606,6 @@ def pipeline_oracles() -> dict:
         "image_metadata": image_metadata_oracle_sql(),
         "audio_frame_sample": audio_frame_sample_oracle_sql(),
         "video_frame_sample": video_frame_sample_oracle_sql(),
-        # minhash_lsh_pairs, simhash_pairs, ann_cosine_topk_lsh,
-        # trck_uniques_hll: approximate / hash-defined -> rows-only check
+        # ann_cosine_topk_ivf (KMeans-iterative) stays rows-only; its
+        # deterministic counterpart ann_cosine_topk_ivf_pivot is oracled
     }
