@@ -650,7 +650,41 @@ def q_top_customers(spark, sf_dir):
     )
 
 
+def q_props_json_stats(spark, sf_dir):
+    """Semi-structured extraction: parse the events.props JSON column and
+    aggregate the extracted field per event type.  get_json_object stays
+    a JVM expression (no UDF); the integer sum is exact so the DuckDB
+    oracle (json_extract_string) matches bit-for-bit; the double column
+    goes through an exact decimal sum like the other money columns."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(_t("events", sf_dir))
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 ORACLES_RELATIONAL = {
+    "props_json_stats": """
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k,
+       sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+FROM events GROUP BY 1 ORDER BY 1
+""",
     "lineitem_pricing": """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
@@ -699,6 +733,7 @@ def spark_queries() -> dict:
         "lineitem_pricing": q_lineitem_pricing,
         "revenue_by_segment": q_revenue_by_segment,
         "top_customers": q_top_customers,
+        "props_json_stats": q_props_json_stats,
     }
     return out
 
