@@ -223,3 +223,23 @@ def test_contamination_bounds(spark):
         assert r["doc_id"] >= 100
         assert 1 <= r["n_shared"] <= r["n_shingles"]
         assert 0 < r["overlap_e6"] <= 1_000_000
+
+
+def test_connected_components_chain_log_rounds(spark):
+    """A 200-node path graph converges in O(log diameter) rounds thanks
+    to the pointer-jumping shortcut — propagation alone would need 199
+    rounds and blow the iteration cap."""
+    from pyspark.sql import functions as F
+
+    from trck_spark.pipeline.dedup import connected_components
+
+    n = 200
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels, rounds = connected_components(nodes, sym, max_iters=25)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 12, f"pointer jumping should converge fast, took {rounds}"

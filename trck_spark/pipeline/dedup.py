@@ -526,58 +526,57 @@ def embedding_near_dup_pairs(
 # ------------------------------------------------- near-dup clustering
 
 
-def dedup_clusters(
-    spark, sf_dir: str, threshold: float = 0.2, max_iters: int = 25
-):
-    """Connected components over the verified near-duplicate pairs:
-    every document labeled with the minimum doc_id reachable through
-    Jaccard >= threshold edges (the canonical survivor of its duplicate
-    cluster), plus the cluster size.  Singletons label themselves.
+def connected_components(nodes_df, sym_edges, max_iters: int = 25):
+    """Min-label connected components -> (labels_df, rounds).
 
-    This is the step that turns pairwise dedup output into an actual
-    keep/drop decision (keep doc_id == cluster_id, drop the rest) —
-    pairwise lists alone can't be applied when near-dups chain A~B~C
-    without A~C.
+    ``nodes_df``: one ``doc_id`` per node; ``sym_edges``: (a, b) with
+    both directions present.  Returns (doc_id, cluster_id) where
+    cluster_id is the minimum node id reachable from doc_id, and the
+    number of rounds run.
 
-    Algorithm: iterative min-label propagation over the symmetrized edge
-    set.  Each round is one shuffle-join (labels x edges) + a min
-    aggregation; labels are localCheckpoint'ed so lineage stays flat.
-    Rounds needed = component diameter, which for near-dup clusters is
-    small (similarity edges are clique-ish: members of a cluster pair
-    with most other members directly).  The convergence probe is an
-    any-change LIMIT 1 count, not a collect.  For adversarially deep
-    graphs (long chains), swap the propagation step for
-    large-star/small-star pointer jumping (O(log n) rounds); the join
-    shape per round is identical.
+    Each round does (1) neighbor-min propagation — one edge-label join +
+    min aggregation — then (2) a pointer-jumping shortcut, relabeling
+    every node with its label's label (labels self-joined on
+    cluster_id == doc_id).  The shortcut halves chain depth every round,
+    so convergence is O(log diameter) instead of the O(diameter) of
+    propagation alone — a 10^6-long chain converges in ~20 rounds, not
+    10^6.  Labels are localCheckpoint'ed each round to keep lineage
+    flat; the convergence probe is an any-change LIMIT 1 count, not a
+    collect.  Known skew: the shortcut joins every member of a cluster
+    on the cluster's root id — one giant component makes that key hot
+    (AQE skew-join splits it; this is inherent to pointer jumping).
     """
     from pyspark.sql import functions as F
 
-    edges = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select(
-        "a", "b"
-    )
-    sym = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    labels = docs.select(
+    labels = nodes_df.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).localCheckpoint()
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         nbr_min = (
-            sym.join(labels, sym["b"] == labels["doc_id"])
+            sym_edges.join(labels, sym_edges["b"] == labels["doc_id"])
             .groupBy("a")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        prop = labels.join(
+            nbr_min, labels["doc_id"] == nbr_min["a"], "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+        )
+        # pointer jumping: labels always point at real node ids, so the
+        # self-join is total and L(v) <- L(L(v)) stays in-component
+        refs = prop.select(
+            F.col("doc_id").alias("ref"),
+            F.col("cluster_id").alias("ref_label"),
+        )
         new_labels = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["a"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
+            prop.join(refs, prop["cluster_id"] == refs["ref"])
+            .select("doc_id", F.col("ref_label").alias("cluster_id"))
             .localCheckpoint()
         )
         changed = (
@@ -590,6 +589,34 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    return labels, rounds
+
+
+def dedup_clusters(
+    spark, sf_dir: str, threshold: float = 0.2, max_iters: int = 25
+):
+    """Connected components over the verified near-duplicate pairs:
+    every document labeled with the minimum doc_id reachable through
+    Jaccard >= threshold edges (the canonical survivor of its duplicate
+    cluster), plus the cluster size.  Singletons label themselves.
+
+    This is the step that turns pairwise dedup output into an actual
+    keep/drop decision (keep doc_id == cluster_id, drop the rest) —
+    pairwise lists alone can't be applied when near-dups chain A~B~C
+    without A~C.  The label loop is ``connected_components`` (min-label
+    propagation + pointer jumping, O(log diameter) rounds).
+    """
+    from pyspark.sql import functions as F
+
+    edges = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select(
+        "a", "b"
+    )
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    labels, _ = connected_components(docs, sym, max_iters=max_iters)
 
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
