@@ -134,3 +134,42 @@ start ->
     assert eng.run(df, prog, dedup_cols="all", **kw).collect_json() == {
         "$n": 2
     }
+
+
+def test_fsm_telemetry(spark, monkeypatch):
+    """FSM-path accumulator telemetry: trails/events equal the fed data,
+    fsm_runs reflects grid pruning (param-independent trails share one
+    run), and the compiled fast path reports empty telemetry."""
+    monkeypatch.setenv("TRCK_SPARK_NO_FASTPATH", "1")
+    from trck_spark.engine import TrckSparkEngine
+
+    rows = [
+        ("u1", 100, 0, "click"),
+        ("u1", 200, 1, "view"),
+        ("u2", 150, 0, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "uuid string, timestamp long, seq long, event_type string"
+    )
+    prog = """
+start ->
+    receive
+        event_type = "click" -> yield $clicks
+        * -> repeat
+"""
+    rs = TrckSparkEngine(spark).run(
+        df, prog, uuid_col="uuid", ts_col="timestamp", seq_col="seq"
+    )
+    assert all(v == 0 for v in rs.telemetry().values())  # nothing ran yet
+    assert rs.collect_json() == {"$clicks": 2}
+    t = rs.telemetry()
+    assert t["trails"] == 2
+    assert t["events"] == 3
+    assert t["fsm_runs"] == 2  # no grid -> one run per trail
+
+    monkeypatch.delenv("TRCK_SPARK_NO_FASTPATH")
+    rs_fast = TrckSparkEngine(spark).run(
+        df, prog, uuid_col="uuid", ts_col="timestamp", seq_col="seq"
+    )
+    assert rs_fast.collect_json() == {"$clicks": 2}
+    assert rs_fast.telemetry() == {}

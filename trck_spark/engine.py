@@ -86,13 +86,27 @@ class TrckResultSet:
     """Handle over the aggregated partials DataFrame."""
 
     def __init__(self, engine: "TrckSparkEngine", agg_df, program: Program,
-                 tuples: list | None, fn_registry: dict | None = None):
+                 tuples: list | None, fn_registry: dict | None = None,
+                 telemetry: dict | None = None):
         self.engine = engine
         self.agg_df = agg_df
         self.program = program
         self.tuples = tuples
         self.fn_registry = fn_registry
         self._finalized = False
+        self._telemetry = telemetry
+
+    def telemetry(self) -> dict:
+        """FSM-path run counters (trails, events, fsm_runs, grid_shared)
+        — the reference's per-DB log telemetry
+        (match_traildb.c:750-776).  Populated only after an action has
+        materialized the result, and only on the FSM path; compiled
+        fast paths run entirely in the JVM (their metrics live in the
+        Spark UI).  Accumulator semantics: retried stages may overcount
+        — observability only."""
+        if not self._telemetry:
+            return {}
+        return {k: acc.value for k, acc in self._telemetry.items()}
 
     def _run_finalize(self) -> None:
         """Driver-side ``finalize`` hook, once per result materialization
@@ -247,6 +261,11 @@ class TrckFrameResultSet:
         self._finalized = False
 
     _run_finalize = TrckResultSet._run_finalize
+
+    def telemetry(self) -> dict:
+        """JVM-compiled path: no Python-side counters (Spark UI metrics
+        cover the stages)."""
+        return {}
 
     def counters_df(self):
         return self.frame
@@ -655,6 +674,20 @@ class TrckSparkEngine:
         )
         n_fields = len(fields)
 
+        # --- run telemetry (the reference's per-DB log counters:
+        # trails, events, match calls, early-breaks —
+        # match_traildb.c:750-776, 854-870).  Spark accumulators merge
+        # per-task on completion; like all accumulators the counts can
+        # overcount under stage retries, so this is observability, never
+        # an input to results. ---
+        _sc = self.spark.sparkContext
+        telemetry = {
+            "trails": _sc.accumulator(0),
+            "events": _sc.accumulator(0),
+            "fsm_runs": _sc.accumulator(0),
+            "grid_shared": _sc.accumulator(0),
+        }
+
         def evaluate(batches: Iterator) -> Iterator:
             import pandas as pd
 
@@ -663,10 +696,13 @@ class TrckSparkEngine:
             trail_rows: list = []
             trail_key = None
             trail_meta = (0, 0, "")
+            tstats = {"trails": 0, "events": 0}
 
             def flush_trail():
                 if not trail_rows:
                     return
+                tstats["trails"] += 1
+                tstats["events"] += len(trail_rows)
                 wstart, wend, eff = trail_meta
                 # per-db consecutive-duplicate skip, then concat (dedup
                 # identity = ts + program fields + extra dedup_cols)
@@ -688,7 +724,7 @@ class TrckSparkEngine:
                     )
                 cookie = _cookie_from_uuid(eff)
                 per_tuple = q.trail_results(
-                    events, cookie, tuples_w, wstart, wend
+                    events, cookie, tuples_w, wstart, wend, stats=tstats
                 )
                 for ti, res in per_tuple.items():
                     acc = agg.get(ti)
@@ -770,6 +806,8 @@ class TrckSparkEngine:
                 for var, d in res.hlls.items():
                     for reg, rank in d.items():
                         out_rows.append((ti, var, None, reg, rank))
+            for k, acc in telemetry.items():
+                acc.add(tstats.get(k, 0))
             yield pd.DataFrame(
                 out_rows, columns=["tuple_id", "var", "key", "reg", "n"]
             )
@@ -781,7 +819,9 @@ class TrckSparkEngine:
         agg_df = partials.groupBy("tuple_id", "var", "key", "reg").agg(
             F2.sum("n").alias("sum_n"), F2.max("n").alias("max_n")
         )
-        return TrckResultSet(self, agg_df, program, tuples, fn_registry)
+        return TrckResultSet(
+            self, agg_df, program, tuples, fn_registry, telemetry=telemetry
+        )
 
 
 def _cookie_from_uuid(uuid: str) -> bytes:

@@ -78,14 +78,24 @@ class TrckQuery:
         tuples: list[tuple] | None,
         win_start: int = 0,
         win_end: int = 0,
+        stats: dict | None = None,
     ) -> dict[int, Results]:
         """events: [(ts, vals)] already filtered/deduped/sorted.
 
         Returns {tuple_index: Results} with param-grid pruning: tuples
         whose values can't be distinguished by this trail share one FSM run
-        (reference: match_traildb.c:596-744)."""
+        (reference: match_traildb.c:596-744).
+
+        ``stats`` (optional dict) accumulates run telemetry in place:
+        ``fsm_runs`` = eval_trail invocations ("match calls" in the
+        reference's per-DB log, match_traildb.c:854-870), ``grid_shared``
+        = trails where one param-independent run served the whole grid
+        (the early-break counter)."""
         program = self.program
+        if stats is None:
+            stats = {}
         if tuples is None:
+            stats["fsm_runs"] = stats.get("fsm_runs", 0) + 1
             res = eval_trail(
                 self.compiled, events, cookie, self.base_env,
                 win_start, win_end,
@@ -121,10 +131,12 @@ class TrckQuery:
             if res is None:
                 env = env_for_tuple(program, self.base_env, tup)
                 env["__used"] = False
+                stats["fsm_runs"] = stats.get("fsm_runs", 0) + 1
                 res = eval_trail(
                     self.compiled, events, cookie, env, win_start, win_end
                 )
                 if can_share and ti == 0 and not env["__used"]:
+                    stats["grid_shared"] = stats.get("grid_shared", 0) + 1
                     # no param predicate was evaluated; execution up to a
                     # first param evaluation is env-independent, so the
                     # first run's flag decides for the whole grid — one
