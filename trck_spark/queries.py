@@ -419,13 +419,29 @@ shop_window ->
 
 
 def q_trck_nested_window(spark, sf_dir):
-    """Nested `window {} after` blocks (rows-only check: the window/after
-    machinery is verified against reference goldens in the fixture
-    suites; the stateful boundary logic is not SQL-expressible)."""
+    """Nested `window {} after` blocks.
+
+    Oracle note: the reference checks outer-window expiry only when the
+    inner rule's own deadline fails or the item is empty (generated loop,
+    reference fsm2c.py:628-663) — with an `after`-less inner block the
+    outer window never fires on real events, so THIS program reduces
+    exactly to "clicks after the user's first purchase", which the
+    oracle states directly.  The general stateful window machinery
+    (deadline chaining, bottom-up expiry) stays fixture-verified against
+    reference goldens (test_set_result_tuple_window{,2}.tr)."""
     return _run_trck(spark, sf_dir, PROG_NESTED_WINDOW).counters_df()
 
 
 ORACLES_TRCK = {
+    "trck_nested_window": """
+WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t, event_type
+           FROM events),
+p AS (SELECT user_id, min(t) AS pt FROM e WHERE event_type = 'purchase'
+      GROUP BY 1)
+SELECT coalesce(sum(CASE WHEN e.event_type = 'click' AND e.t > p.pt
+                         THEN 1 END), 0)::BIGINT AS clicks_after_purchase
+FROM e JOIN p USING (user_id)
+""",
     "trck_timestamp_params": """
 SELECT count(*)::BIGINT AS in_range FROM events
 WHERE event_type = 'click'
