@@ -1,0 +1,76 @@
+"""Scale smoke for the dedup family: 100k synthetic documents (20x the
+sf0.1 bench corpus) with planted near-duplicate pairs.  Verifies the
+banded MinHash pipeline still finds the planted pairs (recall) and that
+candidate volume stays bounded (the LSH shape holds, no all-pairs
+blowup) at a size where an O(n^2) regression would time out the suite.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+N_DOCS = 100_000
+N_PLANTED = 300
+VOCAB = 50_000
+WORDS_PER_DOC = 40
+
+
+@pytest.fixture(scope="module")
+def stress_dir(tmp_path_factory):
+    rng = np.random.RandomState(7)
+    words = np.array([f"w{i}" for i in range(VOCAB)])
+    base = rng.randint(0, VOCAB, size=(N_DOCS, WORDS_PER_DOC))
+    # plant near-dups: doc N_DOCS-N_PLANTED+i is doc i with 4 of 40
+    # words mutated (~0.72 shingle Jaccard, far above threshold 0.2)
+    for i in range(N_PLANTED):
+        src = base[i].copy()
+        pos = rng.choice(WORDS_PER_DOC, size=4, replace=False)
+        src[pos] = rng.randint(0, VOCAB, size=4)
+        base[N_DOCS - N_PLANTED + i] = src
+    texts = [" ".join(words[row]) for row in base]
+    d = tmp_path_factory.mktemp("stress")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(N_DOCS), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * N_DOCS),
+                "source": pa.array(
+                    [f"src{i % 20}" for i in range(N_DOCS)]
+                ),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_minhash_100k_planted_recall(spark, stress_dir):
+    from trck_spark.pipeline.dedup import minhash_lsh_pairs
+
+    rows = minhash_lsh_pairs(spark, stress_dir, threshold=0.2).collect()
+    found = {(r["a"], r["b"]) for r in rows}
+    planted = {
+        (i, N_DOCS - N_PLANTED + i) for i in range(N_PLANTED)
+    }
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"planted-pair recall {recall}"
+    # random 40-word docs over a 50k vocab share no shingles; output
+    # must stay within planted + a small accidental margin, NOT O(n^2)
+    assert len(found) <= len(planted) * 2
+
+
+def test_exact_dedup_100k(spark, stress_dir):
+    from trck_spark.pipeline.dedup import exact_dedup
+
+    out = exact_dedup(spark, stress_dir)
+    n = out.count()
+    # planted near-dups are not byte-identical, so fingerprints are
+    # (near-certainly) all distinct
+    assert n == N_DOCS

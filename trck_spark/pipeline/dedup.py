@@ -141,16 +141,24 @@ def ngram_jaccard_pairs(
 N_HASHES = 128
 N_BANDS = 32
 ROWS_PER_BAND = 4
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31 - 1: (a*h + b) mod p with h reduced mod p WRAPS p
+# ~a times per hash, so the family actually permutes.  (The earlier
+# 2^61 - 1 modulus with a < 2^29, h < 2^32 never wrapped — a*h+b was
+# monotonic in h, every "permutation" shared one argmin, and the whole
+# 128-hash signature degenerated to a function of min(h): pair recall
+# collapsed to J itself.  Caught by the 100k planted-pair stress test;
+# products here stay <= (p-1)^2 < 2^62, still exact in BIGINT on both
+# engines.)
+_MERSENNE = (1 << 31) - 1
 
 
 def _perm_coeffs():
-    """Deterministic permutation coefficients (seeded)."""
+    """Deterministic universal-hash coefficients mod 2^31-1 (seeded)."""
     import numpy as np
 
     rng = np.random.RandomState(42)
-    a = rng.randint(1, 1 << 29, size=N_HASHES).astype(np.int64)
-    b = rng.randint(0, 1 << 29, size=N_HASHES).astype(np.int64)
+    a = rng.randint(1, _MERSENNE, size=N_HASHES).astype(np.int64)
+    b = rng.randint(0, _MERSENNE, size=N_HASHES).astype(np.int64)
     return a, b
 
 
@@ -177,9 +185,10 @@ def minhash_signatures(spark, sf_dir: str, md5_df=None):
     """(doc_id, sig array<long>[128]) via vectorized numpy over Arrow
     batches of exploded shingle hashes.
 
-    Permutation j of shingle hash h is (a_j*h + b_j) mod (2^61 - 1);
-    a_j, b_j < 2^29 and h < 2^32, so the product stays below 2^61 —
-    exact in int64 on every engine (no wraparound)."""
+    Permutation j of shingle hash h is (a_j*(h mod p) + b_j) mod p with
+    p = 2^31 - 1; products stay below 2^62, exact in int64 on every
+    engine, and the modulus wraps ~a_j times per hash so the family
+    genuinely permutes (see the _MERSENNE note above)."""
     from pyspark.sql import functions as F
 
     if md5_df is None:
@@ -196,7 +205,7 @@ def minhash_signatures(spark, sf_dir: str, md5_df=None):
             doc_ids = pdf["doc_id"].values
             if not len(doc_ids):
                 continue
-            h = pdf["h32"].values.astype(np.int64)
+            h = pdf["h32"].values.astype(np.int64) % _MERSENNE
             # (128, n) permutation values for the whole Arrow batch at
             # once, then a segmented min per doc run — the sort above
             # guarantees each doc's shingles are contiguous, so one

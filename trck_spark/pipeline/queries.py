@@ -232,7 +232,7 @@ perm(j, a, b) AS (VALUES
 ),
 sig AS (
   SELECT doc_id, j,
-         min((a * h32 + b) % {_MERSENNE}) AS v
+         min((a * (h32 % {_MERSENNE}) + b) % {_MERSENNE}) AS v
   FROM sh CROSS JOIN perm GROUP BY 1, 2
 ),
 bands AS (
