@@ -74,3 +74,22 @@ def test_exact_dedup_100k(spark, stress_dir):
     # planted near-dups are not byte-identical, so fingerprints are
     # (near-certainly) all distinct
     assert n == N_DOCS
+
+
+def test_dedup_clusters_100k_planted(spark, stress_dir):
+    """The full keep/drop path at 100k docs: every planted near-dup pair
+    must co-cluster, and the label set must cover the corpus."""
+    from trck_spark.pipeline.dedup import dedup_clusters
+
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(spark, stress_dir, threshold=0.2).collect()
+    }
+    assert len(labels) == N_DOCS
+    co = sum(
+        labels[i] == labels[N_DOCS - N_PLANTED + i]
+        for i in range(N_PLANTED)
+    )
+    # ngram edges are exact: every planted pair (J >= 0.52 >> 0.2) has an
+    # edge, so co-clustering must be total
+    assert co == N_PLANTED
