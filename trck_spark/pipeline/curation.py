@@ -51,6 +51,45 @@ def quota_sample(spark, sf_dir: str, per_source: int = 10):
     )
 
 
+def mixture_sample(spark, sf_dir: str, rates: dict | None = None,
+                   default_rate: float = 0.1):
+    """Deterministic fractional-rate mixture sampling: keep a document
+    iff its md5 hash-fraction falls below its source's rate.
+
+    This is the other half of data mixing next to ``quota_sample``:
+    quota gives exact per-stratum counts (needs a group-limit), rates
+    give proportional thinning with NO shuffle at all — the filter is a
+    pure map over the scan, so it composes with predicate pushdown and
+    costs nothing extra at 100 TB.  Hash-based keep decisions are stable
+    across runs, engines (the DuckDB oracle reproduces them exactly),
+    and re-partitions — unlike rand()-based sampling.
+
+    The hash fraction is the first 8 md5 hex chars of the doc_id as a
+    32-bit integer; keep iff value < rate * 2^32 (integer threshold, no
+    float comparison ambiguity).
+    """
+    from pyspark.sql import functions as F
+
+    rates = rates if rates is not None else {}
+    docs = spread_input(
+        spark, spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id", "source")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    thr = F.lit(int(default_rate * (1 << 32)))
+    for src, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col("source") == src, F.lit(int(rate * (1 << 32)))
+        ).otherwise(thr)
+    return (
+        docs.withColumn("h", h)
+        .filter(F.col("h") < thr)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def vocab_topk(spark, sf_dir: str, k: int = 100):
     """Global top-k tokens by frequency (ties broken by token asc, so the
     result set is deterministic and oracle-comparable)."""

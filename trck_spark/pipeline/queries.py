@@ -33,6 +33,13 @@ def q_quota_sample(spark, sf_dir):
     return curation.quota_sample(spark, sf_dir, per_source=10)
 
 
+def q_mixture_sample(spark, sf_dir):
+    return curation.mixture_sample(
+        spark, sf_dir,
+        rates={"src0": 0.5, "src1": 0.25}, default_rate=0.1,
+    )
+
+
 def q_vocab_topk(spark, sf_dir):
     return curation.vocab_topk(spark, sf_dir, k=100)
 
@@ -98,6 +105,7 @@ def pipeline_queries() -> dict:
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
         "quota_sample": q_quota_sample,
+        "mixture_sample": q_mixture_sample,
         "vocab_topk": q_vocab_topk,
         "contamination_check": q_contamination_check,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -532,6 +540,19 @@ ORDER BY source, rk
 """
 
 
+_MIXTURE_ORACLE = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
+  FROM documents) t
+WHERE h < CASE source
+            WHEN 'src0' THEN {int(0.5 * (1 << 32))}
+            WHEN 'src1' THEN {int(0.25 * (1 << 32))}
+            ELSE {int(0.1 * (1 << 32))} END
+ORDER BY doc_id
+"""
+
+
 _VOCAB_ORACLE = """
 WITH w AS (
   SELECT unnest(string_split(
@@ -593,6 +614,7 @@ def pipeline_oracles() -> dict:
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
         "dedup_clusters": _CLUSTERS_ORACLE,
         "quota_sample": _QUOTA_ORACLE,
+        "mixture_sample": _MIXTURE_ORACLE,
         "vocab_topk": _VOCAB_ORACLE,
         "contamination_check": _CONTAMINATION_ORACLE,
         "ann_cosine_topk": _COSINE_ORACLE,
