@@ -213,7 +213,8 @@ def main() -> None:
                   "minhash_lsh_pairs", "text_quality",
                   "embedding_near_dup_pairs", "video_frame_sample",
                   "dedup_clusters", "quota_sample",
-                  "vocab_topk", "contamination_check"):
+                  "vocab_topk", "contamination_check",
+                  "trck_clicks_by_user", "mixture_sample"):
         if extra in queries:
             bench_names.append(extra)
 

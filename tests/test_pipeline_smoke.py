@@ -243,3 +243,27 @@ def test_connected_components_chain_log_rounds(spark):
     got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
     assert rounds <= 12, f"pointer jumping should converge fast, took {rounds}"
+
+
+def test_mixture_sample_rates(spark):
+    """Hash-fraction sampling keeps ~rate of each stratum (uniformity of
+    the md5 fraction) and applies the default rate to unlisted sources."""
+    from trck_spark.pipeline.curation import mixture_sample
+
+    rates = {"src0": 0.8, "src1": 0.0}
+    out = mixture_sample(spark, SF_DIR, rates=rates, default_rate=0.3)
+    kept: dict = {}
+    for r in out.collect():
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+    total = {
+        r["source"]: r["n"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .groupBy("source").count().withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert kept.get("src1", 0) == 0  # rate 0 keeps nothing
+    f0 = kept["src0"] / total["src0"]
+    assert 0.5 < f0 <= 1.0, f0  # ~0.8 of ~25 docs, wide tolerance
+    others = sum(v for k, v in kept.items() if k not in rates)
+    n_others = sum(v for k, v in total.items() if k not in rates)
+    assert 0.1 < others / n_others < 0.55  # ~0.3
