@@ -635,3 +635,28 @@ def dedup_clusters(
         .select("doc_id", "cluster_id", "cluster_size")
         .orderBy("doc_id")
     )
+
+
+def dedup_apply(spark, sf_dir: str, threshold: float = 0.2):
+    """The applied form of near-dup removal: the surviving corpus.
+
+    Keeps exactly one document per connected near-dup cluster (the
+    minimum doc_id — the cluster label itself), carrying the cluster
+    size so downstream mixing can up/down-weight survivors that stood
+    for many duplicates.  This is the operator a pipeline actually
+    materializes; pairs and clusters are its intermediates.
+    """
+    from pyspark.sql import functions as F
+
+    clusters = dedup_clusters(spark, sf_dir, threshold=threshold)
+    keep = clusters.filter(
+        F.col("doc_id") == F.col("cluster_id")
+    ).select("doc_id", "cluster_size")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    return (
+        docs.join(keep, "doc_id")
+        .select("doc_id", "source", "n_chars", "cluster_size")
+        .orderBy("doc_id")
+    )

@@ -29,6 +29,10 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(spark, sf_dir, threshold=0.2)
 
 
+def q_dedup_apply(spark, sf_dir):
+    return dedup.dedup_apply(spark, sf_dir, threshold=0.2)
+
+
 def q_quota_sample(spark, sf_dir):
     return curation.quota_sample(spark, sf_dir, per_source=10)
 
@@ -104,6 +108,7 @@ def pipeline_queries() -> dict:
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_apply": q_dedup_apply,
         "quota_sample": q_quota_sample,
         "mixture_sample": q_mixture_sample,
         "vocab_topk": q_vocab_topk,
@@ -493,7 +498,7 @@ WHERE rk = 1 ORDER BY qid
 """
 
 
-_CLUSTERS_ORACLE = """
+_CLUSTERS_CTE = """
 WITH RECURSIVE words AS (
   SELECT doc_id,
          string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS w
@@ -523,9 +528,20 @@ reach(node, r) AS (
 lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
 sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
        FROM lab GROUP BY 1)
+"""
+
+_CLUSTERS_ORACLE = _CLUSTERS_CTE + """
 SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
 FROM lab JOIN sz USING (cluster_id)
 ORDER BY lab.doc_id
+"""
+
+_DEDUP_APPLY_ORACLE = _CLUSTERS_CTE + """
+SELECT d.doc_id, d.source, d.n_chars, sz.cluster_size
+FROM lab JOIN sz USING (cluster_id)
+JOIN documents d ON d.doc_id = lab.doc_id
+WHERE lab.doc_id = lab.cluster_id
+ORDER BY d.doc_id
 """
 
 
@@ -613,6 +629,7 @@ def pipeline_oracles() -> dict:
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
         "dedup_clusters": _CLUSTERS_ORACLE,
+        "dedup_apply": _DEDUP_APPLY_ORACLE,
         "quota_sample": _QUOTA_ORACLE,
         "mixture_sample": _MIXTURE_ORACLE,
         "vocab_topk": _VOCAB_ORACLE,
