@@ -189,9 +189,29 @@ def run_baseline_gate(spark) -> dict:
     return out
 
 
+def check_ts_dtype(sf_dir: str) -> str:
+    """Pin the events.ts dtype contract: the driver regenerates testdata
+    between rounds and the parquet encoding has drifted before
+    (TIMESTAMP(NANOS) in round 1, naive timestamp[us] in round 2).
+    load_events handles the known encodings; anything NEW fails loudly
+    here so a bench delta stays attributable to code, not data."""
+    import pyarrow.parquet as pq
+
+    ts = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+    known = {"timestamp[ns]", "timestamp[us]", "timestamp[ms]", "int64"}
+    if ts not in known:
+        raise SystemExit(
+            f"events.ts dtype drifted to {ts!r} (known: {sorted(known)}); "
+            "update trck_spark.queries.load_events before benching"
+        )
+    print(f"# events.ts dtype: {ts}", file=sys.stderr)
+    return ts
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    ts_dtype = check_ts_dtype(sf_dir)
     from trck_spark.session import get_spark
 
     spark = get_spark("trck_spark_bench")
@@ -235,16 +255,23 @@ def main() -> None:
             baseline = {"error": f"{type(e).__name__}: {e}"}
             print(f"# baseline gate failed: {e}", file=sys.stderr)
 
+    from trck_spark.pipeline.dedup import release
+
     for name in bench_names:
         fn = queries[name]
         best = None
         n = 0
+        df = None
         for _ in range(2):  # steady-state: best of two runs
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
+        # drop cached intermediates (persist lifetime is caller-owned;
+        # Spark's CacheManager matches canonical plans, so releasing the
+        # last invocation's frames releases the shared entries)
+        release(df)
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
@@ -273,6 +300,7 @@ def main() -> None:
         "sf": float(sf),
         "trails_per_sec": round(n_trails / b1, 1),
         "events_per_sec": round(n_events / b1, 1),
+        "ts_dtype": ts_dtype,
     }
     if baseline is not None:
         result["baseline"] = baseline

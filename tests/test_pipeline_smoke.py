@@ -71,10 +71,36 @@ def test_multimodal_decode_stub():
 
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"xx", fake=False)
     w, h, c = decode_image(b"x" * 100, fake=True)
     assert (w, h, c) == (101, 221, 3)
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        # strict mode surfaces the missing optional dep...
+        with pytest.raises(NotImplementedError):
+            decode_image(b"xx", strict=True)
+        # ...default mode warns and falls back to the deterministic fake
+        with pytest.warns(RuntimeWarning):
+            assert decode_image(b"x" * 100) == (101, 221, 3)
+
+
+def test_multimodal_decode_real_pil():
+    """Real decode path: PIL round-trip on a generated PNG (skipped when
+    pillow is not installed — the container default)."""
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from trck_spark.pipeline.multimodal import decode_image
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (17, 9)).save(buf, format="PNG")
+    assert decode_image(buf.getvalue()) == (17, 9, 3)
 
 
 def test_ngram_hot_shingle_cap(spark, tmp_path):

@@ -102,8 +102,11 @@ class TrckResultSet:
         (match_traildb.c:750-776).  Populated only after an action has
         materialized the result, and only on the FSM path; compiled
         fast paths run entirely in the JVM (their metrics live in the
-        Spark UI).  Accumulator semantics: retried stages may overcount
-        — observability only."""
+        Spark UI).  Accumulator semantics: ANY re-evaluation adds —
+        retried stages, and more commonly a second action on an
+        uncached agg_df (e.g. collect_json then counters_df), which
+        re-runs evaluate and doubles every counter.  Snapshot after the
+        first action if you need stable numbers — observability only."""
         if not self._telemetry:
             return {}
         return {k: acc.value for k, acc in self._telemetry.items()}

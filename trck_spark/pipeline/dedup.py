@@ -33,12 +33,41 @@ def spread_input(spark, df):
     serializes every downstream narrow stage (shingling, quantization,
     signatures) onto a single core.  At production scale the file count
     far exceeds the core count and this is a no-op — the repartition only
-    fires when the scan has fewer partitions than the cluster has slots.
+    fires when the scan has fewer files than the cluster has slots.
+    (File count, not ``df.rdd.getNumPartitions()``: the RDD hop converts
+    the whole plan per call — measurable driver latency — while
+    ``inputFiles()`` is a listing the scan already did.)
     """
     want = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = want
+    if n_files < want:
         return df.repartition(want)
     return df
+
+
+def _own_caches(out, frames):
+    """Attach the persisted intermediates to the returned DataFrame.
+
+    Persist/unpersist lifetime is caller-owned (unpersisting here, before
+    the caller's action, would defeat the cache): materialize the result,
+    then call :func:`release` to drop the cached blocks.  bench.py and the
+    stress tests do exactly that; a long-lived session that ignores it
+    accumulates cached blocks across invocations."""
+    prev = list(getattr(out, "_trck_persisted", ()))
+    out._trck_persisted = prev + list(frames)
+    return out
+
+
+def release(df) -> None:
+    """Unpersist every cached intermediate attached by ``_own_caches``."""
+    for f in getattr(df, "_trck_persisted", ()):  # pragma: no branch
+        try:
+            f.unpersist()
+        except Exception:
+            pass
 
 
 def normalized_docs(spark, sf_dir: str):
@@ -98,17 +127,17 @@ def ngram_jaccard_pairs(
     so it broadcasts."""
     from pyspark.sql import functions as F
 
-    sh = shingle_df(spark, sf_dir).select(
+    sh_cached = shingle_df(spark, sf_dir).select(
         "doc_id", F.xxhash64("s").alias("h")
     )
-    sh.cache()
+    sh_cached.cache()
     hot = (
-        sh.groupBy("h")
+        sh_cached.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > max_shingle_df)
         .select("h")
     )
-    sh = sh.join(F.broadcast(hot), "h", "left_anti")
+    sh = sh_cached.join(F.broadcast(hot), "h", "left_anti")
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -127,12 +156,13 @@ def ngram_jaccard_pairs(
         F.col("doc_id").alias("b"), F.col("n").alias("nb")
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
+    return _own_caches(
         inter.join(F.broadcast(ca), "a")
         .join(F.broadcast(cb), "b")
         .filter(jac >= threshold)
         .select("a", "b", F.floor(jac * 1000000).cast("long").alias("jaccard_e6"))
-        .orderBy("a", "b")
+        .orderBy("a", "b"),
+        [sh_cached],
     )
 
 
@@ -296,7 +326,7 @@ def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2):
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
+    return _own_caches(
         inter.join(
             F.broadcast(counts.select(F.col("doc_id").alias("a"),
                                       F.col("n").alias("na"))), "a")
@@ -305,7 +335,8 @@ def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2):
                                       F.col("n").alias("nb"))), "b")
         .filter(jac >= threshold)
         .select("a", "b", F.floor(jac * 1000000).cast("long").alias("jaccard_e6"))
-        .orderBy("a", "b")
+        .orderBy("a", "b"),
+        [md5_df],
     )
 
 
@@ -404,7 +435,7 @@ def simhash_pairs(spark, sf_dir: str, max_hamming: int = 3):
     ham = F.bit_count(
         F.col("a.fp_lo").bitwiseXOR(F.col("b.fp_lo"))
     ) + F.bit_count(F.col("a.fp_hi").bitwiseXOR(F.col("b.fp_hi")))
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.k") == F.col("b.k"))
@@ -420,6 +451,7 @@ def simhash_pairs(spark, sf_dir: str, max_hamming: int = 3):
         .distinct()
         .orderBy("a", "b")
     )
+    return _own_caches(out, [fps])
 
 
 def embedding_near_dup_pairs(
@@ -518,7 +550,7 @@ def embedding_near_dup_pairs(
         F.sqrt(F.col("na2").cast("double"))
         * F.sqrt(F.col("nb2").cast("double"))
     )
-    return (
+    return _own_caches(
         cand.join(va, "a")
         .join(vb, "b")
         .withColumn("cos", cos)
@@ -528,7 +560,8 @@ def embedding_near_dup_pairs(
             "b",
             F.floor(F.col("cos") * 1000000).cast("long").alias("cos_e6"),
         )
-        .orderBy("a", "b")
+        .orderBy("a", "b"),
+        [emb, keys],
     )
 
 
@@ -617,9 +650,8 @@ def dedup_clusters(
     """
     from pyspark.sql import functions as F
 
-    edges = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select(
-        "a", "b"
-    )
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
+    edges = pairs.select("a", "b")
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
@@ -630,10 +662,11 @@ def dedup_clusters(
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    return (
+    return _own_caches(
         labels.join(sizes, "cluster_id")
         .select("doc_id", "cluster_id", "cluster_size")
-        .orderBy("doc_id")
+        .orderBy("doc_id"),
+        [sym] + list(getattr(pairs, "_trck_persisted", ())),
     )
 
 
@@ -655,8 +688,9 @@ def dedup_apply(spark, sf_dir: str, threshold: float = 0.2):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", "n_chars"
     )
-    return (
+    return _own_caches(
         docs.join(keep, "doc_id")
         .select("doc_id", "source", "n_chars", "cluster_size")
-        .orderBy("doc_id")
+        .orderBy("doc_id"),
+        getattr(clusters, "_trck_persisted", ()),
     )

@@ -60,10 +60,6 @@ def q_ann_cosine_topk_lsh(spark, sf_dir):
     return similarity.cosine_topk_lsh(spark, sf_dir, k=5)
 
 
-def q_ann_cosine_topk_ivf(spark, sf_dir):
-    return similarity.cosine_topk_ivf(spark, sf_dir, k=5)
-
-
 def q_ann_cosine_topk_ivf_pivot(spark, sf_dir):
     return similarity.cosine_topk_ivf_pivot(spark, sf_dir, k=5)
 
@@ -115,7 +111,9 @@ def pipeline_queries() -> dict:
         "contamination_check": q_contamination_check,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
-        "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
+        # the KMeans IVF stays a library operator (recall-tested, no
+        # collect); its deterministic twin ann_cosine_topk_ivf_pivot is
+        # the registered+oracled IVF query
         "ann_cosine_topk_ivf_pivot": q_ann_cosine_topk_ivf_pivot,
         "knn_label_vote": q_knn_label_vote,
         "lang_id": q_lang_id,
@@ -645,6 +643,4 @@ def pipeline_oracles() -> dict:
         "image_metadata": image_metadata_oracle_sql(),
         "audio_frame_sample": audio_frame_sample_oracle_sql(),
         "video_frame_sample": video_frame_sample_oracle_sql(),
-        # ann_cosine_topk_ivf (KMeans-iterative) stays rows-only; its
-        # deterministic counterpart ann_cosine_topk_ivf_pivot is oracled
     }

@@ -124,11 +124,14 @@ def cosine_topk_lsh(spark, sf_dir: str, k: int = 5, n_planes: int = 8):
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("did"))
-    return (
+    from trck_spark.pipeline.dedup import _own_caches
+
+    return _own_caches(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("qid", "did", F.floor(F.col("cos") * 1000000).cast("long").alias("score_e6"))
-        .orderBy("qid", F.desc("score_e6"), "did")
+        .orderBy("qid", F.desc("score_e6"), "did"),
+        [emb],
     )
 
 
@@ -143,10 +146,14 @@ def cosine_topk_ivf(
     """IVF-style ANN: vectors are partitioned into KMeans cells
     (pyspark.ml, fixed seed); each query scores only its n_probe nearest
     cells.  At scale the cell assignment is the only full pass; queries
-    touch n_probe/n_clusters of the data.  Rows-only driver check
-    (approximate by construction); recall vs the exact top-k is asserted
-    in tests."""
-    import numpy as np
+    touch n_probe/n_clusters of the data.  Recall vs the exact top-k is
+    asserted in tests; the deterministic, oracle-checked IVF is
+    ``cosine_topk_ivf_pivot`` (the registered query) — this KMeans
+    variant is the library form for callers who want trained centroids.
+
+    No driver-side corpus collect: probe assignment joins the queries
+    against a broadcast centers frame (the centers themselves are a
+    model artifact — n_clusters rows — not data)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import functions as F
@@ -167,21 +174,31 @@ def cosine_topk_ivf(
     assigned = model.transform(feat).select("vec_id", "v", "cell")
     assigned.cache()
 
-    centers = np.array(
-        [np.asarray(c) for c in model.clusterCenters()]
+    # broadcast-join probe ranking, all distributed: queries x centers
+    # (n_clusters rows) -> n_probe nearest cells per query
+    centers = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "cell int, cv array<double>",
     )
-    queries = (
-        emb0.filter(F.col("vec_id") < n_queries)
-        .select("vec_id", "embedding")
-        .collect()
+    qe = emb0.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qe"),
     )
-    probe_rows = []
-    for row in queries:
-        qv = np.array(row["embedding"], dtype=np.float64)
-        d = ((centers - qv) ** 2).sum(axis=1)
-        for cell in np.argsort(d)[:n_probe]:
-            probe_rows.append((row["vec_id"], int(cell)))
-    probes = spark.createDataFrame(probe_rows, "qid long, cell int")
+    d2 = F.expr(
+        "aggregate(zip_with(qe, cv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    w_probe = Window.partitionBy("qid").orderBy("d2", "cell")
+    probes = (
+        qe.crossJoin(F.broadcast(centers))
+        .select("qid", "cell", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("qid", "cell")
+    )
 
     q = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
@@ -200,14 +217,17 @@ def cosine_topk_ivf(
         "qid", "did", (dot / (F.sqrt(nq) * F.sqrt(nd))).alias("cos")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("did"))
-    return (
+    from trck_spark.pipeline.dedup import _own_caches
+
+    return _own_caches(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(
             "qid", "did",
             F.floor(F.col("cos") * 1000000).cast("long").alias("score_e6"),
         )
-        .orderBy("qid", F.desc("score_e6"), "did")
+        .orderBy("qid", F.desc("score_e6"), "did"),
+        [assigned],
     )
 
 
