@@ -272,6 +272,31 @@ def test_param_sessions_micro(spark):
     assert by_t == {"": 0, "a": 2, "b": 2}
 
 
+def test_param_sessions_micro_with_duplicates(spark):
+    """Dup-elision proof obligation for the islands path: consecutive
+    (ts, event_type) duplicates must not change per-type island counts
+    even though the compiled plan no longer runs a dedup window."""
+    from trck_spark.queries import PROG_SESSIONS_BY_TYPE
+
+    trails = [
+        {
+            "u1": [
+                {"timestamp": 100, "event_type": "a"},
+                {"timestamp": 100, "event_type": "a"},  # dup of head
+                {"timestamp": 100, "event_type": "b"},  # same ts, new type
+                {"timestamp": 100, "event_type": "b"},  # dup
+                {"timestamp": 5000, "event_type": "a"},  # new island
+                {"timestamp": 5000, "event_type": "a"},  # dup
+            ],
+        }
+    ]
+    df = trails_json_to_df(spark, trails)
+    fast, slow = _both(spark, df, PROG_SESSIONS_BY_TYPE)
+    assert fast == slow
+    by_t = {r["%t"]: r["$sessions"] for r in fast}
+    assert by_t == {"": 0, "a": 2, "b": 1}
+
+
 def test_param_attribution_collision_tuple(spark):
     """%t bound to the B literal ('purchase') must yield 0 (first-match:
     the A clause consumes the event before the yielding B clause)."""

@@ -115,6 +115,31 @@ foreach %t
     assert _op_count(plan, "Exchange") <= 2, plan
 
 
+def test_sessions_plan_single_window_pass(spark, tmp_path):
+    """Gap sessions (window >= 1) elides the consecutive-dup pass: the
+    compiled plan must contain exactly ONE Window operator (the gap lag)
+    — a second one means the dedup window crept back in."""
+    from pyspark.sql import functions as F
+
+    from trck_spark.engine import TrckSparkEngine
+    from trck_spark.queries import PROG_SESSIONS
+
+    src = str(tmp_path / "ev.parquet")
+    spark.range(2000).select(
+        F.concat(F.lit("u"), (F.col("id") % 50).cast("string")).alias("uuid"),
+        F.col("id").alias("timestamp"),
+        F.col("id").alias("seq"),
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    rs = TrckSparkEngine(spark).run(
+        df, PROG_SESSIONS, uuid_col="uuid", ts_col="timestamp",
+        seq_col="seq",
+    )
+    plan = _formatted_plan(rs.counters_df())
+    assert _op_count(plan, "Window") == 1, plan
+    assert "MapInPandas" not in plan, "fast path must not hit Python"
+
+
 def test_multidb_funnel_plan_one_sort_two_windows(spark, tmp_path):
     """The stream-position funnel chains both whole-partition windows on
     ONE sort: a second Sort means the window specs diverged."""

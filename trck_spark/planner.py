@@ -829,7 +829,20 @@ def compile_sessions(engine, df, program: Program, tuples=None,
     r0 = program.rules[0]
     window = program.rules[1]["window"]
     fields = sorted(program.kvs.keys())
-    d = df if no_dedup else _deduped(df, fields, extra_dedup)
+    # Dup-elision (one window pass instead of two): for window >= 1 the
+    # consecutive-dup filter provably cannot change the result, because
+    # a dup row shares its predecessor's __ts (dup identity includes ts
+    # equality), so (a) lag(__ts) over the UNFILTERED stream already
+    # equals the nearest surviving predecessor's ts for every surviving
+    # row, (b) a dup row can never be a session start (gap 0 < window),
+    # and (c) in the islands path a dup matching the A clause implies
+    # its surviving head (identical on every program field) matches in
+    # the same island — count_distinct(island) is unchanged.  A
+    # degenerate window < 1 (every event a start) keeps the dedup pass.
+    if no_dedup or window >= 1:
+        d = df
+    else:
+        d = _deduped(df, fields, extra_dedup)
     part_cols, order_cols = _trail_part_order(d)
     order = Window.partitionBy(*part_cols).orderBy(*order_cols)
     d = d.withColumn("__prev_ts", F.lag("__ts").over(order))
