@@ -219,7 +219,26 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    queries = entry_mod.queries()
+    queries = dict(entry_mod.queries())
+    # The REGISTERED minhash/simhash/contamination queries pin
+    # hash_mode='md5' so the DuckDB correctness oracle reproduces every
+    # derived hash.  The bench times the production default instead
+    # (hash_mode='xxhash64': same algorithm, same plan shape,
+    # engine-native hash) — md5-as-production cost +65% on the minhash
+    # bench in round 2.  The xxhash64 path carries its own ground truth
+    # via the planted-pair stress tests (tests/test_pipeline_stress.py).
+    from trck_spark.pipeline import curation as _cur
+    from trck_spark.pipeline import dedup as _dd
+
+    queries["minhash_lsh_pairs"] = (
+        lambda s, d: _dd.minhash_lsh_pairs(s, d, threshold=0.2)
+    )
+    queries["simhash_pairs"] = (
+        lambda s, d: _dd.simhash_pairs(s, d, max_hamming=3)
+    )
+    queries["contamination_check"] = (
+        lambda s, d: _cur.contamination_check(s, d, n_eval=100)
+    )
     bench_names = [
         "trck_count_by_type",   # B1: implicit foreach counter
         "trck_funnel",          # B2: windowed funnel (FSM)

@@ -22,7 +22,7 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
-from trck_spark.pipeline.dedup import WORDS, shingle_df, spread_input
+from trck_spark.pipeline.dedup import WORDS, spread_input
 
 
 def quota_sample(spark, sf_dir: str, per_source: int = 10):
@@ -109,7 +109,8 @@ def vocab_topk(spark, sf_dir: str, k: int = 100):
     )
 
 
-def contamination_check(spark, sf_dir: str, n_eval: int = 100):
+def contamination_check(spark, sf_dir: str, n_eval: int = 100,
+                        hash_mode: str = "xxhash64"):
     """Benchmark-contamination audit: for every corpus document
     (doc_id >= n_eval), the count and ratio of its word-3-gram shingles
     that also appear in the evaluation set (doc_id < n_eval).  Only
@@ -117,17 +118,17 @@ def contamination_check(spark, sf_dir: str, n_eval: int = 100):
 
     The doc_id split stands in for a real benchmark table; swap the
     ``evl`` side for `spark.read.parquet(<benchmark>)` in production.
-    Shingles are compared through 60-bit md5-derived ids (the same
-    oracle-reproducible trick as MinHash verification; collision mass is
-    negligible).
+    Shingles are compared through fixed-width hash ids — engine-native
+    xxhash64 by default, or 60-bit md5-derived ids under
+    ``hash_mode='md5'`` so the DuckDB oracle reproduces the join
+    exactly (collision mass negligible either way).
     """
     from pyspark.sql import functions as F
 
-    sh = shingle_df(spark, sf_dir).select(
-        "doc_id",
-        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
+    from trck_spark.pipeline.dedup import _shingle_hashes
+
+    sh = _shingle_hashes(spark, sf_dir, hash_mode=hash_mode).select(
+        "doc_id", F.col("h64").alias("h")
     )
     evl = (
         sh.filter(F.col("doc_id") < n_eval).select("h").distinct()

@@ -192,26 +192,38 @@ def _perm_coeffs():
     return a, b
 
 
-def _shingle_md5(spark, sf_dir: str):
-    """(doc_id, m): md5 hex per distinct (doc, shingle).  md5 instead of
-    an engine-private hash so the DuckDB oracle reproduces every derived
-    hash exactly; stays a built-in JVM expression.  Shared by the
-    signature (first 8 hex chars -> 32-bit) and verification (first 15
-    -> 60-bit) stages so the shingling+hash pass runs once."""
+def _shingle_hashes(spark, sf_dir: str, hash_mode: str = "xxhash64"):
+    """(doc_id, h32, h64) per distinct (doc, shingle).
+
+    ``hash_mode='xxhash64'`` (the default, the production path): one
+    engine-native JVM hash per shingle — whole-stage codegen, no hex
+    round-trip.  ``hash_mode='md5'``: every derived hash reproducible
+    in ANSI SQL, so the driver correctness gate can mirror the whole
+    pipeline in DuckDB — test infrastructure, NOT the default (round 2
+    shipped md5 as the only path and paid +65% on the minhash bench).
+
+    h32 feeds the MinHash permutations (32-bit domain: md5's first 8
+    hex chars, or xxhash64's low 32 bits); h64 is the verification /
+    contamination shingle id (60-bit md5 prefix, or the full xxhash64
+    — collision mass negligible either way).  One shingling+hash pass
+    serves both consumers."""
     from pyspark.sql import functions as F
 
-    return shingle_df(spark, sf_dir).select(
-        "doc_id", F.md5("s").alias("m")
-    )
+    sh = shingle_df(spark, sf_dir)
+    if hash_mode == "md5":
+        m = F.md5("s")
+        h32 = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+        h64 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+    elif hash_mode == "xxhash64":
+        x = F.xxhash64("s")
+        h32 = x.bitwiseAND(F.lit(0xFFFFFFFF))
+        h64 = x
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    return sh.select("doc_id", h32.alias("h32"), h64.alias("h64"))
 
 
-def _h32(col="m"):
-    from pyspark.sql import functions as F
-
-    return F.conv(F.substring(F.col(col), 1, 8), 16, 10).cast("long")
-
-
-def minhash_signatures(spark, sf_dir: str, md5_df=None):
+def minhash_signatures(spark, sf_dir: str, hashes_df=None):
     """(doc_id, sig array<long>[128]) via vectorized numpy over Arrow
     batches of exploded shingle hashes.
 
@@ -219,11 +231,9 @@ def minhash_signatures(spark, sf_dir: str, md5_df=None):
     p = 2^31 - 1; products stay below 2^62, exact in int64 on every
     engine, and the modulus wraps ~a_j times per hash so the family
     genuinely permutes (see the _MERSENNE note above)."""
-    from pyspark.sql import functions as F
-
-    if md5_df is None:
-        md5_df = _shingle_md5(spark, sf_dir)
-    sh = md5_df.select("doc_id", _h32().alias("h32"))
+    if hashes_df is None:
+        hashes_df = _shingle_hashes(spark, sf_dir)
+    sh = hashes_df.select("doc_id", "h32")
 
     def sig_batches(batches):
         import numpy as np
@@ -266,34 +276,44 @@ def minhash_signatures(spark, sf_dir: str, md5_df=None):
     )
 
 
-def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2):
+def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2,
+                      hash_mode: str = "xxhash64"):
     """Near-duplicate candidate pairs via LSH banding over MinHash
     signatures, verified with exact Jaccard on the candidates only.
 
-    Every stage (md5 shingle hashes, int64 permutations, md5 band
-    digests, exact verification) is reproducible in ANSI SQL, so the
-    driver hash-checks this against a DuckDB oracle despite the banding
-    (see _minhash_oracle_sql); recall near the threshold remains
-    probabilistic by construction, covered by the recall test.
+    ``hash_mode='xxhash64'`` (default) keeps every hash engine-native.
+    ``hash_mode='md5'`` makes every stage (shingle hashes, int64
+    permutations, band digests, exact verification) reproducible in
+    ANSI SQL, so the driver hash-checks it against a DuckDB oracle
+    despite the banding (see _minhash_oracle_sql); recall near the
+    threshold remains probabilistic by construction, covered by the
+    recall test (which runs the production hash).
     """
     from pyspark.sql import functions as F
 
-    # one shingling+md5 pass feeds both signatures and verification
+    # one shingling+hash pass feeds both signatures and verification
     # (fixed-width rows; MEMORY_AND_DISK so a 100 TB run spills, not OOMs)
-    md5_df = _shingle_md5(spark, sf_dir)
-    md5_df.persist()
-    sigs = minhash_signatures(spark, sf_dir, md5_df=md5_df)
+    hashes_df = _shingle_hashes(spark, sf_dir, hash_mode=hash_mode)
+    hashes_df.persist()
+    sigs = minhash_signatures(spark, sf_dir, hashes_df=hashes_df)
+    if hash_mode == "md5":
+        band_expr = (
+            f"transform(sequence(0, {N_BANDS - 1}), b -> "
+            f"struct(b AS band, cast(conv(substring(md5(concat_ws(',', "
+            f"transform(slice(sig, b * {ROWS_PER_BAND} + 1, "
+            f"{ROWS_PER_BAND}), x -> cast(x AS string)))), 1, 15), "
+            f"16, 10) AS bigint) AS bh))"
+        )
+    else:
+        # hash the signature slice directly — no string round-trip
+        band_expr = (
+            f"transform(sequence(0, {N_BANDS - 1}), b -> "
+            f"struct(b AS band, xxhash64(slice(sig, "
+            f"b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND})) AS bh))"
+        )
     bands = sigs.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {N_BANDS - 1}), b -> "
-                f"struct(b AS band, cast(conv(substring(md5(concat_ws(',', "
-                f"transform(slice(sig, b * {ROWS_PER_BAND} + 1, "
-                f"{ROWS_PER_BAND}), x -> cast(x AS string)))), 1, 15), "
-                f"16, 10) AS bigint) AS bh))"
-            )
-        ).alias("e"),
+        F.explode(F.expr(band_expr)).alias("e"),
     ).select("doc_id", "e.band", "e.bh")
     a = bands.alias("a")
     b = bands.alias("b")
@@ -309,14 +329,9 @@ def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2):
         )
         .distinct()
     )
-    # exact verification on candidates only (60-bit md5-derived shingle
-    # ids: negligible collision mass, oracle-reproducible)
-    sh = md5_df.select(
-        "doc_id",
-        F.conv(F.substring(F.col("m"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
+    # exact verification on candidates only (fixed-width shingle ids:
+    # negligible collision mass in either hash mode)
+    sh = hashes_df.select("doc_id", F.col("h64").alias("h"))
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("a"), "h")
     sb = sh.select(F.col("doc_id").alias("b"), "h")
@@ -336,14 +351,15 @@ def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2):
         .filter(jac >= threshold)
         .select("a", "b", F.floor(jac * 1000000).cast("long").alias("jaccard_e6"))
         .orderBy("a", "b"),
-        [md5_df],
+        [hashes_df],
     )
 
 
 # --------------------------------------------------------------- SimHash
 
 
-def simhash_pairs(spark, sf_dir: str, max_hamming: int = 3):
+def simhash_pairs(spark, sf_dir: str, max_hamming: int = 3,
+                  hash_mode: str = "xxhash64"):
     """64-bit token SimHash near-dup pairs with hamming <= max_hamming.
 
     Pair generation uses the pigeonhole band trick: split the 64-bit
@@ -352,27 +368,29 @@ def simhash_pairs(spark, sf_dir: str, max_hamming: int = 3):
     candidates without O(n^2) comparison; candidates verified with
     bit_count(xor).
 
-    Token bits come from md5 (first/second 8 hex chars = two 32-bit
-    words) rather than an engine-private hash, so an ANSI-SQL oracle
-    reproduces every fingerprint exactly; the fingerprint is likewise
-    carried as two 32-bit halves (fp_hi, fp_lo), which keeps every shift
-    in the signed-64 safe range on both engines.  md5 is a built-in JVM
-    expression — the whole pipeline stays whole-stage-codegen."""
+    Token bits: ``hash_mode='xxhash64'`` (default) splits the native
+    64-bit hash into two 32-bit words; ``hash_mode='md5'`` takes the
+    first/second 8 hex chars so an ANSI-SQL oracle reproduces every
+    fingerprint exactly.  Either way the fingerprint is carried as two
+    32-bit halves (fp_hi, fp_lo), which keeps every shift in the
+    signed-64 safe range on both engines, and the whole pipeline stays
+    whole-stage-codegen (both hashes are built-in JVM expressions)."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", F.expr(WORDS).alias("w")
     )
     tokens = docs.select("doc_id", F.explode("w").alias("tok"))
-    th = tokens.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
-        .cast("long")
-        .alias("hi"),
-        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10)
-        .cast("long")
-        .alias("lo"),
-    )
+    if hash_mode == "md5":
+        hi = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long")
+    elif hash_mode == "xxhash64":
+        x = F.xxhash64("tok")
+        hi = F.shiftrightunsigned(x, 32)
+        lo = x.bitwiseAND(F.lit(0xFFFFFFFF))
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    th = tokens.select("doc_id", hi.alias("hi"), lo.alias("lo"))
 
     def bit(word: str, i: int):
         return F.shiftright(F.col(word), i).bitwiseAND(F.lit(1))

@@ -14,11 +14,16 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(spark, sf_dir, threshold=0.2)
+    # hash_mode='md5' so the DuckDB oracle reproduces every derived hash
+    # (the correctness-gate variant; the library/bench default is the
+    # engine-native xxhash64 — same algorithm, faster hash)
+    return dedup.minhash_lsh_pairs(spark, sf_dir, threshold=0.2,
+                                   hash_mode="md5")
 
 
 def q_simhash_pairs(spark, sf_dir):
-    return dedup.simhash_pairs(spark, sf_dir, max_hamming=3)
+    return dedup.simhash_pairs(spark, sf_dir, max_hamming=3,
+                               hash_mode="md5")
 
 
 def q_embedding_near_dup_pairs(spark, sf_dir):
@@ -49,7 +54,8 @@ def q_vocab_topk(spark, sf_dir):
 
 
 def q_contamination_check(spark, sf_dir):
-    return curation.contamination_check(spark, sf_dir, n_eval=100)
+    return curation.contamination_check(spark, sf_dir, n_eval=100,
+                                        hash_mode="md5")
 
 
 def q_ann_cosine_topk(spark, sf_dir):
