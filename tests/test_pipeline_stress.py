@@ -76,6 +76,47 @@ def test_exact_dedup_100k(spark, stress_dir):
     assert n == N_DOCS
 
 
+def test_connected_components_giant_chain(spark):
+    """Adversarial giant component: ONE cluster spanning 50% of 100k
+    nodes, shaped as a maximal-diameter chain — the worst case for both
+    convergence (diameter 50k) and the documented pointer-jumping skew
+    (every member ultimately joins on the root label; AQE skew-join is
+    on in the session).  Label depth under propagate+jump follows
+    d_{k+1} = 2(d_k + 1), so rounds must stay <= ceil(log2(diameter)) + 2
+    — a regression to propagation-only would need ~50k rounds and trips
+    max_iters instead."""
+    import math
+    import time
+
+    from pyspark.sql import functions as F
+
+    from trck_spark.pipeline.dedup import connected_components
+
+    n, k = 100_000, 50_000
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    e = spark.range(k - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    t0 = time.time()
+    labels, rounds = connected_components(nodes, sym, max_iters=25)
+    in_giant = labels.filter(F.col("cluster_id") == 0).count()
+    elapsed = time.time() - t0
+    assert in_giant == k
+    bound = math.ceil(math.log2(k)) + 2
+    assert rounds <= bound, (rounds, bound)
+    # singletons keep their own label
+    strays = labels.filter(
+        (F.col("doc_id") >= k) & (F.col("cluster_id") != F.col("doc_id"))
+    ).count()
+    assert strays == 0
+    # wall-clock bound: O(log diameter) rounds of bounded joins — a
+    # super-linear blowup (skew mishandling, lineage growth) trips this
+    assert elapsed < 420, f"giant-component CC took {elapsed:.0f}s"
+
+
 def test_dedup_clusters_100k_planted(spark, stress_dir):
     """The full keep/drop path at 100k docs: every planted near-dup pair
     must co-cluster, and the label set must cover the corpus."""
