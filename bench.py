@@ -22,15 +22,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # --------------------------------------------------------- baseline gate
 #
 # BASELINE.md B1/B2: run the perftest1-shaped workload (reference
-# test/perf/perftest1_db.py:9-12) at 20M events with the DuckDB oracle
-# wallclock measured side-by-side, and report spark_s / oracle_s / ratio
-# per headline query.  Results are also value-compared ("match") so the
+# test/perf/perftest1_db.py:9-12) with the DuckDB oracle wallclock
+# measured side-by-side, and report spark_s / oracle_s / ratio per
+# headline query.  Results are also value-compared ("match") so the
 # timing claim carries its own correctness evidence.
+#
+# GATE SIZE: round 2 measured at 20M events and found the ratios
+# dominated by Spark's fixed per-query floor (scheduler + py4j +
+# codegen ~0.5-0.9s) against 35-800ms DuckDB wallclocks — overhead,
+# not throughput.  The round-2 verdict's ask: grow the workload until
+# the oracle itself works for seconds, so "within 2x" measures
+# streaming throughput.  Default 160M events (800k trails x 200);
+# override with SPARK_GRAFT_GATE_EVENTS.  Datasets are generated once
+# and cached under .bench_cache/ across rounds.
 
-PERF_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".bench_cache",
-    "perf20m.parquet",
+GATE_EVENTS = int(os.environ.get("SPARK_GRAFT_GATE_EVENTS", 160_000_000))
+_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_cache"
 )
+
+
+def _perf_paths(n_events: int) -> tuple[str, str]:
+    tag = f"perf{n_events // 1_000_000}m"
+    return (
+        os.path.join(_CACHE_DIR, f"{tag}.parquet"),
+        os.path.join(_CACHE_DIR, f"{tag}_store"),
+    )
 
 B1_PROG = """
 foreach %aeid
@@ -86,16 +103,10 @@ WHERE event_type='purchase' AND ct IS NOT NULL AND t < ct + 604800
 }
 
 
-def run_baseline_gate(spark) -> dict:
-    """Spark (flat parquet AND TrailStore bucketed layout) vs the DuckDB
-    oracle at 20M events.  Timings are steady-state: one untimed warm-up
-    run (JIT/codegen compilation), then best of two.  Every Spark result
-    is value-compared against the oracle rows ("match")."""
-    import duckdb
-
-    from trck_spark import queries as Q
-    from trck_spark.benchdata import N_COOKIES, N_EVENTS, ensure_perf_dataset
-    from trck_spark.engine import TrckSparkEngine
+def _open_perf(spark, n_events: int):
+    """(flat_df, store_df, parquet_path) for an n_events perf dataset,
+    generating and caching both layouts on first use."""
+    from trck_spark.benchdata import N_EVENTS, ensure_perf_dataset
     from trck_spark.store import (
         is_trail_store,
         open_trail_store,
@@ -103,15 +114,35 @@ def run_baseline_gate(spark) -> dict:
         write_trail_store,
     )
 
-    path = ensure_perf_dataset(spark, PERF_PATH)
+    path, store_path = _perf_paths(n_events)
+    n_cookies = n_events // N_EVENTS
+    path = ensure_perf_dataset(spark, path, n_cookies=n_cookies)
     flat = spark.read.parquet(path)
-    store_path = os.path.join(os.path.dirname(PERF_PATH), "perf20m_store")
     if is_trail_store(store_path) and "ts_unique" in read_manifest(
         store_path
     ):
         store = open_trail_store(spark, store_path)
     else:
         store = write_trail_store(flat, store_path)
+    return flat, store, path
+
+
+def run_baseline_gate(spark, n_events: int = None) -> dict:
+    """Spark (flat parquet AND TrailStore bucketed layout) vs the DuckDB
+    oracle at GATE_EVENTS events.  Timings are steady-state: one untimed
+    warm-up run (JIT/codegen compilation), then best of two.  Every
+    Spark result is value-compared against the oracle rows ("match").
+    Per-query events/s for both engines are reported alongside the raw
+    ratio so floor-dominated rows (sub-second oracle) read as what they
+    are."""
+    import duckdb
+
+    from trck_spark import queries as Q
+    from trck_spark.benchdata import N_EVENTS
+    from trck_spark.engine import TrckSparkEngine
+
+    n_events = n_events or GATE_EVENTS
+    flat, store, path = _open_perf(spark, n_events)
     engine = TrckSparkEngine(spark)
     con = duckdb.connect()
     con.execute(
@@ -133,7 +164,7 @@ def run_baseline_gate(spark) -> dict:
                 best = dt if best is None or dt < best else best
         return rows, best
 
-    out: dict = {"events": N_COOKIES * N_EVENTS, "trails": N_COOKIES}
+    out: dict = {"events": n_events, "trails": n_events // N_EVENTS}
     tot = {"spark_s": 0.0, "spark_store_s": 0.0, "oracle_s": 0.0}
     for name, (prog_ref, oracle_sql) in BASELINE_DEFS.items():
         prog = prog_ref if prog_ref.startswith("\n") else getattr(Q, prog_ref)
@@ -163,6 +194,8 @@ def run_baseline_gate(spark) -> dict:
             "ratio_store": (
                 round(store_s / oracle_s, 2) if oracle_s else None
             ),
+            "spark_store_meps": round(n_events / store_s / 1e6, 1),
+            "oracle_meps": round(n_events / oracle_s / 1e6, 1),
             "match": match,
         }
         tot["spark_s"] += spark_s
@@ -181,12 +214,57 @@ def run_baseline_gate(spark) -> dict:
         "ratio_store": round(tot["spark_store_s"] / tot["oracle_s"], 2),
     }
     out["b3_trails_per_sec"] = round(
-        N_COOKIES / out["b1_count_foreach"]["spark_store_s"], 1
+        out["trails"] / out["b1_count_foreach"]["spark_store_s"], 1
     )
     out["b3_events_per_sec"] = round(
-        N_COOKIES * N_EVENTS / out["b1_count_foreach"]["spark_store_s"], 1
+        n_events / out["b1_count_foreach"]["spark_store_s"], 1
     )
     return out
+
+
+def run_fsm_path_bench(spark, n_events: int = 20_000_000) -> dict:
+    """B1 on the GENERAL FSM path (TRCK_SPARK_NO_FASTPATH): the
+    mapInPandas interpreter with occurring/non-occurring grid pruning —
+    the reference's whole perf story is the pruned FSM
+    (match_traildb.c:653-744); this records our pruned-FSM events/s and
+    the pruning telemetry (fsm_runs per trail vs grid size) at a fixed
+    20M-event workload.  Uses the TrailStore layout (no shuffle before
+    the interpreter); B1_PROG (the perftest1 shape) exercises the
+    ~100-value implicit-foreach grid."""
+    from trck_spark.engine import TrckSparkEngine
+
+    _, store, _ = _open_perf(spark, n_events)
+    engine = TrckSparkEngine(spark)
+    os.environ["TRCK_SPARK_NO_FASTPATH"] = "1"
+    try:
+        best, telem, n_tuples = None, {}, 0
+        for i in range(2):  # warm-up python workers, then one timed run
+            t0 = time.time()
+            rs = engine.run(
+                store, B1_PROG, uuid_col="uuid",
+                ts_col="timestamp", seq_col="seq",
+            )
+            rows = rs.counters_df().collect()
+            dt = time.time() - t0
+            if i > 0:
+                best = dt
+                telem = rs.telemetry()
+                n_tuples = len(rows)
+    finally:
+        del os.environ["TRCK_SPARK_NO_FASTPATH"]
+    trails = telem.get("trails") or 1
+    return {
+        "events": n_events,
+        "seconds": round(best, 3),
+        "events_per_sec": round(n_events / best, 1),
+        "grid_size": n_tuples,
+        "fsm_runs": telem.get("fsm_runs"),
+        "fsm_runs_per_trail": round(
+            (telem.get("fsm_runs") or 0) / trails, 3
+        ),
+        "grid_shared": telem.get("grid_shared"),
+        "trails": telem.get("trails"),
+    }
 
 
 def check_ts_dtype(sf_dir: str) -> str:
@@ -273,6 +351,13 @@ def main() -> None:
         except Exception as e:  # never let the gate break the contract line
             baseline = {"error": f"{type(e).__name__}: {e}"}
             print(f"# baseline gate failed: {e}", file=sys.stderr)
+        try:
+            baseline["b1_fsm_path"] = run_fsm_path_bench(spark)
+            print(f"# b1 FSM path: {baseline['b1_fsm_path']}",
+                  file=sys.stderr)
+        except Exception as e:
+            baseline["b1_fsm_path"] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"# fsm-path bench failed: {e}", file=sys.stderr)
 
     from trck_spark.pipeline.dedup import release
 

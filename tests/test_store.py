@@ -135,10 +135,11 @@ def test_dup_timestamps_keep_dedup(spark, tmp_path):
     )
 
 
-def test_funnel_single_pass_on_store(spark, store):
-    """Clustered input switches the funnel to the single-pass window
-    form: result must equal the flat two-scan form, with no Exchange
-    before the final count and exactly one Window."""
+def test_funnel_min_agg_on_store(spark, store):
+    """Store input takes the filtered min-agg funnel form (the running-
+    min window special case lost 6x at 160M events — see compile_funnel
+    note): the plan must contain NO Window operator, and the result must
+    equal the flat form's."""
     from trck_spark.queries import PROG_FUNNEL
 
     path, ev, df = store
@@ -146,7 +147,7 @@ def test_funnel_single_pass_on_store(spark, store):
     kw = dict(uuid_col="uuid", ts_col="timestamp", seq_col="event_id")
     rs_store = eng.run(df, PROG_FUNNEL, **kw)
     plan = rs_store.agg_df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Window") == 1, plan
+    assert "Window" not in plan, plan
     assert rs_store.collect_json() == eng.run(
         ev, PROG_FUNNEL, **kw
     ).collect_json()

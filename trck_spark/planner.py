@@ -173,62 +173,16 @@ def compile_funnel(engine, df, program: Program, tuples=None,
 
     grid = _grid_df(engine, program, tuples)
 
-    if (
-        grid is None
-        and clustered
-        and dedup_free
-        and "__entry" not in _cols(d)
-        and "__db" not in _cols(d)
-    ):
-        # single-pass form for trail-clustered sorted input (TrailStore):
-        # a running min over the store's (uuid, ts, seq) order finds the
-        # first A with no exchange and no sort, so the whole funnel is
-        # one scan + one streaming window + one aggregation — measurably
-        # faster than the two-scan min-agg form it replaces here.
-        # Gridless funnels have literal-only predicates (params require
-        # a foreach grid), so _split_clause yields pure literal preds.
-        from pyspark.sql.window import Window
-
-        a_pred, _j, _f = _split_clause(r0["clauses"][0]["attrs"])
-        b_pred, _j2, _f2 = _split_clause(r1["clauses"][0]["attrs"])
-        w = Window.partitionBy("__uuid").orderBy("__ts", "__seq").rowsBetween(
-            Window.unboundedPreceding, 0
-        )
-        amin = F.min(
-            F.when(a_pred, F.struct("__ts", "__seq"))
-        ).over(w)
-        dd = d.withColumn("__a", amin)
-        b = (
-            dd.filter(
-                b_pred
-                & F.col("__a").isNotNull()
-                & (
-                    (F.col("__ts") > F.col("__a.__ts"))
-                    | (
-                        (F.col("__ts") == F.col("__a.__ts"))
-                        & (F.col("__seq") > F.col("__a.__seq"))
-                    )
-                )
-            )
-            .groupBy("__uuid")
-            .agg(
-                F.min("__ts").alias("__b_ts"),
-                F.first("__a.__ts").alias("__a_ts2"),
-            )
-            .filter(F.col("__b_ts") < F.col("__a_ts2") + window)
-        )
-        n_conv = b.agg(F.count(F.lit(1)).alias("n")).withColumn(
-            "__tuple_id", F.lit(0).cast("long")
-        )
-        weights_w: dict[str, int] = {}
-        for y in r1["clauses"][0]["yield"]:
-            weights_w[y["dst"]] = weights_w.get(y["dst"], 0) + 1
-        return _counter_pieces(
-            program,
-            n_conv.select(F.col("__tuple_id"), F.col("n")),
-            weights_w,
-            has_grid=True,
-        )
+    # NOTE on `clustered`: an earlier revision special-cased TrailStore
+    # input with a running-min window over the whole trail ("no exchange,
+    # no sort").  At 20M events that won on fixed costs (one stage), but
+    # at 160M it lost 6x to the min-agg form below: the window touches
+    # EVERY row while min-agg only aggregates the A/B-filtered slices
+    # (pushed-down predicates), and on a bucketed store the
+    # groupBy(__uuid) elides the exchange anyway.  The filtered min-agg
+    # form is the scale-correct plan for both layouts, so the clustered
+    # flag no longer changes the funnel plan.
+    del clustered
 
     if grid is None and "__db" in _cols(d):
         # db-major stream-order form (multi-db): under cross-TrailDB
@@ -1088,10 +1042,13 @@ def compile_counter_implicit(
         grid = None
     else:
         # grid = distinct values ∪ {""} — "" is a real tuple (FSM parity:
-        # events with an empty/absent field match %var bound to "")
+        # events with an empty/absent field match %var bound to "").
+        # range(1)+lit instead of createDataFrame: the latter routes one
+        # literal row through a Python RDD (applySchemaToPythonRDD), a
+        # measurable per-query driver cost on sub-second queries.
         grid = (
             lexicon_df.select(F.col(lexicon_df.columns[0]).alias(pcol))
-            .unionAll(spark.createDataFrame([("",)], f"`{pcol}` string"))
+            .unionAll(spark.range(1).select(F.lit("").alias(pcol)))
             .distinct()
         )
         d = d.join(F.broadcast(grid), _f_col(field) == F.col(pcol))
@@ -1167,9 +1124,11 @@ def compile_counter_implicit(
         # query stays one exchange (the union-then-re-aggregate form
         # added a second shuffle stage + AQE round to every query).
         slim = d.select(F.col(pcol), F.col("__clause"))
-        synth = spark.createDataFrame(
-            [("",)], f"`{pcol}` string"
-        ).withColumn("__clause", F.lit(None).cast("integer"))
+        # JVM-only literal row (see the grid note above)
+        synth = spark.range(1).select(
+            F.lit("").alias(pcol),
+            F.lit(None).cast("integer").alias("__clause"),
+        )
         return (
             slim.unionByName(synth)
             .groupBy(pcol)
