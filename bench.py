@@ -118,7 +118,7 @@ def _open_perf(spark, n_events: int):
     n_cookies = n_events // N_EVENTS
     path = ensure_perf_dataset(spark, path, n_cookies=n_cookies)
     flat = spark.read.parquet(path)
-    if is_trail_store(store_path) and "ts_unique" in read_manifest(
+    if is_trail_store(store_path) and "dicts" in read_manifest(
         store_path
     ):
         store = open_trail_store(spark, store_path)

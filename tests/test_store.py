@@ -151,3 +151,191 @@ def test_funnel_min_agg_on_store(spark, store):
     assert rs_store.collect_json() == eng.run(
         ev, PROG_FUNNEL, **kw
     ).collect_json()
+
+
+# ---------------------------------------------------------------- dicts
+#
+# Per-field dictionary encoding (store.py `dicts`): the Spark analog of
+# TrailDB's lexicons (reference src/db.c:62-113).  Codes must round-trip
+# through the manifest, cover ""/null as code 0, skip high-cardinality
+# fields, and upgrade the implicit-foreach counter plan to the
+# code-keyed form (scan reads ONLY the int column) with unchanged
+# results vs the flat path.
+
+B1_DICT_PROG = """
+foreach %a
+    start ->
+        receive
+            aeid = %a -> yield $r
+            * -> repeat
+"""
+
+MIXED_DICT_PROG = """
+foreach %a
+    start ->
+        receive
+            etype = "click", aeid = %a -> yield $clicks
+            aeid = %a -> yield $any
+            * -> repeat
+"""
+
+
+@pytest.fixture(scope="module")
+def dict_store(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("store") / "dict_store")
+    rows = []
+    for i in range(60):
+        for j in range(12):
+            rows.append(
+                (
+                    f"u{i}",
+                    1000 + j * 10,
+                    j,
+                    # one null and one "" to pin the code-0 binding
+                    None
+                    if (i == 5 and j == 3)
+                    else ("" if (i == 6 and j == 4) else str((i + j) % 7)),
+                    "click" if j % 3 == 0 else "view",
+                    f"hi-card-{i}-{j}",  # unique per row: must NOT dict
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        "uuid string, timestamp long, seq long, aeid string, "
+        "etype string, blob string",
+    )
+    store = write_trail_store(
+        df, path, uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+        n_buckets=4, dict_max=64,
+    )
+    return path, df, store
+
+
+def test_dict_manifest_and_codes(spark, dict_store):
+    path, df, store = dict_store
+    m = read_manifest(path)
+    assert set(m["dicts"]) == {"aeid", "etype"}
+    assert m["dicts"]["aeid"] == sorted(str(v) for v in range(7))
+    assert "blob" not in m["dicts"]  # over dict_max -> stays plain
+    # code columns present, 0 <-> ""/null, i+1 <-> lexicon order
+    from pyspark.sql import functions as F
+
+    lex = m["dicts"]["aeid"]
+    bad = store.filter(
+        ~(
+            F.coalesce(F.col("aeid"), F.lit(""))
+            == F.when(F.col("__c_aeid") == 0, F.lit("")).otherwise(
+                F.element_at(F.lit(lex), F.col("__c_aeid"))
+            )
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_dict_reopen_preserves_codes(spark, dict_store):
+    path, _, store = dict_store
+    from trck_spark.store import _table_name
+
+    spark.sql(f"DROP TABLE IF EXISTS {_table_name(path)}")
+    df2 = open_trail_store(spark, path)
+    assert "__c_aeid" in df2.columns
+    assert df2._trailstore_manifest["dicts"]["etype"] == ["click", "view"]
+
+
+def test_dict_code_plan_prunes_string_column(spark, dict_store):
+    """The code-keyed B1 plan must read ONLY the int code column —
+    string hash-agg replaced by dictionary-id agg, the scan never
+    touching the (wider) string bytes."""
+    path, df, store = dict_store
+    eng = TrckSparkEngine(spark)
+    frame = eng.run(
+        store, B1_DICT_PROG, uuid_col="uuid", ts_col="timestamp",
+        seq_col="seq",
+    ).counters_df()
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "__c_aeid" in plan
+    scan_schema = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ]
+    assert scan_schema and all(
+        "__c_aeid" in ln and "aeid:string" not in ln for ln in scan_schema
+    ), plan
+
+
+def test_dict_b1_matches_flat(spark, dict_store):
+    path, df, store = dict_store
+    eng = TrckSparkEngine(spark)
+    kw = dict(uuid_col="uuid", ts_col="timestamp", seq_col="seq")
+    flat = sorted(
+        map(tuple, eng.run(df, B1_DICT_PROG, **kw).counters_df().collect())
+    )
+    code = sorted(
+        map(tuple, eng.run(store, B1_DICT_PROG, **kw).counters_df().collect())
+    )
+    assert flat == code
+    # the ""-code-0 group exists and absorbed the null + "" events
+    empty = [r for r in code if r[0] == ""]
+    assert empty == [("", 2)]
+
+
+def test_dict_mixed_clauses_match_flat(spark, dict_store):
+    """Literal conditions on OTHER dict fields keep their string
+    predicates; results identical to the flat path."""
+    path, df, store = dict_store
+    eng = TrckSparkEngine(spark)
+    kw = dict(uuid_col="uuid", ts_col="timestamp", seq_col="seq")
+    flat = sorted(
+        map(tuple, eng.run(df, MIXED_DICT_PROG, **kw).counters_df().collect())
+    )
+    code = sorted(
+        map(
+            tuple,
+            eng.run(store, MIXED_DICT_PROG, **kw).counters_df().collect(),
+        )
+    )
+    assert flat == code
+
+
+def test_dict_filter_falls_back_to_grid(spark, dict_store):
+    """A CNF --filter forces the grid form (post-filter lexicon must
+    still densify dropped values) — the code path must disengage and
+    results must match the flat path under the same filter."""
+    path, df, store = dict_store
+    eng = TrckSparkEngine(spark)
+    kw = dict(uuid_col="uuid", ts_col="timestamp", seq_col="seq")
+    filt = {
+        "clauses": [[{"field": "etype", "value": "click", "op": "equal"}]]
+    }
+    flat = sorted(
+        map(
+            tuple,
+            eng.run(df, B1_DICT_PROG, event_filter=filt, **kw)
+            .counters_df()
+            .collect(),
+        )
+    )
+    code = sorted(
+        map(
+            tuple,
+            eng.run(store, B1_DICT_PROG, event_filter=filt, **kw)
+            .counters_df()
+            .collect(),
+        )
+    )
+    assert flat == code
+
+
+def test_dict_fields_opt_out(spark, tmp_path):
+    df = spark.range(20).selectExpr(
+        "concat('u', id % 4) AS uuid",
+        "1000 + id AS timestamp",
+        "id AS seq",
+        "cast(id % 3 AS string) AS aeid",
+    )
+    path = str(tmp_path / "nodict_store")
+    write_trail_store(
+        df, path, uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+        n_buckets=2, dict_fields=None,
+    )
+    m = read_manifest(path)
+    assert m["dicts"] == {}

@@ -395,6 +395,43 @@ class TrckSparkEngine:
             c for c in (dedup_cols or []) if c in cols and c not in fields
         ]
 
+        # --- dictionary-code fast path eligibility: when the store
+        # carries a lexicon for the implicit-foreach field and the query
+        # is the single-scan value-keyed counter shape (no filter/
+        # exclude/window inputs), the plan can aggregate on the int
+        # ``__c_<field>`` code and decode once post-agg — the
+        # dictionary-id aggregation TrailDB/DuckDB execute natively
+        # (reference src/db.c:62-113).  Decided here so the code column
+        # rides the one canonical projection below. ---
+        import os as _os
+
+        from trck_spark.planner import (
+            _equi_join_fields,
+            is_simple_counter_program,
+        )
+
+        fastpath_on = not _os.environ.get("TRCK_SPARK_NO_FASTPATH")
+        dicts = manifest.get("dicts") or {}
+        code_field = None
+        if (
+            fastpath_on
+            and program.implicit_foreach
+            and len(program.groupby_vars) == 1
+            and not program.merge_results
+            and window_entries is None
+            and event_filter is None
+            and not exclude_on
+        ):
+            f0 = program.var_fields.get(program.groupby_vars[0])
+            if (
+                f0 in dicts
+                and f0 in cols
+                and is_simple_counter_program(program)
+                and _equi_join_fields(program)
+                == {program.groupby_vars[0]: f0}
+            ):
+                code_field = f0
+
         # --- canonical + program columns in ONE projection (each
         # withColumn is a py4j round-trip + an analysis pass; on
         # sub-second queries the chatter is measurable) ---
@@ -435,6 +472,12 @@ class TrckSparkEngine:
                 F.coalesce(F.col(c).cast("string"), F.lit("")).alias(
                     "__d_" + c
                 )
+            )
+        if code_field:
+            sel.append(
+                F.col("__c_" + code_field)
+                .cast("int")
+                .alias("__c_" + code_field)
             )
         df = df.select(*sel)
 
@@ -521,6 +564,8 @@ class TrckSparkEngine:
             proj += ["__entry", "__wstart", "__wend", "__eff"]
         proj += ["__f_" + f for f in fields]
         proj += ["__d_" + c for c in extra_dedup]
+        if code_field:
+            proj.append("__c_" + code_field)
         df = df.select(*proj)
         # planner reads column membership from this tuple instead of
         # df.columns — each .columns on a fresh plan runs the full JVM
@@ -528,7 +573,6 @@ class TrckSparkEngine:
         df._trck_cols = tuple(proj)
 
         from trck_spark.planner import (
-            _equi_join_fields,
             compile_attribution,
             compile_bounce,
             compile_counter_implicit,
@@ -538,13 +582,8 @@ class TrckSparkEngine:
             is_attribution_program,
             is_bounce_program,
             is_gap_sessions_program,
-            is_simple_counter_program,
             is_simple_funnel_program,
         )
-
-        import os as _os
-
-        fastpath_on = not _os.environ.get("TRCK_SPARK_NO_FASTPATH")
 
         # --- implicit foreach: the field's distinct values in the data ---
         lexicon = None
@@ -575,12 +614,17 @@ class TrckSparkEngine:
                 == {program.groupby_vars[0]: field}
             ):
                 # with no filter/exclude the post-filter distinct values
-                # ARE the lexicon -> single-scan form (no grid subquery)
+                # ARE the lexicon -> single-scan form (no grid subquery);
+                # a store lexicon upgrades it to the code-keyed form
                 need_grid = event_filter is not None or exclude_on
                 frame = compile_counter_implicit(
                     self, df, program,
                     src.distinct() if need_grid else None,
                     params, extra_dedup, no_dedup=no_dedup,
+                    code_col="__c_" + code_field if code_field else None,
+                    code_values=dicts.get(code_field)
+                    if code_field
+                    else None,
                 )
                 return TrckFrameResultSet(
                     self, frame, program, params, fn_registry

@@ -1000,6 +1000,8 @@ def compile_counter_implicit(
     base_params: dict | None,
     extra_dedup: list[str] | None = None,
     no_dedup: bool = False,
+    code_col: str | None = None,
+    code_values: list | None = None,
 ):
     """Value-keyed compilation of implicit-foreach counter programs.
 
@@ -1023,6 +1025,19 @@ def compile_counter_implicit(
     whose rows are all filtered out must still densify to a zero row —
     engine.run passes a grid exactly in that case).
 
+    code_col/code_values select the CODE-KEYED single-scan form: the
+    input carries a TrailStore dictionary code column (store.py
+    `dicts`, the Spark analog of TrailDB's per-field lexicon —
+    reference src/db.c:62-113) whose int codes are 0 for ""/absent and
+    1..n for `code_values` in order.  The aggregation then groups by
+    the int code — the var-field equality folds to TRUE (each row pairs
+    with its own value by construction, and code 0 <-> "" preserves the
+    missing-field binding), so when no other clause references the
+    string field Catalyst prunes it from the scan entirely.  The plan
+    becomes scan(int32) -> hash-agg(int) -> decode-once-post-agg: the
+    dictionary-id aggregation a native engine runs, several times
+    cheaper than string hash-agg per row.
+
     Returns the final densified counters frame: one row per grid value
     (including the reference's implicit "" tuple) with one zero-filled
     column per $counter.
@@ -1036,9 +1051,24 @@ def compile_counter_implicit(
     pcol = "__p_" + var[1:]
 
     single_scan = lexicon_df is None
+    use_codes = bool(single_scan and code_col and code_values is not None)
+    # decoded string view of the code (only evaluated post-agg, or in the
+    # rare clause that references %var on a DIFFERENT field)
+    decode = (
+        F.when(F.col(pcol) == 0, F.lit("")).otherwise(
+            F.element_at(F.lit(code_values), F.col(pcol))
+        )
+        if use_codes
+        else None
+    )
     d = df if no_dedup else _deduped(df, fields, extra_dedup)
     if single_scan:
-        d = d.withColumn(pcol, _f_col(field))
+        d = d.withColumn(
+            pcol,
+            F.coalesce(F.col(code_col), F.lit(0))
+            if use_codes
+            else _f_col(field),
+        )
         grid = None
     else:
         # grid = distinct values ∪ {""} — "" is a real tuple (FSM parity:
@@ -1055,7 +1085,9 @@ def compile_counter_implicit(
 
     def param_col(name: str):
         if name == var:
-            return F.col(pcol)
+            # code mode: any consumer other than the folded same-field
+            # equality needs the string view of the binding
+            return decode if use_codes else F.col(pcol)
         base = (base_params or {}).get(name)
         if base is None:
             return F.lit(None)
@@ -1078,6 +1110,12 @@ def compile_counter_implicit(
             }[op]
         if is_param(expr):
             if expr[0] == "%":
+                if use_codes and expr == var and field_ == field:
+                    # value-keyed self-equality: each row pairs with its
+                    # own field value (both sides coalesce null to ""),
+                    # so the predicate is identically true — matching
+                    # the string form, where both sides are _f_col
+                    return F.lit(True)
                 return _f_col(field_) == param_col(expr)
             return F.array_contains(
                 F.coalesce(param_col(expr), F.array()), _f_col(field_)
@@ -1124,18 +1162,18 @@ def compile_counter_implicit(
         # query stays one exchange (the union-then-re-aggregate form
         # added a second shuffle stage + AQE round to every query).
         slim = d.select(F.col(pcol), F.col("__clause"))
-        # JVM-only literal row (see the grid note above)
+        # JVM-only literal row (see the grid note above); code mode's
+        # implicit "" tuple is code 0
         synth = spark.range(1).select(
-            F.lit("").alias(pcol),
+            (F.lit(0) if use_codes else F.lit("")).alias(pcol),
             F.lit(None).cast("integer").alias("__clause"),
         )
-        return (
-            slim.unionByName(synth)
-            .groupBy(pcol)
-            .agg(*aggs)
-            .select(
-                F.col(pcol).alias(var[1:]), *[F.col(c) for c in cnames]
-            )
+        out = slim.unionByName(synth).groupBy(pcol).agg(*aggs)
+        # code mode decodes ONCE here, over <=lexicon-size rows — the
+        # per-row scan never touches the string column
+        key = decode if use_codes else F.col(pcol)
+        return out.select(
+            key.alias(var[1:]), *[F.col(c) for c in cnames]
         )
     grouped = d.groupBy(pcol).agg(*aggs)
     return (

@@ -30,6 +30,87 @@ import re
 
 MANIFEST = "_trailstore.json"
 
+# per-field lexicon cap for auto dictionary encoding: fields above this
+# distinct-count stay plain strings (a 100 TB store's high-cardinality
+# fields would otherwise ship giant lexicons through every manifest)
+DICT_MAX = 4096
+
+
+def _dict_lexicons(df, candidates: list[str], dict_max: int) -> dict:
+    """{field: sorted non-empty values} for every candidate string field
+    whose distinct count fits the cap — the write-time analog of TrailDB's
+    per-field lexicon build (reference src/db.c:62-84).
+
+    Two bounded passes: an approx_count_distinct probe prunes
+    high-cardinality fields without collecting anything, then ONE
+    exploded distinct pass over the survivors (map-side partial
+    aggregation keeps the shuffle tiny) collects the actual lexicons.
+    The collect is bounded by n_fields x dict_max x margin."""
+    from pyspark.sql import functions as F
+
+    if not candidates:
+        return {}
+    probe = df.agg(
+        *[F.approx_count_distinct(f).alias(f) for f in candidates]
+    ).first()
+    # 1.3x margin over the cap: approx_count_distinct is ~2% rsd; the
+    # exact count is re-checked after the distinct pass
+    eligible = [f for f in candidates if probe[f] <= dict_max * 1.3]
+    if not eligible:
+        return {}
+    pairs = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f).alias("f"),
+                            F.col(f).cast("string").alias("v"),
+                        )
+                        for f in eligible
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.f", "p.v")
+        .filter(F.col("v").isNotNull() & (F.col("v") != ""))
+        .distinct()
+        .collect()
+    )
+    lex: dict[str, list] = {f: [] for f in eligible}
+    for r in pairs:
+        lex[r["f"]].append(r["v"])
+    return {
+        f: sorted(vs) for f, vs in lex.items() if len(vs) <= dict_max
+    }
+
+
+def _with_dict_codes(df, dicts: dict):
+    """Append one ``__c_<field>`` int column per lexicon field.
+
+    Code 0 is the empty/absent value (TrailDB value-id 0 — reference
+    src/db.c:99-100); values map to 1..n in lexicon (sorted) order.
+    Encoding joins a broadcast lexicon frame per field — no expression
+    blowup at the 4096-value cap, and the broadcast hash join keeps the
+    probe side streaming (no shuffle before the bucketed write's own
+    repartition)."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    for f, values in dicts.items():
+        code_col = "__c_" + f
+        lex_df = spark.createDataFrame(
+            [(v, i + 1) for i, v in enumerate(values)],
+            schema=f"`{f}__v` string, `{code_col}` int",
+        )
+        df = df.join(
+            F.broadcast(lex_df),
+            F.col(f).cast("string") == F.col(f + "__v"),
+            "left",
+        ).drop(f + "__v")
+        df = df.withColumn(code_col, F.coalesce(F.col(code_col), F.lit(0)))
+    return df
+
 
 def _table_name(path: str) -> str:
     slug = re.sub(r"[^A-Za-z0-9_]", "_", os.path.abspath(path)).strip("_")
@@ -38,7 +119,8 @@ def _table_name(path: str) -> str:
 
 def write_trail_store(df, path: str, uuid_col: str = "uuid",
                       ts_col: str = "timestamp", seq_col: str | None = "seq",
-                      n_buckets: int = 32):
+                      n_buckets: int = 32, dict_fields="auto",
+                      dict_max: int = DICT_MAX):
     """Write `df` as a trail-clustered bucketed table at `path` and return
     the re-opened DataFrame.
 
@@ -46,11 +128,35 @@ def write_trail_store(df, path: str, uuid_col: str = "uuid",
     so every task holds exactly one bucket and each bucket is a single
     file — the layout Spark requires before it will trust the sort order
     of a bucketed scan.
+
+    dict_fields: per-field dictionary encoding, the storage idea TrailDB
+    is built on (every field is a lexicon of value-ids — reference
+    src/db.c:62-113).  "auto" (default) lexicon-izes every string field
+    whose cardinality fits `dict_max`; a list selects fields explicitly;
+    None disables.  Each encoded field gains an int ``__c_<field>``
+    column (0 = ""/absent, 1..n = lexicon order) stored alongside the
+    string — compiled count plans aggregate on the int code and decode
+    once post-agg, which is exactly the dictionary-id aggregation a
+    native engine (or DuckDB) does and several times faster than string
+    hash-agg at the 100 TB end.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
 
     spark = df.sparkSession
     sort_cols = [uuid_col, ts_col] + ([seq_col] if seq_col else [])
+    if dict_fields == "auto":
+        skip = {uuid_col, ts_col, seq_col}
+        candidates = [
+            fld.name
+            for fld in df.schema.fields
+            if isinstance(fld.dataType, StringType) and fld.name not in skip
+        ]
+    else:
+        candidates = list(dict_fields or [])
+    dicts = _dict_lexicons(df, candidates, dict_max)
+    if dicts:
+        df = _with_dict_codes(df, dicts)
     table = _table_name(path)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     (
@@ -76,12 +182,13 @@ def write_trail_store(df, path: str, uuid_col: str = "uuid",
         == 0
     )
     manifest = {
-        "version": 1,
+        "version": 2,
         "uuid_col": uuid_col,
         "ts_col": ts_col,
         "seq_col": seq_col,
         "n_buckets": n_buckets,
         "ts_unique": ts_unique,
+        "dicts": dicts,
         "schema_ddl": _schema_ddl(df),
     }
     with open(os.path.join(path, MANIFEST), "w") as f:
