@@ -293,3 +293,80 @@ def test_mixture_sample_rates(spark):
     others = sum(v for k, v in kept.items() if k not in rates)
     n_others = sum(v for k, v in total.items() if k not in rates)
     assert 0.1 < others / n_others < 0.55  # ~0.3
+
+
+def test_containment_catches_subset_dup(spark, tmp_path):
+    """A short doc fully embedded in a long one scores containment 1.0
+    even though its Jaccard is far below any useful threshold — the case
+    the containment operator exists for."""
+    from pyspark.sql import functions as F
+
+    from trck_spark.pipeline.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+        release,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(60))
+    long = filler + " " + short + " " + filler[::-1].replace("w", "v")
+    df = spark.createDataFrame(
+        [(0, short), (1, long)], "doc_id long, text string"
+    ).withColumn("source", F.lit("s")).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text"))
+    d = str(tmp_path / "sub")
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    cont = ngram_containment_pairs(spark, d, threshold=0.9)
+    rows = cont.collect()
+    release(cont)
+    assert [(r["a"], r["b"]) for r in rows] == [(0, 1)]
+    assert rows[0]["containment_e6"] == 1000000
+
+    jac = ngram_jaccard_pairs(spark, d, threshold=0.9)
+    jrows = jac.collect()
+    release(jac)
+    assert jrows == []  # Jaccard misses the subset duplicate
+
+
+def test_sequence_pack_invariants(spark):
+    """Per shard: offsets are contiguous (each doc starts where the
+    previous ended), bins cover [start, start+n_tokens-1] at budget 512,
+    and every doc appears exactly once."""
+    from trck_spark.pipeline.curation import sequence_pack
+
+    out = sequence_pack(spark, SF_DIR, budget=512, n_shards=8).collect()
+    n_docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    )
+    assert len(out) == n_docs
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(8))
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["start_offset"])
+        pos = 0
+        for r in rows:
+            assert r["start_offset"] == pos
+            assert r["bin_first"] == pos // 512
+            assert r["bin_last"] == (pos + r["n_tokens"] - 1) // 512
+            pos += r["n_tokens"]
+
+
+def test_hash_split_stability(spark):
+    """Split assignment is a pure function of doc_id: stable across
+    invocations and partitionings, and the bucket histogram respects the
+    requested percentages within coarse tolerance."""
+    from trck_spark.pipeline.curation import hash_split
+
+    a = {r["doc_id"]: r["split"] for r in hash_split(spark, SF_DIR).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(spark, SF_DIR, val_pct=1, test_pct=1).collect()
+    }
+    assert a == b
+    n = len(a)
+    frac_train = sum(1 for v in a.values() if v == "train") / n
+    assert frac_train > 0.9  # 98% requested; tiny-sample tolerance

@@ -725,8 +725,11 @@ class TrckSparkEngine:
         # trails, events, match calls, early-breaks —
         # match_traildb.c:750-776, 854-870).  Spark accumulators merge
         # per-task on completion; like all accumulators the counts can
-        # overcount under stage retries, so this is observability, never
-        # an input to results. ---
+        # overcount under stage retries, AND under recomputation — a
+        # second action on an uncached agg_df (e.g. collect_json then
+        # counters_df) re-runs evaluate and doubles every counter.
+        # Read telemetry() after exactly one materialization; this is
+        # observability, never an input to results. ---
         _sc = self.spark.sparkContext
         telemetry = {
             "trails": _sc.accumulator(0),

@@ -153,3 +153,94 @@ def contamination_check(spark, sf_dir: str, n_eval: int = 100,
         )
         .orderBy("doc_id")
     )
+
+
+def hash_split(spark, sf_dir: str, val_pct: int = 1, test_pct: int = 1):
+    """Deterministic train/val/test assignment by document-id hash.
+
+    The standard reproducible-split trick for training corpora: bucket =
+    first 8 md5 hex chars of doc_id mod 100; the top ``test_pct`` buckets
+    are test, the next ``val_pct`` are val, the rest train.  Properties a
+    100 TB pipeline needs and rand() splits lack: stable under reruns,
+    partitioning, and incremental ingestion (a document's split never
+    changes when new data arrives); engine-independent (the DuckDB
+    oracle reproduces every assignment); and a pure map over the scan —
+    zero shuffle, composes with predicate pushdown.
+    """
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    train_hi = 100 - val_pct - test_pct
+    split = (
+        F.when(F.col("bucket") < train_hi, F.lit("train"))
+        .when(F.col("bucket") < train_hi + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.withColumn("bucket", bucket)
+        .select("doc_id", "bucket", split.alias("split"))
+        .orderBy("doc_id")
+    )
+
+
+def sequence_pack(spark, sf_dir: str, budget: int = 512,
+                  n_shards: int = 8):
+    """Training-sequence packing plan: place every document's tokens at a
+    deterministic offset inside fixed-``budget`` training sequences.
+
+    The concat-and-cut packing GPT-style training uses: per shard,
+    documents are concatenated in hash order and the token stream is cut
+    every ``budget`` tokens (documents may straddle a cut — ``bin_first``
+    /``bin_last`` give the span).  Emits per doc:
+    (shard, start_offset, n_tokens, bin_first, bin_last).
+
+    Scale shape: shard assignment is a pure map (md5 mod n_shards);
+    offsets are ONE running-sum window per shard — a single exchange on
+    shard id, each shard's cumsum streaming in sort order.  At 100 TB
+    n_shards scales with the cluster (shards are independent), and the
+    output is exactly the manifest a data loader needs to build packed
+    sequences without a global sort of the corpus.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    toks = "size(split(regexp_replace(lower(text), '\\\\s+', ' '), ' '))"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr(toks).cast("long").alias("n_tokens"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("long")
+            % n_shards
+        ).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        docs.withColumn("cum", cum)
+        .select(
+            "doc_id",
+            "shard",
+            (F.col("cum") - F.col("n_tokens")).alias("start_offset"),
+            "n_tokens",
+            F.floor((F.col("cum") - F.col("n_tokens")) / budget)
+            .cast("long").alias("bin_first"),
+            F.floor((F.col("cum") - 1) / budget)
+            .cast("long").alias("bin_last"),
+        )
+        .orderBy("shard", "start_offset", "doc_id")
+    )

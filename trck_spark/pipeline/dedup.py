@@ -166,6 +166,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    spark, sf_dir: str, threshold: float = 0.5,
+    max_shingle_df: int = 1000,
+):
+    """Word-3-gram CONTAINMENT pairs: |A ∩ B| / min(|A|, |B|) >= threshold.
+
+    Containment is the asymmetric complement to Jaccard: a short document
+    fully embedded in a long one (quote farms, mirrored excerpts, header
+    wrappers around the same body) scores near 1.0 on containment but
+    arbitrarily low on Jaccard, because the union is dominated by the long
+    side.  Web-scale dedup pipelines run both — Jaccard for same-size
+    near-dups, containment for subset duplication (Broder's original
+    resemblance/containment pair).
+
+    Same inverted-index join, df-cap skew guard, and fixed-width hashed
+    shuffle keys as :func:`ngram_jaccard_pairs`; only the final scoring
+    expression differs, so the 100 TB properties carry over unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    sh_cached = shingle_df(spark, sf_dir).select(
+        "doc_id", F.xxhash64("s").alias("h")
+    )
+    sh_cached.cache()
+    hot = (
+        sh_cached.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_shingle_df)
+        .select("h")
+    )
+    sh = sh_cached.join(F.broadcast(hot), "h", "left_anti")
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(
+        F.col("doc_id").alias("a"), F.col("n").alias("na")
+    )
+    cb = counts.select(
+        F.col("doc_id").alias("b"), F.col("n").alias("nb")
+    )
+    cont = F.col("inter") / F.least(F.col("na"), F.col("nb"))
+    return _own_caches(
+        inter.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .filter(cont >= threshold)
+        .select(
+            "a", "b",
+            F.floor(cont * 1000000).cast("long").alias("containment_e6"),
+        )
+        .orderBy("a", "b"),
+        [sh_cached],
+    )
+
+
 # ------------------------------------------------------------- MinHash/LSH
 
 N_HASHES = 128

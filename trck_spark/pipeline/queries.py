@@ -102,10 +102,30 @@ def q_video_frame_sample(spark, sf_dir):
     return multimodal.video_frame_sample(spark, sf_dir)
 
 
+def q_ngram_containment_pairs(spark, sf_dir):
+    return dedup.ngram_containment_pairs(spark, sf_dir, threshold=0.5)
+
+
+def q_repetition_stats(spark, sf_dir):
+    return text.repetition_stats(spark, sf_dir)
+
+
+def q_hash_split(spark, sf_dir):
+    return curation.hash_split(spark, sf_dir)
+
+
+def q_sequence_pack(spark, sf_dir):
+    return curation.sequence_pack(spark, sf_dir)
+
+
 def pipeline_queries() -> dict:
     return {
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ngram_containment_pairs": q_ngram_containment_pairs,
+        "repetition_stats": q_repetition_stats,
+        "hash_split": q_hash_split,
+        "sequence_pack": q_sequence_pack,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
@@ -154,6 +174,66 @@ SELECT a, b, floor(inter::DOUBLE / (ca.n + cb.n - inter) * 1000000)::BIGINT AS j
 FROM i JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
 WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= 0.2
 ORDER BY a, b
+"""
+
+_CONTAINMENT_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS s
+  FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 0))) AS g)
+),
+sh AS (
+  SELECT * FROM sh0 WHERE s NOT IN (
+    SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000)
+),
+c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+i AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT a, b,
+       floor(inter::DOUBLE / least(ca.n, cb.n) * 1000000)::BIGINT
+         AS containment_e6
+FROM i JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+WHERE inter::DOUBLE / least(ca.n, cb.n) >= 0.5
+ORDER BY a, b
+"""
+
+_HASH_SPLIT_ORACLE = """
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 98 THEN 'train'
+            WHEN bucket < 99 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+               AS bucket
+      FROM documents) t
+ORDER BY doc_id
+"""
+
+_SEQUENCE_PACK_ORACLE = """
+WITH docs AS (
+  SELECT doc_id,
+         len(string_split(
+           regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '))::BIGINT
+           AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard
+  FROM documents
+),
+cums AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard
+                             ORDER BY md5(doc_id::VARCHAR), doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM docs
+)
+SELECT doc_id, shard, (cum - n_tokens)::BIGINT AS start_offset, n_tokens,
+       floor((cum - n_tokens) / 512.0)::BIGINT AS bin_first,
+       floor((cum - 1) / 512.0)::BIGINT AS bin_last
+FROM cums
+ORDER BY shard, start_offset, doc_id
 """
 
 def _simhash_oracle_sql(max_hamming: int = 3) -> str:
@@ -617,6 +697,7 @@ def pipeline_oracles() -> dict:
     from trck_spark.pipeline.text import (
         doc_fingerprint_oracle_sql,
         lang_id_oracle_sql,
+        repetition_stats_oracle_sql,
         text_quality_oracle_sql,
         token_stats_oracle_sql,
     )
@@ -629,6 +710,10 @@ def pipeline_oracles() -> dict:
             "FROM documents GROUP BY 1 ORDER BY 1"
         ),
         "ngram_jaccard_pairs": _NGRAM_ORACLE,
+        "ngram_containment_pairs": _CONTAINMENT_ORACLE,
+        "repetition_stats": repetition_stats_oracle_sql(),
+        "hash_split": _HASH_SPLIT_ORACLE,
+        "sequence_pack": _SEQUENCE_PACK_ORACLE,
         "simhash_pairs": _simhash_oracle_sql(),
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
