@@ -331,7 +331,9 @@ def main() -> None:
                   "embedding_near_dup_pairs", "video_frame_sample",
                   "dedup_clusters", "quota_sample",
                   "vocab_topk", "contamination_check",
-                  "trck_clicks_by_user", "mixture_sample"):
+                  "trck_clicks_by_user", "mixture_sample",
+                  "ngram_containment_pairs", "repetition_stats",
+                  "hash_split", "sequence_pack"):
         if extra in queries:
             bench_names.append(extra)
 
