@@ -333,7 +333,8 @@ def main() -> None:
                   "vocab_topk", "contamination_check",
                   "trck_clicks_by_user", "mixture_sample",
                   "ngram_containment_pairs", "repetition_stats",
-                  "hash_split", "sequence_pack"):
+                  "hash_split", "sequence_pack", "pii_stats",
+                  "tfidf_topterms", "dup_span_stats", "semantic_dedup"):
         if extra in queries:
             bench_names.append(extra)
 

@@ -355,6 +355,121 @@ def test_sequence_pack_invariants(spark):
             pos += r["n_tokens"]
 
 
+def _write_docs(spark, tmp_path, rows, name="docs"):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).withColumn("source", F.lit("s")).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text"))
+    d = str(tmp_path / name)
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_pii_planted(spark, tmp_path):
+    """Planted PII is counted per pattern and the redaction matches a
+    Python re.sub applying the same patterns in the same order."""
+    import hashlib
+    import re
+
+    from trck_spark.pipeline.text import _PII_PATTERNS, pii_stats
+
+    t0 = ("contact bob@example.com or alice.smith+x@mail.co, "
+          "call 555-123-4567, ssn 123-45-6789, host 10.0.0.1 ok")
+    t1 = "no pii here at all"
+    d = _write_docs(spark, tmp_path, [(0, t0), (1, t1)], "pii")
+
+    rows = {r["doc_id"]: r for r in pii_stats(spark, d).collect()}
+    assert rows[0]["n_email"] == 2
+    assert rows[0]["n_phone"] == 1
+    assert rows[0]["n_ssn"] == 1
+    assert rows[0]["n_ipv4"] == 1
+    assert rows[0]["n_pii"] == 5
+    assert rows[1]["n_pii"] == 0
+
+    red = t0
+    for _name, tok, pat in _PII_PATTERNS:
+        red = re.sub(pat, tok, red)
+    assert "bob@example.com" not in red and "<EMAIL>" in red
+    assert rows[0]["redacted_md5"] == hashlib.md5(
+        red.encode()
+    ).hexdigest()
+    assert rows[1]["redacted_md5"] == hashlib.md5(
+        t1.encode()
+    ).hexdigest()
+
+
+def test_dup_span_planted(spark, tmp_path):
+    """A doc duplicated verbatim scores 100% dup positions; a unique doc
+    scores 0; a doc shorter than the gram width reports zero grams."""
+    from trck_spark.pipeline.dedup import dup_span_stats
+
+    shared = "a b c d e f g h"          # 8 tokens -> 4 5-gram positions
+    unique = "q w e r t y u i o p"      # 10 tokens -> 6 positions
+    short = "x y z"                     # < 5 tokens -> 0 positions
+    d = _write_docs(
+        spark, tmp_path,
+        [(0, shared), (1, shared), (2, unique), (3, short)],
+        "spans",
+    )
+    rows = {r["doc_id"]: r for r in dup_span_stats(spark, d).collect()}
+    assert rows[0]["n_grams"] == 4 and rows[0]["n_dup_grams"] == 4
+    assert rows[0]["dup_frac_e6"] == 1000000
+    assert rows[1]["n_dup_grams"] == 4
+    assert rows[2]["n_grams"] == 6 and rows[2]["n_dup_grams"] == 0
+    assert rows[3]["n_grams"] == 0 and rows[3]["dup_frac_e6"] == 0
+
+
+def test_tfidf_planted(spark, tmp_path):
+    """tf x linear-idf ranking on a 2-doc corpus: doc-specific terms
+    outrank corpus-wide ones; scores are the exact integer formula."""
+    from trck_spark.pipeline.text import tfidf_topterms
+
+    d = _write_docs(
+        spark, tmp_path,
+        [(0, "apple apple banana"), (1, "banana cherry")],
+        "tfidf",
+    )
+    rows = tfidf_topterms(spark, d, k=3).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["rk"], r["term"], r["score_e6"])
+        )
+    # N=2; doc0: apple tf=2 df=1 -> 4e6; banana tf=1 df=2 -> 1e6
+    assert by_doc[0] == [(1, "apple", 4_000_000), (2, "banana", 1_000_000)]
+    # doc1: cherry tf=1 df=1 -> 2e6; banana -> 1e6
+    assert by_doc[1] == [(1, "cherry", 2_000_000), (2, "banana", 1_000_000)]
+
+
+def test_semantic_dedup_planted(spark, tmp_path):
+    """A vector nearly parallel to a lower-id cell-mate is dropped with
+    dup_of pointing at it; orthogonal cell-mates survive."""
+    from trck_spark.pipeline.dedup import release, semantic_dedup
+
+    vecs = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.0, 1.0], 0),
+        (2, [1.0, 0.001], 0),   # near-dup of 0 -> same cell, dropped
+        (3, [-1.0, 0.0], 0),    # lands in cell 1, cos 0 vs pivot 1
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "emb")
+    df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+
+    out = semantic_dedup(spark, d, n_cells=2, threshold=0.7)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    release(out)
+    assert rows[0]["kept"] and rows[0]["cell"] == 0
+    assert rows[1]["kept"] and rows[1]["cell"] == 1
+    assert not rows[2]["kept"] and rows[2]["dup_of"] == 0
+    assert rows[3]["kept"]
+
+
 def test_hash_split_stability(spark):
     """Split assignment is a pure function of doc_id: stable across
     invocations and partitionings, and the bucket histogram respects the

@@ -774,3 +774,231 @@ def dedup_apply(spark, sf_dir: str, threshold: float = 0.2):
         .orderBy("doc_id"),
         getattr(clusters, "_trck_persisted", ()),
     )
+
+
+def dup_span_stats(spark, sf_dir: str, k: int = 5):
+    """(doc_id, n_grams, n_dup_grams, dup_frac_e6): exact-substring
+    duplication coverage — for every word k-gram POSITION in a document,
+    is that exact k-gram repeated anywhere in the corpus (another doc,
+    or elsewhere in the same doc)?  The Spark-native shape of
+    suffix-array substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): a doc with a high dup_frac is
+    mostly boilerplate someone else also has.
+
+    Unlike the Jaccard/MinHash family (distinct shingles, set
+    similarity), positions count with multiplicity — a page whose
+    footer repeats 40 times scores 40 duplicated positions.
+
+    Plan: per-doc (gram, count) [map-side partial agg before one
+    fixed-key shuffle] -> corpus-wide gram totals [second agg on the
+    same gram partitioning, no re-shuffle] -> join per-doc counts back
+    on gram -> per-doc rollup.  Shuffle rows are O(distinct grams per
+    doc), never O(positions); gram keys could swap to xxhash64 at
+    100 TB for fixed-width shuffle rows (kept as strings here so the
+    DuckDB oracle reproduces them verbatim).
+    """
+    from pyspark.sql import functions as F
+
+    docs = spread_input(
+        spark, spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    toks = f"filter(split({NORM}, ' '), x -> x != '')"
+    grams = (
+        f"CASE WHEN size(t) >= {k} THEN "
+        f"transform(sequence(1, size(t) - {k - 1}), "
+        f"g -> concat_ws(' ', slice(t, g, {k}))) "
+        "ELSE array() END"
+    )
+    per_pos = (
+        docs.select("doc_id", F.expr(toks).alias("t"))
+        .select("doc_id", F.explode(F.expr(grams)).alias("gram"))
+    )
+    per_doc_gram = per_pos.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = per_doc_gram.groupBy("gram").agg(F.sum("c").alias("tot"))
+    rolled = (
+        per_doc_gram.join(totals, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.when(F.col("tot") > 1, F.col("c")).otherwise(0)).alias(
+                "n_dup_grams"
+            ),
+        )
+    )
+    # left join from documents: short docs (< k words) report 0 grams
+    return (
+        docs.select("doc_id")
+        .join(rolled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+            F.floor(
+                F.coalesce("n_dup_grams", F.lit(0))
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1))
+                * 1000000
+            )
+            .cast("long")
+            .alias("dup_frac_e6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dup_span_stats_oracle_sql(k: int = 5) -> str:
+    norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+    gram = " || ' ' || ".join(f"t[g + {i}]" for i in range(k))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split({norm}, ' '), x -> x != '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, {gram} AS gram
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - {k - 1}, 0))) AS g)
+),
+pdg AS (SELECT doc_id, gram, count(*) AS c FROM pos GROUP BY 1, 2),
+tot AS (SELECT gram, sum(c) AS tot FROM pdg GROUP BY 1),
+rolled AS (
+  SELECT pdg.doc_id, sum(c) AS n_grams,
+         sum(CASE WHEN tot.tot > 1 THEN c ELSE 0 END) AS n_dup_grams
+  FROM pdg JOIN tot USING (gram) GROUP BY 1
+)
+SELECT b.doc_id,
+       coalesce(n_grams, 0)::BIGINT AS n_grams,
+       coalesce(n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       floor(coalesce(n_dup_grams, 0)::DOUBLE
+             / greatest(coalesce(n_grams, 0), 1) * 1000000)::BIGINT
+         AS dup_frac_e6
+FROM base b LEFT JOIN rolled ON rolled.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+def semantic_dedup(
+    spark,
+    sf_dir: str,
+    n_cells: int = 16,
+    threshold: float = 0.7,
+):
+    """(vec_id, cell, kept, dup_of): SemDeDup-style embedding-space
+    deduplication (Abbas et al. 2023): partition vectors into cells,
+    compare pairs only WITHIN a cell, and drop any vector that has a
+    lower-id cell-mate with cosine >= threshold (dup_of = the smallest
+    such partner; kept rows carry NULL).
+
+    Cells are the deterministic pivot assignment shared with
+    ``cosine_topk_ivf_pivot`` (first n_cells vectors as centroids,
+    exact integer squared distance over the 1e6-quantized embeddings),
+    so the whole operator — assignment, pairing, cosine, verdict — is
+    bit-reproducible in the DuckDB oracle.
+
+    Scale: the only quadratic term is per-cell pairing; SemDeDup at
+    production scale runs n_cells ~ sqrt(N) (k-means over a sample),
+    keeping cells at ~sqrt(N) rows — the pair join here is a shuffle
+    on the cell key and AQE splits any skewed cell.  No all-pairs
+    stage exists anywhere.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from trck_spark.pipeline.similarity import _DOT, _quantized
+
+    emb = _quantized(spark, sf_dir)
+    piv = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("pv")
+    )
+    dist2 = F.expr(
+        "aggregate(zip_with(v, pv, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, t) -> acc + t)"
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    assigned = (
+        emb.crossJoin(F.broadcast(piv))
+        .select("vec_id", "v", "cell", dist2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell")
+        .persist()
+    )
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("a"), F.col("v").alias("av")
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("b"), F.col("v").alias("bv")
+    )
+    dot = F.expr(_DOT.format(a="av", b="bv")).cast("double")
+    na = F.expr(_DOT.format(a="av", b="av")).cast("double")
+    nb = F.expr(_DOT.format(a="bv", b="bv")).cast("double")
+    dup_pairs = (
+        a.join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", (dot / (F.sqrt(na) * F.sqrt(nb))).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    dropped = dup_pairs.groupBy("b").agg(F.min("a").alias("dup_of"))
+    return _own_caches(
+        assigned.select("vec_id", "cell")
+        .join(dropped, F.col("vec_id") == F.col("b"), "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+        .orderBy("vec_id"),
+        [assigned],
+    )
+
+
+def semantic_dedup_oracle_sql(
+    n_cells: int = 16, threshold: float = 0.7
+) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         [CAST(round(x::DOUBLE * 1000000) AS BIGINT) for x in embedding] AS v
+  FROM embeddings
+),
+piv AS (SELECT vec_id AS cell, v AS pv FROM e WHERE vec_id < {n_cells}),
+ranked AS (
+  SELECT e.vec_id, e.v, p.cell,
+         list_sum([(e.v[i] - p.pv[i]) * (e.v[i] - p.pv[i])
+                   for i in generate_series(1, len(e.v))]) AS d2
+  FROM e CROSS JOIN piv p
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cell) AS rn
+    FROM ranked) WHERE rn = 1
+),
+pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         list_sum([x.v[i] * y.v[i]
+                   for i in generate_series(1, len(x.v))])::DOUBLE
+         / (sqrt(list_sum([x.v[i] * x.v[i]
+                           for i in generate_series(1, len(x.v))])::DOUBLE)
+            * sqrt(list_sum([y.v[i] * y.v[i]
+                             for i in generate_series(1, len(y.v))])::DOUBLE))
+           AS cos
+  FROM assigned x JOIN assigned y
+    ON x.cell = y.cell AND x.vec_id < y.vec_id
+),
+dropped AS (
+  SELECT b, min(a) AS dup_of FROM pairs
+  WHERE cos >= {threshold} GROUP BY 1
+)
+SELECT a.vec_id, a.cell,
+       (d.dup_of IS NULL) AS kept, d.dup_of
+FROM assigned a LEFT JOIN dropped d ON d.b = a.vec_id
+ORDER BY a.vec_id
+"""

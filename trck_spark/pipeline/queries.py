@@ -118,6 +118,22 @@ def q_sequence_pack(spark, sf_dir):
     return curation.sequence_pack(spark, sf_dir)
 
 
+def q_pii_stats(spark, sf_dir):
+    return text.pii_stats(spark, sf_dir)
+
+
+def q_tfidf_topterms(spark, sf_dir):
+    return text.tfidf_topterms(spark, sf_dir)
+
+
+def q_dup_span_stats(spark, sf_dir):
+    return dedup.dup_span_stats(spark, sf_dir)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    return dedup.semantic_dedup(spark, sf_dir)
+
+
 def pipeline_queries() -> dict:
     return {
         "dedup_exact": q_dedup_exact,
@@ -126,6 +142,10 @@ def pipeline_queries() -> dict:
         "repetition_stats": q_repetition_stats,
         "hash_split": q_hash_split,
         "sequence_pack": q_sequence_pack,
+        "pii_stats": q_pii_stats,
+        "tfidf_topterms": q_tfidf_topterms,
+        "dup_span_stats": q_dup_span_stats,
+        "semantic_dedup": q_semantic_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
@@ -694,11 +714,17 @@ def pipeline_oracles() -> dict:
         image_metadata_oracle_sql,
         video_frame_sample_oracle_sql,
     )
+    from trck_spark.pipeline.dedup import (
+        dup_span_stats_oracle_sql,
+        semantic_dedup_oracle_sql,
+    )
     from trck_spark.pipeline.text import (
         doc_fingerprint_oracle_sql,
         lang_id_oracle_sql,
+        pii_stats_oracle_sql,
         repetition_stats_oracle_sql,
         text_quality_oracle_sql,
+        tfidf_topterms_oracle_sql,
         token_stats_oracle_sql,
     )
 
@@ -714,6 +740,10 @@ def pipeline_oracles() -> dict:
         "repetition_stats": repetition_stats_oracle_sql(),
         "hash_split": _HASH_SPLIT_ORACLE,
         "sequence_pack": _SEQUENCE_PACK_ORACLE,
+        "pii_stats": pii_stats_oracle_sql(),
+        "tfidf_topterms": tfidf_topterms_oracle_sql(),
+        "dup_span_stats": dup_span_stats_oracle_sql(),
+        "semantic_dedup": semantic_dedup_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),

@@ -264,6 +264,163 @@ ORDER BY p.doc_id
 """
 
 
+# --------------------------------------------------------------- PII scrub
+#
+# Regex PII detection + redaction.  Patterns deliberately avoid
+# backslash classes (\d, \b) and use only [...]-classes and bounded
+# quantifiers, so the SAME literal pattern behaves identically under
+# Java regex (Spark, whole-stage codegen) and RE2 (DuckDB) — no
+# dialect translation layer to get wrong.  Order matters for
+# redaction: email first (it can contain digit runs), then the
+# digit-shaped patterns from most- to least-specific.
+_PII_PATTERNS = [
+    ("email", "<EMAIL>",
+     "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+"),
+    ("ipv4", "<IP>",
+     "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"),
+    ("ssn", "<SSN>", "[0-9]{3}-[0-9]{2}-[0-9]{4}"),
+    ("phone", "<PHONE>", "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"),
+]
+
+
+def pii_scrub_exprs(text_col: str = "text") -> tuple[dict, str]:
+    """(per-pattern count SQL exprs, fully-redacted SQL expr) — shared
+    verbatim by the Spark query and the DuckDB oracle (modulo the
+    regexp_count spelling, handled by the callers)."""
+    counts = {
+        name: (text_col, pat) for name, _tok, pat in _PII_PATTERNS
+    }
+    red = text_col
+    for _name, tok, pat in _PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tok}')"
+    return counts, red
+
+
+def pii_stats(spark, sf_dir: str):
+    """(doc_id, n_email, n_ipv4, n_ssn, n_phone, n_pii, redacted_md5):
+    per-document PII hit counts plus the md5 of the fully redacted
+    text — the md5 proves the redaction itself (not just the counts)
+    is identical across engines.
+
+    Pure Catalyst (regexp_count / regexp_replace, whole-stage
+    codegen), zero shuffle: the 100 TB form is a map-only pass.  The
+    reference has no PII surface (its values are opaque dictionary
+    strings); this is training-data-pipeline scope.
+    """
+    from pyspark.sql import functions as F
+
+    counts, red = pii_scrub_exprs("text")
+    cols = [
+        F.expr(f"regexp_count({c}, '{p}')").cast("long").alias(f"n_{n}")
+        for n, (c, p) in counts.items()
+    ]
+    total = None
+    for n in counts:
+        t = F.col(f"n_{n}")
+        total = t if total is None else total + t
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", *cols, F.md5(F.expr(red)).alias("redacted_md5"))
+        .withColumn("n_pii", total.cast("long"))
+        .select("doc_id", *[f"n_{n}" for n in counts], "n_pii",
+                "redacted_md5")
+        .orderBy("doc_id")
+    )
+
+
+def pii_stats_oracle_sql() -> str:
+    counts, red = pii_scrub_exprs("text")
+    # DuckDB: no regexp_count; regexp_replace needs the global flag
+    cnt_cols = ", ".join(
+        f"len(regexp_extract_all({c}, '{p}'))::BIGINT AS n_{n}"
+        for n, (c, p) in counts.items()
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all({c}, '{p}'))"
+        for n, (c, p) in counts.items()
+    )
+    red_g = red.replace("')", "', 'g')")
+    return (
+        f"SELECT doc_id, {cnt_cols}, ({total})::BIGINT AS n_pii, "
+        f"md5({red_g}) AS redacted_md5 "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
+# ------------------------------------------------------------ TF-IDF terms
+def tfidf_topterms(spark, sf_dir: str, k: int = 3):
+    """(doc_id, term, tf, score_e6, rk): top-k characteristic terms per
+    document by tf x linear-idf.
+
+    idf is the LINEAR ratio n_docs/df (not log): the ranking it induces
+    per document is identical (log is monotone), and integer arithmetic
+    keeps Spark and DuckDB bit-identical — score_e6 =
+    tf * 1_000_000 * n_docs DIV df, all BIGINT.  (At n_docs beyond
+    ~1e7 the product nears int64 range; the at-scale deploy would
+    switch score to a double and keep the same ranking.)
+
+    Shape: explode tokens -> (doc, term) tf [one shuffle, partial
+    map-side agg] -> per-term df [second agg, reuses the term
+    partitioning] -> join back on term -> per-doc top-k window.  The
+    corpus size joins in as a broadcast 1-row aggregate, never a
+    driver-side collect.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = f"filter(split({NORM}, ' '), x -> x != '')"
+    tf = (
+        docs.select("doc_id", F.explode(F.expr(toks)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_e6",
+            F.expr("tf * 1000000 * n_docs DIV df_docs").cast("long"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_e6"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
+                "score_e6", F.col("rk").cast("long").alias("rk"))
+        .orderBy("doc_id", "rk")
+    )
+
+
+def tfidf_topterms_oracle_sql(k: int = 3) -> str:
+    norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split({norm}, ' '), x -> x != '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df_docs FROM tf GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         (tf.tf * 1000000 * n.n_docs // dft.df_docs)::BIGINT AS score_e6
+  FROM tf JOIN dft USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, score_e6, rk::BIGINT AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_e6 DESC, term) AS rk
+      FROM scored)
+WHERE rk <= {k} ORDER BY doc_id, rk
+"""
+
+
 def doc_fingerprint(spark, sf_dir: str):
     """(doc_id, fingerprint): md5 digest of the normalized text."""
     from pyspark.sql import functions as F
