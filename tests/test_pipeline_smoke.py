@@ -470,6 +470,52 @@ def test_semantic_dedup_planted(spark, tmp_path):
     assert rows[3]["kept"]
 
 
+def test_session_features_matches_fsm_sessions(spark):
+    """The relational session_features table must agree with the trck
+    FSM sessionization on the same 30-minute gap rule: total session
+    rows == the FSM's $sessions counter, and per-session invariants
+    hold."""
+    from trck_spark.queries import q_session_features, q_trck_sessions
+
+    feats = q_session_features(spark, SF_DIR).collect()
+    fsm_total = q_trck_sessions(spark, SF_DIR).collect()[0]["sessions"]
+    assert len(feats) == fsm_total
+    for r in feats:
+        assert r["n_events"] >= 1
+        assert r["duration_s"] >= 0
+        assert r["duration_s"] < 100 * 86400
+        assert r["n_clicks"] <= r["n_events"]
+
+
+def test_incremental_dedup_planted(spark, tmp_path):
+    """Corpus dups, within-batch dups and fresh docs classify correctly;
+    corpus docs never appear in the output."""
+    from pyspark.sql import functions as F
+
+    from trck_spark.pipeline.dedup import incremental_dedup
+
+    rows = [
+        (0, "the corpus doc", "src0"),
+        (1, "another corpus doc", "src0"),
+        (10, "the corpus doc", "src1"),       # dup of corpus
+        (11, "a brand new doc", "src1"),      # fresh
+        (12, "a brand new doc", "src2"),      # dup within batch
+        (13, "unique again", "src2"),         # fresh
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "n_chars", F.length("text")
+    )
+    d = str(tmp_path / "inc")
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    out = {r["doc_id"]: r["status"]
+           for r in incremental_dedup(spark, d).collect()}
+    assert out == {10: "corpus_dup", 11: "kept",
+                   12: "batch_dup", 13: "kept"}
+
+
 def test_hash_split_stability(spark):
     """Split assignment is a pure function of doc_id: stable across
     invocations and partitionings, and the bucket histogram respects the

@@ -881,6 +881,81 @@ ORDER BY b.doc_id
 """
 
 
+def incremental_dedup(spark, sf_dir: str, corpus_source: str = "src0"):
+    """(doc_id, fingerprint, status): dedup an INCOMING batch against an
+    EXISTING corpus — the daily-ingestion shape, where the corpus is
+    already deduped and only the delta needs work.  Documents from
+    ``corpus_source`` are the existing corpus; everything else is the
+    incoming batch.  Each incoming doc is classified:
+
+    - ``corpus_dup``  — its normalized-text fingerprint already exists
+      in the corpus (drop);
+    - ``batch_dup``   — not in the corpus, but a lower-id incoming doc
+      has the same fingerprint (drop, keep the canonical one);
+    - ``kept``        — first occurrence anywhere (ingest).
+
+    Plan: both sides reduce to (fingerprint, min doc_id) aggregates
+    before any join, so the join keys are fixed-width digests and the
+    corpus side ships only its distinct fingerprints.  At 100 TB the
+    corpus fingerprint set is the thing to keep materialized between
+    ingestion runs (or front it with a bloom filter to skip the join
+    for the ~99% of incoming docs that are genuinely new) — the
+    operator shape is unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    docs = spread_input(
+        spark, spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select(
+        "doc_id", "source", F.md5(F.expr(NORM)).alias("fingerprint")
+    )
+    corpus_fp = (
+        docs.filter(F.col("source") == corpus_source)
+        .select("fingerprint")
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    incoming = docs.filter(F.col("source") != corpus_source)
+    first_in_batch = incoming.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("first_id")
+    )
+    return (
+        incoming.join(corpus_fp, "fingerprint", "left")
+        .join(first_in_batch, "fingerprint")
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.when(F.col("in_corpus").isNotNull(), "corpus_dup")
+            .when(F.col("doc_id") != F.col("first_id"), "batch_dup")
+            .otherwise("kept")
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def incremental_dedup_oracle_sql(corpus_source: str = "src0") -> str:
+    norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, md5({norm}) AS fingerprint FROM documents
+),
+corpus AS (SELECT DISTINCT fingerprint, 1 AS in_corpus FROM d
+           WHERE source = '{corpus_source}'),
+inc AS (SELECT * FROM d WHERE source <> '{corpus_source}'),
+first_ids AS (SELECT fingerprint, min(doc_id) AS first_id
+              FROM inc GROUP BY 1)
+SELECT inc.doc_id, inc.fingerprint,
+       CASE WHEN in_corpus IS NOT NULL THEN 'corpus_dup'
+            WHEN inc.doc_id <> f.first_id THEN 'batch_dup'
+            ELSE 'kept' END AS status
+FROM inc
+LEFT JOIN corpus USING (fingerprint)
+JOIN first_ids f USING (fingerprint)
+ORDER BY inc.doc_id
+"""
+
+
 def semantic_dedup(
     spark,
     sf_dir: str,

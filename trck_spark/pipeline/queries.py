@@ -134,6 +134,10 @@ def q_semantic_dedup(spark, sf_dir):
     return dedup.semantic_dedup(spark, sf_dir)
 
 
+def q_incremental_dedup(spark, sf_dir):
+    return dedup.incremental_dedup(spark, sf_dir)
+
+
 def pipeline_queries() -> dict:
     return {
         "dedup_exact": q_dedup_exact,
@@ -146,6 +150,7 @@ def pipeline_queries() -> dict:
         "tfidf_topterms": q_tfidf_topterms,
         "dup_span_stats": q_dup_span_stats,
         "semantic_dedup": q_semantic_dedup,
+        "incremental_dedup": q_incremental_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
@@ -716,6 +721,7 @@ def pipeline_oracles() -> dict:
     )
     from trck_spark.pipeline.dedup import (
         dup_span_stats_oracle_sql,
+        incremental_dedup_oracle_sql,
         semantic_dedup_oracle_sql,
     )
     from trck_spark.pipeline.text import (
@@ -744,6 +750,7 @@ def pipeline_oracles() -> dict:
         "tfidf_topterms": tfidf_topterms_oracle_sql(),
         "dup_span_stats": dup_span_stats_oracle_sql(),
         "semantic_dedup": semantic_dedup_oracle_sql(),
+        "incremental_dedup": incremental_dedup_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),

@@ -734,7 +734,95 @@ def q_props_json_stats(spark, sf_dir):
     )
 
 
+def q_session_features(spark, sf_dir):
+    """Per-session behavior features — the "feature extraction from
+    discrete time series" use case the reference names as canonical
+    (reference README.md:5-15), materialized as a relational table
+    instead of FSM counters: one row per (user, 30-min-gap session)
+    with start, length, duration and per-type signals.
+
+    Plan: one hash exchange on user_id serves BOTH window passes
+    (session-start lag + running session index share the same
+    partitioning/order) and the final (user, session) aggregation —
+    HashPartitioning(user) satisfies the grouped distribution of the
+    superset key, so Catalyst plans exactly one shuffle end to end.
+    At 100 TB this is the minimal movement for sessionization: one
+    pass, one exchange, partial aggregation map-side.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.col("timestamp").alias("t"), "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    # 1 when this event STARTS a session (first event, or >=30-min gap);
+    # a NULL lag comparison falls through to otherwise() -> 1
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(F.col("t") < F.lag("t").over(w) + 1800, 0).otherwise(1),
+    ).withColumn(
+        "sess_idx",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        marked.groupBy("user_id", "sess_idx")
+        .agg(
+            F.min("t").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("t") - F.min("t")).alias("duration_s"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("n_clicks"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("boolean").alias("has_purchase"),
+        )
+        .select(
+            "user_id",
+            F.col("sess_idx").cast("long").alias("sess_idx"),
+            "session_start",
+            "n_events",
+            "duration_s",
+            F.col("n_clicks").cast("long").alias("n_clicks"),
+            "has_purchase",
+        )
+        .orderBy("user_id", "sess_idx")
+    )
+
+
 ORACLES_RELATIONAL = {
+    "session_features": """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000000000 AS t, event_id, event_type,
+         lag(epoch_ns(ts) // 1000000000) OVER
+           (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000,
+            event_id) AS pt
+  FROM events
+),
+m AS (
+  SELECT *, CASE WHEN pt IS NOT NULL AND t < pt + 1800 THEN 0 ELSE 1 END
+              AS new_sess
+  FROM e
+),
+s AS (
+  SELECT *, sum(new_sess) OVER
+              (PARTITION BY user_id ORDER BY t, event_id
+               ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM m
+)
+SELECT user_id, sess_idx::BIGINT AS sess_idx,
+       min(t)::BIGINT AS session_start,
+       count(*)::BIGINT AS n_events,
+       (max(t) - min(t))::BIGINT AS duration_s,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+         AS n_clicks,
+       (max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1)
+         AS has_purchase
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+""",
     "props_json_stats": """
 SELECT event_type,
        count(*)::BIGINT AS n,
@@ -792,6 +880,7 @@ def spark_queries() -> dict:
         "revenue_by_segment": q_revenue_by_segment,
         "top_customers": q_top_customers,
         "props_json_stats": q_props_json_stats,
+        "session_features": q_session_features,
     }
     return out
 
