@@ -222,6 +222,77 @@ def run_baseline_gate(spark, n_events: int = None) -> dict:
     return out
 
 
+def run_marginal_gate(spark, gate_out: dict,
+                      n_lo: int = 20_000_000) -> dict:
+    """Marginal per-event cost between n_lo and the gate size, both
+    engines: (t_hi - t_lo) / (n_hi - n_lo).
+
+    The subtraction cancels each engine's FIXED per-query cost (Spark:
+    scheduler + py4j + codegen ~0.4-0.7 s; DuckDB: parse + plan), so
+    the marginal ratio measures pure streaming throughput — the honest
+    form of the 2x gate for queries whose DuckDB wallclock stays
+    sub-second at any practical dataset size.  B1 is the motivating
+    case: DuckDB aggregates the dictionary-coded column at ~900M
+    events/s, so "grow until the oracle runs 5s" needs 4.5B events
+    (~10 min regeneration per round); the marginal ratio gets the same
+    floor-free comparison from the 20M dataset the FSM bench already
+    caches.  hi-side timings are reused from the main gate run (same
+    protocol: warm-up + best-of-two); lo-side timings are measured
+    here the same way."""
+    import duckdb
+
+    from trck_spark import queries as Q
+    from trck_spark.engine import TrckSparkEngine
+
+    n_hi = gate_out["events"]
+    _, store_lo, path_lo = _open_perf(spark, n_lo)
+    engine = TrckSparkEngine(spark)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW perf AS SELECT * FROM "
+        f"read_parquet('{path_lo}/*.parquet')"
+    )
+    out: dict = {"events_lo": n_lo, "events_hi": n_hi}
+    for name, (prog_ref, oracle_sql) in BASELINE_DEFS.items():
+        prog = prog_ref if prog_ref.startswith("\n") else getattr(Q, prog_ref)
+        lo_s = None
+        for i in range(3):
+            t0 = time.time()
+            engine.run(
+                store_lo, prog, uuid_col="uuid", ts_col="timestamp",
+                seq_col="seq",
+            ).counters_df().collect()
+            dt = time.time() - t0
+            if i > 0:
+                lo_s = dt if lo_s is None or dt < lo_s else lo_s
+        olo_s = None
+        for i in range(3):
+            t0 = time.time()
+            con.execute(oracle_sql).fetchall()
+            dt = time.time() - t0
+            if i > 0:
+                olo_s = dt if olo_s is None or dt < olo_s else olo_s
+        hi_s = gate_out[name]["spark_store_s"]
+        ohi_s = gate_out[name]["oracle_s"]
+        d_ev = n_hi - n_lo
+        sp_marg = max(hi_s - lo_s, 1e-9) / d_ev
+        or_marg = max(ohi_s - olo_s, 1e-9) / d_ev
+        out[name] = {
+            "spark_store_lo_s": round(lo_s, 3),
+            "spark_store_hi_s": hi_s,
+            "oracle_lo_s": round(olo_s, 3),
+            "oracle_hi_s": ohi_s,
+            "spark_marginal_meps": round(1 / sp_marg / 1e6, 1),
+            "oracle_marginal_meps": round(1 / or_marg / 1e6, 1),
+            "marginal_ratio": round(sp_marg / or_marg, 2),
+        }
+        print(f"# marginal {name}: spark {out[name]['spark_marginal_meps']}"
+              f" Mev/s vs duckdb {out[name]['oracle_marginal_meps']}"
+              f" Mev/s = {out[name]['marginal_ratio']}x",
+              file=sys.stderr)
+    return out
+
+
 def run_fsm_path_bench(spark, n_events: int = 20_000_000) -> dict:
     """B1 on the GENERAL FSM path (TRCK_SPARK_NO_FASTPATH): the
     mapInPandas interpreter with occurring/non-occurring grid pruning —
@@ -354,6 +425,12 @@ def main() -> None:
         except Exception as e:  # never let the gate break the contract line
             baseline = {"error": f"{type(e).__name__}: {e}"}
             print(f"# baseline gate failed: {e}", file=sys.stderr)
+        try:
+            if "error" not in baseline:
+                baseline["marginal"] = run_marginal_gate(spark, baseline)
+        except Exception as e:
+            baseline["marginal"] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"# marginal gate failed: {e}", file=sys.stderr)
         try:
             baseline["b1_fsm_path"] = run_fsm_path_bench(spark)
             print(f"# b1 FSM path: {baseline['b1_fsm_path']}",

@@ -23,7 +23,11 @@ def get_spark(app_name: str = "trck_spark", shuffle_partitions: int | None = Non
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # single-JVM local mode: driver heap IS executor memory.  16g
+        # proved marginal for the 160M-event gate (32 concurrent window
+        # -sort tasks + parquet read-ahead OOMed nondeterministically);
+        # the box has 128 GiB, a real cluster sizes executors separately
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.parquet.filterPushdown", "true")
         # trust the (uuid, ts, seq) sort order of TrailStore bucketed scans
         # so trail windows elide both Exchange and Sort (see store.py)
