@@ -470,6 +470,26 @@ def test_semantic_dedup_planted(spark, tmp_path):
     assert rows[3]["kept"]
 
 
+def test_dup_span_and_tfidf_single_explode_pipeline(spark):
+    """Corpus-wide totals must ride a window over the one aggregated
+    lineage, NOT a groupBy + self-join: the join form plans the
+    scan->explode->aggregate pipeline twice (the join's implied
+    isnotnull filter defeats exchange-reuse canonicalization), doubling
+    the dominant stage at 100 TB.  Pinned: exactly one Generate
+    (explode) in each executed plan."""
+    from trck_spark.pipeline.dedup import dup_span_stats
+    from trck_spark.pipeline.text import tfidf_topterms
+
+    for df in (dup_span_stats(spark, SF_DIR),
+               tfidf_topterms(spark, SF_DIR)):
+        df.collect()  # AQE: final plan only materializes after execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # toString prints "== Final Plan ==" then "== Initial Plan ==";
+        # only the executed (final) section counts
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Generate explode") == 1, final[:2000]
+
+
 def test_session_features_matches_fsm_sessions(spark):
     """The relational session_features table must agree with the trck
     FSM sessionization on the same 30-minute gap rule: total session

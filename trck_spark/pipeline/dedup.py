@@ -790,14 +790,18 @@ def dup_span_stats(spark, sf_dir: str, k: int = 5):
     footer repeats 40 times scores 40 duplicated positions.
 
     Plan: per-doc (gram, count) [map-side partial agg before one
-    fixed-key shuffle] -> corpus-wide gram totals [second agg on the
-    same gram partitioning, no re-shuffle] -> join per-doc counts back
-    on gram -> per-doc rollup.  Shuffle rows are O(distinct grams per
-    doc), never O(positions); gram keys could swap to xxhash64 at
-    100 TB for fixed-width shuffle rows (kept as strings here so the
-    DuckDB oracle reproduces them verbatim).
+    fixed-key shuffle] -> corpus-wide gram totals as a WINDOW over the
+    gram partitioning (NOT a groupBy + self-join: the join form plans
+    the scan->explode->aggregate pipeline twice, because the outer
+    left-join's isnotnull filter blocks exchange-reuse canonicalization
+    — a 2x cost on the dominant stage, caught by the plan test) ->
+    per-doc rollup.  Shuffle rows are O(distinct grams per doc), never
+    O(positions); gram keys could swap to xxhash64 at 100 TB for
+    fixed-width shuffle rows (kept as strings here so the DuckDB
+    oracle reproduces them verbatim).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     docs = spread_input(
         spark, spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -816,16 +820,14 @@ def dup_span_stats(spark, sf_dir: str, k: int = 5):
     per_doc_gram = per_pos.groupBy("doc_id", "gram").agg(
         F.count(F.lit(1)).alias("c")
     )
-    totals = per_doc_gram.groupBy("gram").agg(F.sum("c").alias("tot"))
-    rolled = (
-        per_doc_gram.join(totals, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_grams"),
-            F.sum(F.when(F.col("tot") > 1, F.col("c")).otherwise(0)).alias(
-                "n_dup_grams"
-            ),
-        )
+    with_tot = per_doc_gram.withColumn(
+        "tot", F.sum("c").over(Window.partitionBy("gram"))
+    )
+    rolled = with_tot.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.sum(F.when(F.col("tot") > 1, F.col("c")).otherwise(0)).alias(
+            "n_dup_grams"
+        ),
     )
     # left join from documents: short docs (< k words) report 0 grams
     return (
@@ -864,11 +866,13 @@ pos AS (
        LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - {k - 1}, 0))) AS g)
 ),
 pdg AS (SELECT doc_id, gram, count(*) AS c FROM pos GROUP BY 1, 2),
-tot AS (SELECT gram, sum(c) AS tot FROM pdg GROUP BY 1),
+wt AS (SELECT doc_id, c,
+              sum(c) OVER (PARTITION BY gram) AS tot
+       FROM pdg),
 rolled AS (
-  SELECT pdg.doc_id, sum(c) AS n_grams,
-         sum(CASE WHEN tot.tot > 1 THEN c ELSE 0 END) AS n_dup_grams
-  FROM pdg JOIN tot USING (gram) GROUP BY 1
+  SELECT doc_id, sum(c) AS n_grams,
+         sum(CASE WHEN tot > 1 THEN c ELSE 0 END) AS n_dup_grams
+  FROM wt GROUP BY 1
 )
 SELECT b.doc_id,
        coalesce(n_grams, 0)::BIGINT AS n_grams,

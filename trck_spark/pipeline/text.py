@@ -360,10 +360,13 @@ def tfidf_topterms(spark, sf_dir: str, k: int = 3):
     switch score to a double and keep the same ranking.)
 
     Shape: explode tokens -> (doc, term) tf [one shuffle, partial
-    map-side agg] -> per-term df [second agg, reuses the term
-    partitioning] -> join back on term -> per-doc top-k window.  The
-    corpus size joins in as a broadcast 1-row aggregate, never a
-    driver-side collect.
+    map-side agg] -> per-term document frequency as a WINDOW over the
+    term partitioning (a groupBy + self-join would plan the
+    explode+aggregate pipeline twice — exchange reuse does not fire
+    across the join's implied notnull filter; plan test pins the
+    single-pipeline shape) -> per-doc top-k window.  The corpus size
+    joins in as a broadcast 1-row aggregate, never a driver-side
+    collect.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
@@ -375,10 +378,12 @@ def tfidf_topterms(spark, sf_dir: str, k: int = 3):
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(df_t, "term")
+        tf.withColumn(
+            "df_docs",
+            F.count(F.lit(1)).over(Window.partitionBy("term")),
+        )
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score_e6",
@@ -406,12 +411,12 @@ WITH toks AS (
   FROM documents
 ),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
-dft AS (SELECT term, count(*)::BIGINT AS df_docs FROM tf GROUP BY 1),
+wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df_docs FROM tf),
 n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
 scored AS (
-  SELECT tf.doc_id, tf.term, tf.tf,
-         (tf.tf * 1000000 * n.n_docs // dft.df_docs)::BIGINT AS score_e6
-  FROM tf JOIN dft USING (term) CROSS JOIN n
+  SELECT wdf.doc_id, wdf.term, wdf.tf,
+         (wdf.tf * 1000000 * n.n_docs // wdf.df_docs)::BIGINT AS score_e6
+  FROM wdf CROSS JOIN n
 )
 SELECT doc_id, term, tf, score_e6, rk::BIGINT AS rk
 FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
