@@ -73,6 +73,121 @@ def _run_stream(spark, src_dir, transform, out_mode):
     return collected
 
 
+def test_streaming_session_features_matches_batch(spark, tmp_path):
+    """Stateful streaming sessionization must produce the same closed
+    sessions as the batch operator: same (user, session_start) keys,
+    same features.  Sessions close mid-stream on gaps and at the end
+    via the event-time timeout once the sentinel advances the
+    watermark."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from trck_spark.pipeline.streaming import streaming_session_features
+
+    d = tmp_path / "sess_in"
+    d.mkdir()
+    batches = [
+        # (user_id, ts_s, event_id, event_type)
+        [
+            (1, 100, 0, "view"),
+            (1, 200, 1, "click"),
+            (2, 150, 2, "purchase"),
+        ],
+        [
+            (1, 3000, 3, "view"),      # gap 2800 -> new session for u1
+            (2, 500, 4, "view"),       # continues u2's session
+        ],
+        [
+            (999, 1_000_000, 5, "view"),  # sentinel: watermark flush
+        ],
+    ]
+    for i, b in enumerate(batches):
+        pq.write_table(
+            pa.table({
+                "user_id": pa.array([r[0] for r in b], pa.int64()),
+                "ts": pa.array(
+                    [r[1] * 1_000_000 for r in b], pa.timestamp("us")
+                ),
+                "event_id": pa.array([r[2] for r in b], pa.int64()),
+                "event_type": pa.array([r[3] for r in b]),
+            }),
+            str(d / f"b{i}.parquet"),
+        )
+
+    sdf = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    collected: list = []
+
+    def sink(batch_df, _bid):
+        collected.extend(batch_df.collect())
+
+    q = (
+        streaming_session_features(sdf, delay="10 seconds")
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["n_events"], r["duration_s"], r["n_clicks"],
+            r["has_purchase"],
+        )
+        for r in collected
+        if r["user_id"] != 999  # sentinel's own session may stay open
+    }
+
+    # batch reference: same gap rule over the same (non-sentinel) rows
+    from trck_spark.pipeline.streaming import _epoch_s
+
+    raw = spark.read.parquet(str(d)).filter(F.col("user_id") != 999)
+    ev = raw.select(
+        "user_id", _epoch_s(raw, "ts").alias("t"),
+        "event_id", "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(F.col("t") < F.lag("t").over(w) + 1800, 0).otherwise(1),
+    ).withColumn(
+        "sidx",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    expect = {
+        (r["user_id"], r["session_start"]): (
+            r["n_events"], r["duration_s"], r["n_clicks"],
+            r["has_purchase"],
+        )
+        for r in (
+            marked.groupBy("user_id", "sidx")
+            .agg(
+                F.min("t").alias("session_start"),
+                F.count(F.lit(1)).alias("n_events"),
+                (F.max("t") - F.min("t")).alias("duration_s"),
+                F.sum(
+                    F.when(F.col("event_type") == "click", 1).otherwise(0)
+                ).alias("n_clicks"),
+                F.max(
+                    F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)
+                ).cast("boolean").alias("has_purchase"),
+            )
+            .collect()
+        )
+    }
+    assert got == expect
+
+
 def test_streaming_exact_dedup(spark, tmp_path):
     from trck_spark.pipeline.streaming import streaming_exact_dedup
 

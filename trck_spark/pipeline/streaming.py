@@ -46,6 +46,131 @@ def streaming_exact_dedup(
     )
 
 
+def _epoch_s(df, ts_col: str):
+    """Epoch-seconds column for either timestamp flavor: TIMESTAMP_NTZ
+    (how parquet timestamp[us] reads) forbids a direct BIGINT cast, so
+    it goes through a timezone-free timestampdiff."""
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            f"{ts_col})"
+        ).cast("long")
+    return F.col(ts_col).cast("long")
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start long, n_events long, duration_s long, "
+    "n_clicks long, has_purchase boolean"
+)
+# open-session accumulator: exists only while a session is open
+SESSION_STATE_SCHEMA = (
+    "start long, last long, n long, clicks long, purch int"
+)
+
+
+def streaming_session_features(
+    events_sdf,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_s: int = 1800,
+    delay: str = "10 seconds",
+):
+    """Continuous sessionization: the streaming form of
+    ``queries.q_session_features`` via ``applyInPandasWithState``.
+
+    Emits one row per CLOSED session — closed either by a >= gap_s
+    event-time gap (the next event opens a new session) or by the
+    event-time watermark passing ``last_ts + gap_s`` (EventTimeTimeout
+    fires for idle users).  State per user is one open-session
+    accumulator (5 scalars), removed on close: bounded by the number
+    of concurrently-active users inside the watermark horizon, the
+    scale-correct semantics for an infinite stream.
+
+    Column parity with the batch operator except ``sess_idx``: a
+    global per-user session number needs state that outlives the
+    session (unbounded on an infinite stream), so the streaming form
+    identifies sessions by (user_id, session_start) instead — the
+    equivalence test joins the two forms on exactly that key.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    df = (
+        events_sdf.select(
+            F.col(user_col).cast("long").alias("__u"),
+            F.col(ts_col).alias("__event_time"),
+            _epoch_s(events_sdf, ts_col).alias("__t"),
+            F.col(seq_col).cast("long").alias("__seq"),
+            F.col(type_col).cast("string").alias("__et"),
+        )
+        .withWatermark("__event_time", delay)
+    )
+
+    def step(key, pdf_iter, state):
+        import pandas as pd
+
+        def row(start, last, n, clicks, purch):
+            return (
+                key[0], start, n, last - start, clicks, bool(purch)
+            )
+
+        out = []
+        if state.hasTimedOut:
+            out.append(row(*state.get))
+            state.remove()
+            yield pd.DataFrame(
+                out, columns=[c.split()[0] for c in
+                              SESSION_OUT_SCHEMA.split(", ")]
+            )
+            return
+
+        events: list = []
+        for pdf in pdf_iter:
+            events.extend(
+                zip(pdf["__t"].tolist(), pdf["__seq"].tolist(),
+                    pdf["__et"].tolist())
+            )
+        events.sort(key=lambda e: (e[0], e[1]))
+
+        open_s = list(state.get) if state.exists else None
+        for t, _seq, et in events:
+            if open_s is not None and t >= open_s[1] + gap_s:
+                out.append(row(*open_s))
+                open_s = None
+            if open_s is None:
+                open_s = [t, t, 0, 0, 0]
+            open_s[1] = max(open_s[1], t)
+            open_s[2] += 1
+            if et == "click":
+                open_s[3] += 1
+            if et == "purchase":
+                open_s[4] = 1
+
+        if open_s is not None:
+            state.update(tuple(open_s))
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max((open_s[1] + gap_s) * 1000, wm + 1)
+            )
+        if out:
+            yield pd.DataFrame(
+                out, columns=[c.split()[0] for c in
+                              SESSION_OUT_SCHEMA.split(", ")]
+            )
+
+    return df.groupBy("__u").applyInPandasWithState(
+        step,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def streaming_doc_stats(
     docs_sdf,
     ts_col: str = "ts",
