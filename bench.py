@@ -127,14 +127,34 @@ def _open_perf(spark, n_events: int):
     return flat, store, path
 
 
+def _steady_state(run, max_runs: int = 5):
+    """Steady-state wallclock: one untimed warm-up, then best-of-two —
+    EXTENDED while the timing is still improving >20% run-over-run
+    (cap max_runs).  The 160M flat-path window sort needs 3-4 runs to
+    reach steady state (JIT of the sort/shuffle path + page cache:
+    77 -> 35 -> 17.5 -> 17.6 s measured); a fixed best-of-two records
+    whatever point of that curve it happened to hit.  Applied
+    identically to BOTH engines, so the protocol stays symmetric."""
+    prev = run()  # untimed warm-up
+    best = None
+    timed = 0
+    while timed < max_runs - 1:
+        cur = run()
+        timed += 1
+        best = cur if best is None or cur < best else best
+        if timed >= 2 and cur > prev * 0.8:
+            break
+        prev = cur
+    return best
+
+
 def run_baseline_gate(spark, n_events: int = None) -> dict:
     """Spark (flat parquet AND TrailStore bucketed layout) vs the DuckDB
-    oracle at GATE_EVENTS events.  Timings are steady-state: one untimed
-    warm-up run (JIT/codegen compilation), then best of two.  Every
-    Spark result is value-compared against the oracle rows ("match").
-    Per-query events/s for both engines are reported alongside the raw
-    ratio so floor-dominated rows (sub-second oracle) read as what they
-    are."""
+    oracle at GATE_EVENTS events.  Timings are steady-state (see
+    ``_steady_state``).  Every Spark result is value-compared against
+    the oracle rows ("match").  Per-query events/s for both engines are
+    reported alongside the raw ratio so floor-dominated rows
+    (sub-second oracle) read as what they are."""
     import duckdb
 
     from trck_spark import queries as Q
@@ -150,18 +170,19 @@ def run_baseline_gate(spark, n_events: int = None) -> dict:
     )
 
     def time_spark(src, prog):
-        rows, best = [], None
-        for i in range(3):  # warm-up + best of two
+        rows = []
+
+        def one():
             t0 = time.time()
-            rows = (
+            rows[:] = (
                 engine.run(src, prog, uuid_col="uuid", ts_col="timestamp",
                            seq_col="seq")
                 .counters_df()
                 .collect()
             )
-            dt = time.time() - t0
-            if i > 0:
-                best = dt if best is None or dt < best else best
+            return time.time() - t0
+
+        best = _steady_state(one)
         return rows, best
 
     out: dict = {"events": n_events, "trails": n_events // N_EVENTS}
@@ -170,19 +191,16 @@ def run_baseline_gate(spark, n_events: int = None) -> dict:
         prog = prog_ref if prog_ref.startswith("\n") else getattr(Q, prog_ref)
         srows, spark_s = time_spark(flat, prog)
         _, store_s = time_spark(store, prog)
-        # same steady-state protocol as Spark: one untimed warm-up run,
-        # then best of two — otherwise the ratio inherits the oracle's
-        # first-run page-cache noise
-        oracle_s = None
+        # same adaptive steady-state protocol as Spark — otherwise the
+        # ratio inherits the oracle's first-run page-cache noise
         orows: list = []
-        for i in range(3):
+
+        def one_oracle():
             t0 = time.time()
-            orows = con.execute(oracle_sql).fetchall()
-            dt = time.time() - t0
-            if i > 0:
-                oracle_s = (
-                    dt if oracle_s is None or dt < oracle_s else oracle_s
-                )
+            orows[:] = con.execute(oracle_sql).fetchall()
+            return time.time() - t0
+
+        oracle_s = _steady_state(one_oracle)
         match = sorted(tuple(r) for r in srows) == sorted(
             tuple(r) for r in orows
         )
@@ -255,23 +273,22 @@ def run_marginal_gate(spark, gate_out: dict,
     out: dict = {"events_lo": n_lo, "events_hi": n_hi}
     for name, (prog_ref, oracle_sql) in BASELINE_DEFS.items():
         prog = prog_ref if prog_ref.startswith("\n") else getattr(Q, prog_ref)
-        lo_s = None
-        for i in range(3):
+
+        def one_spark():
             t0 = time.time()
             engine.run(
                 store_lo, prog, uuid_col="uuid", ts_col="timestamp",
                 seq_col="seq",
             ).counters_df().collect()
-            dt = time.time() - t0
-            if i > 0:
-                lo_s = dt if lo_s is None or dt < lo_s else lo_s
-        olo_s = None
-        for i in range(3):
+            return time.time() - t0
+
+        def one_oracle():
             t0 = time.time()
             con.execute(oracle_sql).fetchall()
-            dt = time.time() - t0
-            if i > 0:
-                olo_s = dt if olo_s is None or dt < olo_s else olo_s
+            return time.time() - t0
+
+        lo_s = _steady_state(one_spark)
+        olo_s = _steady_state(one_oracle)
         hi_s = gate_out[name]["spark_store_s"]
         ohi_s = gate_out[name]["oracle_s"]
         d_ev = n_hi - n_lo
