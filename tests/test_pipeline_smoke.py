@@ -368,6 +368,26 @@ def _write_docs(spark, tmp_path, rows, name="docs"):
     return d
 
 
+def _oracle_rows(sql, sf_dir, table="documents"):
+    """Run an oracle SQL string on a planted fixture dir via DuckDB —
+    parity on ADVERSARIAL fixtures, not just the synthetic corpus
+    (whose text, e.g., contains zero PII hits)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW {table} AS "
+        f"SELECT * FROM '{sf_dir}/{table}.parquet/*.parquet'"
+    )
+    return con.sql(sql).fetchall()
+
+
+def _spark_vs_oracle(df, sql, sf_dir, table="documents"):
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(tuple(r) for r in _oracle_rows(sql, sf_dir, table))
+    assert got == want, (got[:5], want[:5])
+
+
 def test_pii_planted(spark, tmp_path):
     """Planted PII is counted per pattern and the redaction matches a
     Python re.sub applying the same patterns in the same order."""
@@ -400,6 +420,12 @@ def test_pii_planted(spark, tmp_path):
         t1.encode()
     ).hexdigest()
 
+    # DuckDB oracle must agree on NON-ZERO hits too (the synthetic
+    # corpus has none, so the registered parity check never sees any)
+    from trck_spark.pipeline.text import pii_stats_oracle_sql
+
+    _spark_vs_oracle(pii_stats(spark, d), pii_stats_oracle_sql(), d)
+
 
 def test_dup_span_planted(spark, tmp_path):
     """A doc duplicated verbatim scores 100% dup positions; a unique doc
@@ -420,6 +446,12 @@ def test_dup_span_planted(spark, tmp_path):
     assert rows[1]["n_dup_grams"] == 4
     assert rows[2]["n_grams"] == 6 and rows[2]["n_dup_grams"] == 0
     assert rows[3]["n_grams"] == 0 and rows[3]["dup_frac_e6"] == 0
+
+    from trck_spark.pipeline.dedup import dup_span_stats_oracle_sql
+
+    _spark_vs_oracle(
+        dup_span_stats(spark, d), dup_span_stats_oracle_sql(), d
+    )
 
 
 def test_tfidf_planted(spark, tmp_path):
@@ -468,6 +500,15 @@ def test_semantic_dedup_planted(spark, tmp_path):
     assert rows[1]["kept"] and rows[1]["cell"] == 1
     assert not rows[2]["kept"] and rows[2]["dup_of"] == 0
     assert rows[3]["kept"]
+
+    from trck_spark.pipeline.dedup import semantic_dedup_oracle_sql
+
+    out2 = semantic_dedup(spark, d, n_cells=2, threshold=0.7)
+    _spark_vs_oracle(
+        out2, semantic_dedup_oracle_sql(n_cells=2, threshold=0.7),
+        d, table="embeddings",
+    )
+    release(out2)
 
 
 def test_dup_span_and_tfidf_single_explode_pipeline(spark):
@@ -534,6 +575,12 @@ def test_incremental_dedup_planted(spark, tmp_path):
            for r in incremental_dedup(spark, d).collect()}
     assert out == {10: "corpus_dup", 11: "kept",
                    12: "batch_dup", 13: "kept"}
+
+    from trck_spark.pipeline.dedup import incremental_dedup_oracle_sql
+
+    _spark_vs_oracle(
+        incremental_dedup(spark, d), incremental_dedup_oracle_sql(), d
+    )
 
 
 def test_hash_split_stability(spark):
