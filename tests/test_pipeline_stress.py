@@ -117,6 +117,85 @@ def test_connected_components_giant_chain(spark):
     assert elapsed < 420, f"giant-component CC took {elapsed:.0f}s"
 
 
+def test_dup_span_100k(spark, stress_dir):
+    """Exact-substring duplication coverage at 100k docs (3.6M gram
+    positions): every planted near-dup doc must report duplicated
+    positions — 4 mutations split 40 words into <= 5 runs, so at least
+    one intact 5-gram run (pigeonhole: ceil(36/5) = 8 >= 5) survives in
+    BOTH twins — while random docs over a 50k vocab share no 5-grams.
+    The whole computation is linear joins (per-doc gram counts + one
+    gram-partitioned window), so wall-clock stays bounded."""
+    import time
+
+    from trck_spark.pipeline.dedup import dup_span_stats
+
+    t0 = time.time()
+    rows = dup_span_stats(spark, stress_dir).collect()
+    elapsed = time.time() - t0
+    assert len(rows) == N_DOCS
+    dup_docs = {r["doc_id"] for r in rows if r["n_dup_grams"] > 0}
+    planted = set(range(N_PLANTED)) | {
+        N_DOCS - N_PLANTED + i for i in range(N_PLANTED)
+    }
+    assert planted <= dup_docs
+    # accidental 5-gram collisions between random 40-word docs over a
+    # 50k vocab are negligible; allow a tiny margin
+    assert len(dup_docs) <= len(planted) + 10
+    assert elapsed < 240, f"dup_span at 100k took {elapsed:.0f}s"
+
+
+def test_semantic_dedup_50k_sqrt_cells(spark, tmp_path):
+    """SemDeDup at 50k vectors with the documented sqrt(N) cell count:
+    every planted exact-duplicate twin lands in its original's cell
+    (identical vectors -> identical pivot distances -> same
+    deterministic argmin) and is dropped with dup_of = the original;
+    random 16-dim vectors never reach cos >= 0.98.  Bounded wall-clock
+    proves the per-cell pairing (~n/cells members per cell) holds —
+    an all-pairs regression at 50k^2 would time out."""
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n, n_planted, dim = 50_000, 200, 16
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    for i in range(n_planted):
+        vecs[n - n_planted + i] = vecs[i]  # exact twin
+    d = str(tmp_path / "semstress")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * n, pa.int32()),
+        }),
+        f"{d}/embeddings.parquet",
+    )
+
+    from trck_spark.pipeline.dedup import release, semantic_dedup
+
+    t0 = time.time()
+    out = semantic_dedup(spark, d, n_cells=224, threshold=0.98)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    elapsed = time.time() - t0
+    release(out)
+    assert len(rows) == n
+    for i in range(n_planted):
+        twin = rows[n - n_planted + i]
+        assert not twin["kept"]
+        assert twin["dup_of"] == i
+        assert twin["cell"] == rows[i]["cell"]
+    n_dropped = sum(1 for r in rows.values() if not r["kept"])
+    assert n_planted <= n_dropped <= n_planted + 5
+    assert elapsed < 300, f"semantic dedup at 50k took {elapsed:.0f}s"
+
+
 def test_dedup_clusters_100k_planted(spark, stress_dir):
     """The full keep/drop path at 100k docs: every planted near-dup pair
     must co-cluster, and the label set must cover the corpus."""
