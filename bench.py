@@ -355,6 +355,58 @@ def run_fsm_path_bench(spark, n_events: int = 20_000_000) -> dict:
     }
 
 
+def run_streaming_bench(spark, n_events: int = 20_000_000) -> dict:
+    """Structured Streaming throughput: the 20M-event perf dataset
+    replayed as a file stream (one micro-batch per parquet file, 32
+    files) through the stateful sessionization operator
+    (applyInPandasWithState) into a counting sink.  Reports end-to-end
+    events/s and sessions emitted — the continuous-ingestion side of
+    the engine, which the batch gate doesn't exercise."""
+    from pyspark.sql import functions as F
+
+    from trck_spark.pipeline.streaming import streaming_session_features
+
+    path, _ = _perf_paths(n_events)
+    # schema must be pinned for readStream; derive it from the files
+    schema = spark.read.parquet(path).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+        .select(
+            F.expr("CAST(substring(uuid, 2) AS LONG)").alias("user_id"),
+            F.timestamp_seconds(F.col("timestamp")).alias("ts"),
+            F.col("seq").alias("event_id"),
+            "event_type",
+        )
+    )
+    counts = {"sessions": 0}
+
+    def sink(batch_df, _bid):
+        counts["sessions"] += batch_df.count()
+
+    t0 = time.time()
+    # the perf files are uuid-partitioned, not time-ordered: each
+    # micro-batch covers the FULL time range for a uuid slice, so the
+    # watermark delay must exceed the dataset's ~27h event-time span or
+    # every batch after the first is dropped as late
+    q = (
+        streaming_session_features(sdf, delay="48 hours")
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(1200)
+    dt = time.time() - t0
+    return {
+        "events": n_events,
+        "seconds": round(dt, 3),
+        "events_per_sec": round(n_events / dt, 1),
+        "sessions_emitted": counts["sessions"],
+    }
+
+
 def check_ts_dtype(sf_dir: str) -> str:
     """Pin the events.ts dtype contract: the driver regenerates testdata
     between rounds and the parquet encoding has drifted before
@@ -455,6 +507,13 @@ def main() -> None:
         except Exception as e:
             baseline["b1_fsm_path"] = {"error": f"{type(e).__name__}: {e}"}
             print(f"# fsm-path bench failed: {e}", file=sys.stderr)
+        try:
+            baseline["streaming"] = run_streaming_bench(spark)
+            print(f"# streaming sessionization: {baseline['streaming']}",
+                  file=sys.stderr)
+        except Exception as e:
+            baseline["streaming"] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"# streaming bench failed: {e}", file=sys.stderr)
 
     from trck_spark.pipeline.dedup import release
 
