@@ -185,12 +185,29 @@ def run_baseline_gate(spark, n_events: int = None) -> dict:
         best = _steady_state(one)
         return rows, best
 
+    # session-level warm-up: the first-ever Spark job in a session pays
+    # executor spin-up + codegen-infrastructure costs beyond what the
+    # per-query warm-up covers (measured: first-query store B1 1.3s
+    # cold vs 0.7s in a warmed session) — burn it on an untimed run
+    engine.run(
+        store, B1_PROG, uuid_col="uuid", ts_col="timestamp", seq_col="seq"
+    ).counters_df().collect()
+
     out: dict = {"events": n_events, "trails": n_events // N_EVENTS}
     tot = {"spark_s": 0.0, "spark_store_s": 0.0, "oracle_s": 0.0}
     for name, (prog_ref, oracle_sql) in BASELINE_DEFS.items():
         prog = prog_ref if prog_ref.startswith("\n") else getattr(Q, prog_ref)
-        srows, spark_s = time_spark(flat, prog)
+        # STORE first, FLAT second: the flat path's 160M-row window
+        # sorts leave the heap churned for ~a minute afterwards
+        # (measured: store B1 6.3s right after the flat runs vs 0.7s
+        # clean), so the headline layout is timed on a settled heap and
+        # the flat path absorbs its own churn.  A forced GC between
+        # blocks bounds the carry-over further.
+        _gc = spark.sparkContext._jvm.System.gc
         _, store_s = time_spark(store, prog)
+        _gc()
+        srows, spark_s = time_spark(flat, prog)
+        _gc()
         # same adaptive steady-state protocol as Spark — otherwise the
         # ratio inherits the oracle's first-run page-cache noise
         orows: list = []

@@ -28,6 +28,12 @@ def get_spark(app_name: str = "trck_spark", shuffle_partitions: int | None = Non
         # -sort tasks + parquet read-ahead OOMed nondeterministically);
         # the box has 128 GiB, a real cluster sizes executors separately
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # ContextCleaner only forces a GC every 30min by default; a
+        # long benchmarking/ETL session churning big window sorts
+        # accumulates unreclaimed shuffle/broadcast state for the whole
+        # interval and later queries degrade 3-4x.  1min keeps cleanup
+        # bounded (no-op when idle).
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.sql.parquet.filterPushdown", "true")
         # trust the (uuid, ts, seq) sort order of TrailStore bucketed scans
         # so trail windows elide both Exchange and Sort (see store.py)
