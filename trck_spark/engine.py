@@ -26,6 +26,7 @@ O(distinct values in trail), not O(grid size).
 from __future__ import annotations
 
 import json
+import os as _os
 from typing import Iterator
 
 from trck_spark.fsm.interpreter import Results, dedup_consecutive
@@ -155,6 +156,16 @@ class TrckResultSet:
             self.program, self.collect_partials(), self.tuples
         )
 
+    def _refresh(self) -> "TrckResultSet | None":
+        """Prepared-plan cache hit: same compiled plan, fresh Dataset
+        (every stage re-executes), fresh result-set state."""
+        fresh = _fresh_df(self.agg_df)
+        if fresh is None:
+            return None
+        return TrckResultSet(
+            self.engine, fresh, self.program, self.tuples, None
+        )
+
     def counters_df(self):
         """Densified DataFrame: one row per foreach tuple with the tuple's
         scalar bindings plus one column per counter (zero-filled).
@@ -270,6 +281,14 @@ class TrckFrameResultSet:
         cover the stages)."""
         return {}
 
+    def _refresh(self) -> "TrckFrameResultSet | None":
+        fresh = _fresh_df(self.frame)
+        if fresh is None:
+            return None
+        return TrckFrameResultSet(
+            self.engine, fresh, self.program, self.params, None
+        )
+
     def counters_df(self):
         return self.frame
 
@@ -294,9 +313,52 @@ class TrckFrameResultSet:
         )
 
 
+def _fresh_df(df):
+    """New Dataset over the same (already analyzed) logical plan.
+
+    A cache-hit query must still RE-EXECUTE every stage: collect() on a
+    previously-executed Dataset reuses its materialized AQE shuffle
+    stages, which would silently turn a repeat run into a fetch of old
+    shuffle files.  Dataset.ofRows builds a fresh QueryExecution over
+    the cached plan — full re-execution, no Python-side plan
+    construction (the part worth caching: building a compiled-counter
+    plan through py4j costs ~0.3-0.5 s of socket round-trips, ~1000x a
+    native engine's parse+plan)."""
+    spark = df.sparkSession
+    try:
+        from pyspark.sql import DataFrame as _PyDF
+
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, df._jdf.queryExecution().logical()
+        )
+        return _PyDF(jdf, spark)
+    except Exception:
+        # non-classic session (e.g. Connect): no ofRows handle — fall
+        # back to a no-op plan-cache miss upstream instead of risking
+        # stage reuse
+        return None
+
+
 class TrckSparkEngine:
+    # prepared-plan cache size: entries hold a strong ref to the input
+    # DataFrame (guards the id()-based key from id reuse) plus a small
+    # logical plan — bounded LRU, no data
+    PLAN_CACHE_MAX = 32
+
     def __init__(self, spark):
         self.spark = spark
+        self._plan_cache: dict = {}
+
+    def _cache_put(self, cache_key, events_df, rs):
+        """Store a compiled-path result set in the prepared-plan cache
+        (bounded LRU; FSM-path result sets are never cached — their
+        accumulator telemetry is per-run state)."""
+        if cache_key is not None:
+            self._plan_cache.pop(cache_key, None)
+            self._plan_cache[cache_key] = (events_df, rs)
+            while len(self._plan_cache) > self.PLAN_CACHE_MAX:
+                self._plan_cache.pop(next(iter(self._plan_cache)))
+        return rs
 
     def run(
         self,
@@ -347,6 +409,47 @@ class TrckSparkEngine:
         ts) is dropped as provably no-op from every compiled plan.
         """
         from pyspark.sql import functions as F
+
+        # --- prepared-plan cache: an identical (input frame, program,
+        # options) run re-uses the compiled logical plan through a FRESH
+        # Dataset (full re-execution — see _fresh_df).  The Python-side
+        # plan construction is the engine's fixed per-query overhead
+        # (~0.3-0.5 s of py4j round-trips vs ~1 ms parse+plan in a
+        # native engine); caching it gives repeat queries native-style
+        # prepared-statement latency.  Strong ref to events_df in the
+        # entry keeps the id()-key from being recycled.  Side-input
+        # DataFrames and user hooks are not fingerprintable -> skip. ---
+        cache_key = None
+        if (
+            window_entries is None
+            and exclude is None
+            and fn_registry is None
+            and not _os.environ.get("TRCK_SPARK_NO_PLAN_CACHE")
+        ):
+            try:
+                cache_key = (
+                    id(events_df),
+                    program_text_or_ir
+                    if isinstance(program_text_or_ir, str)
+                    else json.dumps(
+                        program_text_or_ir, sort_keys=True, default=str
+                    ),
+                    json.dumps(params, sort_keys=True, default=str),
+                    json.dumps(event_filter, sort_keys=True, default=str),
+                    uuid_col, ts_col, seq_col, db_col, num_partitions,
+                    tuple(dedup_cols)
+                    if isinstance(dedup_cols, (list, tuple))
+                    else dedup_cols,
+                    assume_clustered,
+                    bool(_os.environ.get("TRCK_SPARK_NO_FASTPATH")),
+                )
+            except TypeError:
+                cache_key = None
+            hit = self._plan_cache.get(cache_key) if cache_key else None
+            if hit is not None:
+                refreshed = hit[1]._refresh()
+                if refreshed is not None:
+                    return refreshed
 
         manifest = getattr(events_df, "_trailstore_manifest", None) or {}
         if manifest.get("uuid_col") == uuid_col:
@@ -403,8 +506,6 @@ class TrckSparkEngine:
         # dictionary-id aggregation TrailDB/DuckDB execute natively
         # (reference src/db.c:62-113).  Decided here so the code column
         # rides the one canonical projection below. ---
-        import os as _os
-
         from trck_spark.planner import (
             _equi_join_fields,
             is_simple_counter_program,
@@ -626,8 +727,12 @@ class TrckSparkEngine:
                     if code_field
                     else None,
                 )
-                return TrckFrameResultSet(
-                    self, frame, program, params, fn_registry
+                return self._cache_put(
+                    cache_key,
+                    events_df,
+                    TrckFrameResultSet(
+                        self, frame, program, params, fn_registry
+                    ),
                 )
             # FSM / tuple-grid path: the grid must materialize (the task
             # closure ships it), so cap the cardinality with a hard error
@@ -655,7 +760,11 @@ class TrckSparkEngine:
                 self, df, program, tuples, params, extra_dedup,
                 no_dedup=no_dedup,
             )
-            return TrckResultSet(self, agg_df, program, tuples, fn_registry)
+            return self._cache_put(
+                cache_key,
+                events_df,
+                TrckResultSet(self, agg_df, program, tuples, fn_registry),
+            )
         if fastpath_on:
             # funnels compile for any stream order: single-db uses the
             # min-agg rewrite, multi-db the stream-position form
@@ -670,7 +779,13 @@ class TrckSparkEngine:
                     self, df, program, tuples, extra_dedup,
                     no_dedup=no_dedup, clustered=assume_clustered,
                 )
-                return TrckResultSet(self, agg_df, program, tuples, fn_registry)
+                return self._cache_put(
+                    cache_key,
+                    events_df,
+                    TrckResultSet(
+                        self, agg_df, program, tuples, fn_registry
+                    ),
+                )
             for match, compiler in (
                 (is_gap_sessions_program, compile_sessions),
                 (is_bounce_program, compile_bounce),
@@ -690,7 +805,13 @@ class TrckSparkEngine:
                         self, df, program, grid_tuples, extra_dedup,
                         no_dedup=no_dedup,
                     )
-                    return TrckResultSet(self, agg_df, program, tuples, fn_registry)
+                    return self._cache_put(
+                        cache_key,
+                        events_df,
+                        TrckResultSet(
+                            self, agg_df, program, tuples, fn_registry
+                        ),
+                    )
 
         # --- the single shuffle: co-locate each trail, sort within
         # (skipped entirely when the input is already uuid-clustered) ---

@@ -598,6 +598,22 @@ def _grid_df(engine, program: Program, tuples):
     return engine.spark.createDataFrame(grid_rows, schema)
 
 
+def _array_literal(values):
+    """String-array literal as ONE ``array(...)`` sql expression.
+
+    ``F.lit(values)`` round-trips py4j once per element; a TrailStore
+    lexicon can hold up to store.DICT_MAX (4096) values, which turns a
+    plan-build into hundreds of milliseconds of socket chatter.  A
+    single parsed expression costs one round-trip regardless of size."""
+    from pyspark.sql import functions as F
+
+    quoted = ", ".join(
+        "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+        for v in values
+    )
+    return F.expr(f"array({quoted})")
+
+
 def _f_col(field):
     """``__f_<field>`` normalized to the FSM's view: null reads as "".
 
@@ -1053,10 +1069,14 @@ def compile_counter_implicit(
     single_scan = lexicon_df is None
     use_codes = bool(single_scan and code_col and code_values is not None)
     # decoded string view of the code (only evaluated post-agg, or in the
-    # rare clause that references %var on a DIFFERENT field)
+    # rare clause that references %var on a DIFFERENT field).  The array
+    # literal is built as ONE sql expression: F.lit(list) expands to one
+    # py4j round-trip per element, which for a 4096-value lexicon is the
+    # dominant plan-build cost (~2.5 ms/element measured) on a query
+    # whose execution is sub-second.
     decode = (
         F.when(F.col(pcol) == 0, F.lit("")).otherwise(
-            F.element_at(F.lit(code_values), F.col(pcol))
+            F.element_at(_array_literal(code_values), F.col(pcol))
         )
         if use_codes
         else None
@@ -1078,7 +1098,7 @@ def compile_counter_implicit(
         # measurable per-query driver cost on sub-second queries.
         grid = (
             lexicon_df.select(F.col(lexicon_df.columns[0]).alias(pcol))
-            .unionAll(spark.range(1).select(F.lit("").alias(pcol)))
+            .unionAll(spark.range(0, 1, 1, 1).select(F.lit("").alias(pcol)))
             .distinct()
         )
         d = d.join(F.broadcast(grid), _f_col(field) == F.col(pcol))
@@ -1163,8 +1183,10 @@ def compile_counter_implicit(
         # added a second shuffle stage + AQE round to every query).
         slim = d.select(F.col(pcol), F.col("__clause"))
         # JVM-only literal row (see the grid note above); code mode's
-        # implicit "" tuple is code 0
-        synth = spark.range(1).select(
+        # implicit "" tuple is code 0.  range(0,1,1,1): the default
+        # range(1) plans defaultParallelism splits — 32 task launches
+        # for one synthetic row in every compiled counter query.
+        synth = spark.range(0, 1, 1, 1).select(
             (F.lit(0) if use_codes else F.lit("")).alias(pcol),
             F.lit(None).cast("integer").alias("__clause"),
         )

@@ -149,10 +149,26 @@ foreach %t
 """
 
 
+# per-session engine + events frame, so repeated invocations of the same
+# registry query hit the engine's prepared-plan cache (engine.py): the
+# cache is keyed by the input DataFrame's identity, which a freshly
+# built load_events frame would always miss.  Entries live for the
+# process lifetime — fine for static per-round test data; a caller that
+# rewrites sf_dir in-process should call load_events directly.
+_ENGINES: dict = {}
+_EVENTS: dict = {}
+
+
 def _run_trck(spark, sf_dir, program, **kw):
-    engine = TrckSparkEngine(spark)
+    engine = _ENGINES.get(id(spark))
+    if engine is None:
+        engine = _ENGINES[id(spark)] = TrckSparkEngine(spark)
+    ekey = (id(spark), sf_dir)
+    events = _EVENTS.get(ekey)
+    if events is None:
+        events = _EVENTS[ekey] = load_events(spark, sf_dir)
     return engine.run(
-        load_events(spark, sf_dir),
+        events,
         program,
         uuid_col="uuid",
         ts_col="timestamp",

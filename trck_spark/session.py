@@ -23,11 +23,20 @@ def get_spark(app_name: str = "trck_spark", shuffle_partitions: int | None = Non
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        # single-JVM local mode: driver heap IS executor memory.  16g
-        # proved marginal for the 160M-event gate (32 concurrent window
-        # -sort tasks + parquet read-ahead OOMed nondeterministically);
-        # the box has 128 GiB, a real cluster sizes executors separately
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # measured on the 160M-event store counter (round 4): the
+        # vectorized first-level hash map + 4x parquet reader batches
+        # cut scan+agg ~20% (0.53 -> 0.42 s median); both are safe
+        # analytics defaults (memory cost: one 16k-row batch per
+        # reader, one small per-task hash vector)
+        .config("spark.sql.codegen.aggregate.map.vectorized.enable", "true")
+        .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
+        # single-JVM local mode: driver heap IS executor memory.  The
+        # LIBRARY default stays 16g so the session starts on modest
+        # hosts / memory-cgroup-limited containers; the 160M-event
+        # bench gate (whose 32 concurrent window sorts OOMed 16g
+        # nondeterministically) runs in its own subprocess with
+        # SPARK_DRIVER_MEM=48g set by bench.py
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # ContextCleaner only forces a GC every 30min by default; a
         # long benchmarking/ETL session churning big window sorts
         # accumulates unreclaimed shuffle/broadcast state for the whole
