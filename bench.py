@@ -8,16 +8,30 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Workloads mirror BASELINE.md: B1 implicit-foreach count (perftest1 shape),
 B2 windowed funnel (FSM path), B3 trail throughput, plus the relational
 and pipeline headliners.
+
+Process layout (round 4): the 160M-event baseline gate (plus marginal /
+FSM-path / streaming benches) runs in a SUBPROCESS with a 48g driver
+heap, writing its full result to BENCH_GATE.json; the sf0.1 query loop
+runs in THIS process on the library-default 16g heap.  Two reasons:
+(a) the gate's 160M window sorts OOM a 16g heap, but 48g as a library
+default breaks modest hosts (round-3 ADVICE), and (b) round 3 measured
+15-47% drift on the sf0.1 pipeline queries when they shared a JVM with
+the gate's churned heap — process isolation pins the blame structure.
+The final contract line carries the per-query sf0.1 timings plus a
+compact gate summary; full gate detail lives in BENCH_GATE.json.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
 # --------------------------------------------------------- baseline gate
 #
@@ -28,18 +42,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # timing claim carries its own correctness evidence.
 #
 # GATE SIZE: round 2 measured at 20M events and found the ratios
-# dominated by Spark's fixed per-query floor (scheduler + py4j +
-# codegen ~0.5-0.9s) against 35-800ms DuckDB wallclocks — overhead,
-# not throughput.  The round-2 verdict's ask: grow the workload until
-# the oracle itself works for seconds, so "within 2x" measures
-# streaming throughput.  Default 160M events (800k trails x 200);
-# override with SPARK_GRAFT_GATE_EVENTS.  Datasets are generated once
-# and cached under .bench_cache/ across rounds.
+# dominated by Spark's fixed per-query floor against 35-800ms DuckDB
+# wallclocks — overhead, not throughput.  Default 160M events (800k
+# trails x 200); override with SPARK_GRAFT_GATE_EVENTS.  Datasets are
+# generated once and cached under .bench_cache/ across rounds.
 
 GATE_EVENTS = int(os.environ.get("SPARK_GRAFT_GATE_EVENTS", 160_000_000))
-_CACHE_DIR = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".bench_cache"
-)
+_CACHE_DIR = os.path.join(_REPO, ".bench_cache")
 
 
 def _perf_paths(n_events: int) -> tuple[str, str]:
@@ -127,34 +136,75 @@ def _open_perf(spark, n_events: int):
     return flat, store, path
 
 
-def _steady_state(run, max_runs: int = 5):
-    """Steady-state wallclock: one untimed warm-up, then best-of-two —
-    EXTENDED while the timing is still improving >20% run-over-run
-    (cap max_runs).  The 160M flat-path window sort needs 3-4 runs to
-    reach steady state (JIT of the sort/shuffle path + page cache:
-    77 -> 35 -> 17.5 -> 17.6 s measured); a fixed best-of-two records
-    whatever point of that curve it happened to hit.  Applied
-    identically to BOTH engines, so the protocol stays symmetric."""
-    prev = run()  # untimed warm-up
+def _steady_state(run, max_runs: int = 12, plateau: float = 0.10,
+                  budget_s: float = 60.0):
+    """Steady-state wallclock: one untimed warm-up, then repeat until
+    the timing plateaus; return (best, all_timed_runs).
+
+    The JVM's C2 JIT takes MANY runs to fully compile the generated
+    scan/agg code: the 160M B1 curve measures 44.5 -> 3.0 -> 1.8 ->
+    1.2 -> ... -> 0.65 s over ~12 runs (round-4 profiling), and round
+    3's best-of-two protocol recorded whatever mid-curve point it
+    happened to stop at — the committed artifact's contaminated B1
+    lo-side was exactly that.  Plateau rule: stop after two consecutive
+    runs that failed to improve the best by >`plateau`, cap `max_runs`
+    runs or `budget_s` cumulative seconds.  Applied identically to
+    BOTH engines, so the protocol stays symmetric.  The full run list
+    goes into the artifact so a reader can see the curve a number came
+    from instead of trusting a point estimate."""
+    run()  # untimed warm-up
     best = None
-    timed = 0
-    while timed < max_runs - 1:
+    non_improving = 0
+    spent = 0.0
+    runs: list[float] = []
+    for _ in range(max_runs):
         cur = run()
-        timed += 1
-        best = cur if best is None or cur < best else best
-        if timed >= 2 and cur > prev * 0.8:
+        spent += cur
+        runs.append(round(cur, 3))
+        if best is None or cur < best * (1.0 - plateau):
+            best = cur if best is None or cur < best else best
+            non_improving = 0
+        else:
+            best = min(best, cur)
+            non_improving += 1
+        if non_improving >= 2 or spent > budget_s:
             break
-        prev = cur
-    return best
+    return best, runs
 
 
-def run_baseline_gate(spark, n_events: int = None) -> dict:
+def run_baseline_gate(spark, n_events: int = None,
+                      n_lo: int = 20_000_000) -> dict:
     """Spark (flat parquet AND TrailStore bucketed layout) vs the DuckDB
-    oracle at GATE_EVENTS events.  Timings are steady-state (see
-    ``_steady_state``).  Every Spark result is value-compared against
-    the oracle rows ("match").  Per-query events/s for both engines are
-    reported alongside the raw ratio so floor-dominated rows
-    (sub-second oracle) read as what they are."""
+    oracle at GATE_EVENTS events, plus the 20M lo-side runs that feed
+    the marginal-throughput ratios.  Every timing is steady-state (see
+    ``_steady_state``) and the artifact carries the full run list per
+    timing, so stability is inspectable in the committed file.
+
+    BLOCK STRUCTURE, not per-query interleaving: all store-layout
+    timings (hi AND lo — the headline numbers and both marginal
+    inputs) run first on a settled heap; the flat-parquet block runs
+    second and absorbs its own churn (its 160M window sorts degrade
+    whatever runs after them — round 3's B2 store reading 2.6 s in the
+    gate vs 1.0 s standalone was exactly this contamination); the
+    DuckDB block runs last (a separate C++ allocator, indifferent to
+    JVM heap state, with its own steady-state warm-up for page cache).
+
+    The timed Spark region is engine.run(...).counters_df().collect()
+    — parse, plan, execute, fetch.  Repeat runs hit the engine's
+    prepared-plan cache (engine.py), which re-executes every stage on
+    a fresh Dataset but skips the Python-side plan construction; that
+    matches what DuckDB's sub-millisecond parse+plan pays on ITS
+    repeat runs, so best-of-N compares streaming execution, not py4j
+    socket chatter.
+
+    Marginal ratio = (t_hi - t_lo) / (n_hi - n_lo) per engine: cancels
+    each engine's fixed per-query cost — the honest form of the 2x
+    gate for queries whose DuckDB wallclock stays sub-second at any
+    practical size.  NON-MONOTONE GUARD (round-3 verdict item 1): if
+    t_hi <= t_lo for either engine, the lo side is re-measured once;
+    if still non-positive, the marginal fields are null with
+    "non_monotone": true — never a clamped sentinel (BENCH_r03's fake
+    1.4e11 Mev/s row)."""
     import duckdb
 
     from trck_spark import queries as Q
@@ -163,11 +213,13 @@ def run_baseline_gate(spark, n_events: int = None) -> dict:
 
     n_events = n_events or GATE_EVENTS
     flat, store, path = _open_perf(spark, n_events)
+    _, store_lo, path_lo = _open_perf(spark, n_lo)
     engine = TrckSparkEngine(spark)
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW perf AS SELECT * FROM read_parquet('{path}/*.parquet')"
-    )
+    _gc = spark.sparkContext._jvm.System.gc
+    progs = {
+        name: (p if p.startswith("\n") else getattr(Q, p))
+        for name, (p, _sql) in BASELINE_DEFS.items()
+    }
 
     def time_spark(src, prog):
         rows = []
@@ -182,44 +234,82 @@ def run_baseline_gate(spark, n_events: int = None) -> dict:
             )
             return time.time() - t0
 
-        best = _steady_state(one)
-        return rows, best
+        best, runs = _steady_state(one)
+        return rows, best, runs
 
     # session-level warm-up: the first-ever Spark job in a session pays
     # executor spin-up + codegen-infrastructure costs beyond what the
-    # per-query warm-up covers (measured: first-query store B1 1.3s
-    # cold vs 0.7s in a warmed session) — burn it on an untimed run
+    # per-query warm-up covers — burn it on an untimed run
     engine.run(
         store, B1_PROG, uuid_col="uuid", ts_col="timestamp", seq_col="seq"
     ).counters_df().collect()
 
-    out: dict = {"events": n_events, "trails": n_events // N_EVENTS}
-    tot = {"spark_s": 0.0, "spark_store_s": 0.0, "oracle_s": 0.0}
-    for name, (prog_ref, oracle_sql) in BASELINE_DEFS.items():
-        prog = prog_ref if prog_ref.startswith("\n") else getattr(Q, prog_ref)
-        # STORE first, FLAT second: the flat path's 160M-row window
-        # sorts leave the heap churned for ~a minute afterwards
-        # (measured: store B1 6.3s right after the flat runs vs 0.7s
-        # clean), so the headline layout is timed on a settled heap and
-        # the flat path absorbs its own churn.  A forced GC between
-        # blocks bounds the carry-over further.
-        _gc = spark.sparkContext._jvm.System.gc
-        _, store_s = time_spark(store, prog)
+    # --- store block: headline layout + both marginal inputs ---
+    st: dict = {}
+    for name, prog in progs.items():
+        srows, hi_s, hi_runs = time_spark(store, prog)
+        lo_s, lo_runs = time_spark(store_lo, prog)[1:]
+        st[name] = {
+            "rows": srows, "hi_s": hi_s, "hi_runs": hi_runs,
+            "lo_s": lo_s, "lo_runs": lo_runs,
+        }
+        print(f"# store {name}: hi {hi_s:.3f}s {hi_runs} / "
+              f"lo {lo_s:.3f}s {lo_runs}", file=sys.stderr)
+    _gc()
+
+    # --- flat block (motivation numbers; absorbs its own churn) ---
+    fl: dict = {}
+    for name, prog in progs.items():
+        frows, f_s, f_runs = time_spark(flat, prog)
+        fl[name] = {"rows": frows, "s": f_s, "runs": f_runs}
+        print(f"# flat {name}: {f_s:.3f}s {f_runs}", file=sys.stderr)
         _gc()
-        srows, spark_s = time_spark(flat, prog)
-        _gc()
-        # same adaptive steady-state protocol as Spark — otherwise the
-        # ratio inherits the oracle's first-run page-cache noise
+
+    # --- oracle block ---
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW perf AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW perf_lo AS SELECT * FROM "
+        f"read_parquet('{path_lo}/*.parquet')"
+    )
+    oc: dict = {}
+    for name, (_p, oracle_sql) in BASELINE_DEFS.items():
         orows: list = []
+        lo_sql = oracle_sql.replace("perf", "perf_lo")
 
         def one_oracle():
             t0 = time.time()
             orows[:] = con.execute(oracle_sql).fetchall()
             return time.time() - t0
 
-        oracle_s = _steady_state(one_oracle)
-        match = sorted(tuple(r) for r in srows) == sorted(
-            tuple(r) for r in orows
+        def one_oracle_lo():
+            t0 = time.time()
+            con.execute(lo_sql).fetchall()
+            return time.time() - t0
+
+        ohi_s, ohi_runs = _steady_state(one_oracle)
+        olo_s, olo_runs = _steady_state(one_oracle_lo)
+        oc[name] = {
+            "rows": list(orows), "hi_s": ohi_s, "hi_runs": ohi_runs,
+            "lo_s": olo_s, "lo_runs": olo_runs,
+            "one_lo": one_oracle_lo,
+        }
+        print(f"# oracle {name}: hi {ohi_s:.3f}s {ohi_runs} / "
+              f"lo {olo_s:.3f}s {olo_runs}", file=sys.stderr)
+
+    # --- assemble ---
+    out: dict = {"events": n_events, "trails": n_events // N_EVENTS}
+    tot = {"spark_s": 0.0, "spark_store_s": 0.0, "oracle_s": 0.0}
+    marginal: dict = {"events_lo": n_lo, "events_hi": n_events}
+    d_ev = n_events - n_lo
+    for name in BASELINE_DEFS:
+        store_s, spark_s, oracle_s = (
+            st[name]["hi_s"], fl[name]["s"], oc[name]["hi_s"]
+        )
+        match = sorted(tuple(r) for r in st[name]["rows"]) == sorted(
+            tuple(r) for r in oc[name]["rows"]
         )
         out[name] = {
             "spark_s": round(spark_s, 3),
@@ -232,6 +322,9 @@ def run_baseline_gate(spark, n_events: int = None) -> dict:
             "spark_store_meps": round(n_events / store_s / 1e6, 1),
             "oracle_meps": round(n_events / oracle_s / 1e6, 1),
             "match": match,
+            "spark_store_runs": st[name]["hi_runs"],
+            "spark_flat_runs": fl[name]["runs"],
+            "oracle_runs": oc[name]["hi_runs"],
         }
         tot["spark_s"] += spark_s
         tot["spark_store_s"] += store_s
@@ -241,6 +334,42 @@ def run_baseline_gate(spark, n_events: int = None) -> dict:
               f"{out[name]['oracle_s']}s = {out[name]['ratio']}x / "
               f"{out[name]['ratio_store']}x (match={match})",
               file=sys.stderr)
+
+        lo_s, olo_s = st[name]["lo_s"], oc[name]["lo_s"]
+        if oracle_s - olo_s <= 0:  # re-measure the cheap side once
+            olo_s = min(olo_s, _steady_state(oc[name]["one_lo"])[0])
+        mrow: dict = {
+            "spark_store_lo_s": round(lo_s, 3),
+            "spark_store_hi_s": round(store_s, 3),
+            "oracle_lo_s": round(olo_s, 3),
+            "oracle_hi_s": round(oracle_s, 3),
+            "spark_lo_runs": st[name]["lo_runs"],
+            "oracle_lo_runs": oc[name]["lo_runs"],
+        }
+        if store_s - lo_s <= 0 or oracle_s - olo_s <= 0:
+            mrow.update(
+                {
+                    "spark_marginal_meps": None,
+                    "oracle_marginal_meps": None,
+                    "marginal_ratio": None,
+                    "non_monotone": True,
+                }
+            )
+        else:
+            sp_marg = (store_s - lo_s) / d_ev
+            or_marg = (oracle_s - olo_s) / d_ev
+            mrow.update(
+                {
+                    "spark_marginal_meps": round(1 / sp_marg / 1e6, 1),
+                    "oracle_marginal_meps": round(1 / or_marg / 1e6, 1),
+                    "marginal_ratio": round(sp_marg / or_marg, 2),
+                }
+            )
+        marginal[name] = mrow
+        print(f"# marginal {name}: spark {mrow['spark_marginal_meps']}"
+              f" Mev/s vs duckdb {mrow['oracle_marginal_meps']}"
+              f" Mev/s = {mrow['marginal_ratio']}x",
+              file=sys.stderr)
     out["total"] = {
         "spark_s": round(tot["spark_s"], 3),
         "spark_store_s": round(tot["spark_store_s"], 3),
@@ -248,6 +377,7 @@ def run_baseline_gate(spark, n_events: int = None) -> dict:
         "ratio": round(tot["spark_s"] / tot["oracle_s"], 2),
         "ratio_store": round(tot["spark_store_s"] / tot["oracle_s"], 2),
     }
+    out["marginal"] = marginal
     out["b3_trails_per_sec"] = round(
         out["trails"] / out["b1_count_foreach"]["spark_store_s"], 1
     )
@@ -257,85 +387,17 @@ def run_baseline_gate(spark, n_events: int = None) -> dict:
     return out
 
 
-def run_marginal_gate(spark, gate_out: dict,
-                      n_lo: int = 20_000_000) -> dict:
-    """Marginal per-event cost between n_lo and the gate size, both
-    engines: (t_hi - t_lo) / (n_hi - n_lo).
-
-    The subtraction cancels each engine's FIXED per-query cost (Spark:
-    scheduler + py4j + codegen ~0.4-0.7 s; DuckDB: parse + plan), so
-    the marginal ratio measures pure streaming throughput — the honest
-    form of the 2x gate for queries whose DuckDB wallclock stays
-    sub-second at any practical dataset size.  B1 is the motivating
-    case: DuckDB aggregates the dictionary-coded column at ~900M
-    events/s, so "grow until the oracle runs 5s" needs 4.5B events
-    (~10 min regeneration per round); the marginal ratio gets the same
-    floor-free comparison from the 20M dataset the FSM bench already
-    caches.  hi-side timings are reused from the main gate run (same
-    protocol: warm-up + best-of-two); lo-side timings are measured
-    here the same way."""
-    import duckdb
-
-    from trck_spark import queries as Q
-    from trck_spark.engine import TrckSparkEngine
-
-    n_hi = gate_out["events"]
-    _, store_lo, path_lo = _open_perf(spark, n_lo)
-    engine = TrckSparkEngine(spark)
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW perf AS SELECT * FROM "
-        f"read_parquet('{path_lo}/*.parquet')"
-    )
-    out: dict = {"events_lo": n_lo, "events_hi": n_hi}
-    for name, (prog_ref, oracle_sql) in BASELINE_DEFS.items():
-        prog = prog_ref if prog_ref.startswith("\n") else getattr(Q, prog_ref)
-
-        def one_spark():
-            t0 = time.time()
-            engine.run(
-                store_lo, prog, uuid_col="uuid", ts_col="timestamp",
-                seq_col="seq",
-            ).counters_df().collect()
-            return time.time() - t0
-
-        def one_oracle():
-            t0 = time.time()
-            con.execute(oracle_sql).fetchall()
-            return time.time() - t0
-
-        lo_s = _steady_state(one_spark)
-        olo_s = _steady_state(one_oracle)
-        hi_s = gate_out[name]["spark_store_s"]
-        ohi_s = gate_out[name]["oracle_s"]
-        d_ev = n_hi - n_lo
-        sp_marg = max(hi_s - lo_s, 1e-9) / d_ev
-        or_marg = max(ohi_s - olo_s, 1e-9) / d_ev
-        out[name] = {
-            "spark_store_lo_s": round(lo_s, 3),
-            "spark_store_hi_s": hi_s,
-            "oracle_lo_s": round(olo_s, 3),
-            "oracle_hi_s": ohi_s,
-            "spark_marginal_meps": round(1 / sp_marg / 1e6, 1),
-            "oracle_marginal_meps": round(1 / or_marg / 1e6, 1),
-            "marginal_ratio": round(sp_marg / or_marg, 2),
-        }
-        print(f"# marginal {name}: spark {out[name]['spark_marginal_meps']}"
-              f" Mev/s vs duckdb {out[name]['oracle_marginal_meps']}"
-              f" Mev/s = {out[name]['marginal_ratio']}x",
-              file=sys.stderr)
-    return out
-
-
-def run_fsm_path_bench(spark, n_events: int = 20_000_000) -> dict:
-    """B1 on the GENERAL FSM path (TRCK_SPARK_NO_FASTPATH): the
+def run_fsm_path_bench(spark, prog: str = B1_PROG,
+                       n_events: int = 20_000_000) -> dict:
+    """`prog` on the GENERAL FSM path (TRCK_SPARK_NO_FASTPATH): the
     mapInPandas interpreter with occurring/non-occurring grid pruning —
     the reference's whole perf story is the pruned FSM
     (match_traildb.c:653-744); this records our pruned-FSM events/s and
     the pruning telemetry (fsm_runs per trail vs grid size) at a fixed
     20M-event workload.  Uses the TrailStore layout (no shuffle before
-    the interpreter); B1_PROG (the perftest1 shape) exercises the
-    ~100-value implicit-foreach grid."""
+    the interpreter).  B1_PROG exercises the ~100-value
+    implicit-foreach grid; PROG_FUNNEL (B2) exercises the `after`
+    window/timeout machinery — the FSM's actual hot loop."""
     from trck_spark.engine import TrckSparkEngine
 
     _, store, _ = _open_perf(spark, n_events)
@@ -346,7 +408,7 @@ def run_fsm_path_bench(spark, n_events: int = 20_000_000) -> dict:
         for i in range(2):  # warm-up python workers, then one timed run
             t0 = time.time()
             rs = engine.run(
-                store, B1_PROG, uuid_col="uuid",
+                store, prog, uuid_col="uuid",
                 ts_col="timestamp", seq_col="seq",
             )
             rows = rs.counters_df().collect()
@@ -414,14 +476,110 @@ def run_streaming_bench(spark, n_events: int = 20_000_000) -> dict:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(1200)
+    finished = q.awaitTermination(1200)
     dt = time.time() - t0
+    if not finished:
+        # timed out: events processed is NOT n_events — report the
+        # failure instead of a fabricated throughput (round-3 ADVICE)
+        q.stop()
+        return {
+            "events": n_events,
+            "seconds": round(dt, 3),
+            "error": "timeout after 1200s (partial run, no throughput)",
+            "sessions_emitted": counts["sessions"],
+        }
     return {
         "events": n_events,
         "seconds": round(dt, 3),
         "events_per_sec": round(n_events / dt, 1),
         "sessions_emitted": counts["sessions"],
     }
+
+
+def run_gate_suite() -> dict:
+    """Everything that needs the 48g heap / 160M dataset, in one
+    process: baseline gate, marginal gate, FSM-path benches (B1
+    counter grid + B2 funnel window), streaming sessionization."""
+    from trck_spark.session import get_spark
+
+    spark = get_spark("trck_spark_gate")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {}
+    try:
+        out = run_baseline_gate(spark)
+    except Exception as e:
+        return {"error": f"{type(e).__name__}: {e}"}
+    for key, prog_name in (("b1_fsm_path", B1_PROG), ("b2_fsm_path", None)):
+        try:
+            if prog_name is None:
+                from trck_spark import queries as Q
+
+                prog_name = Q.PROG_FUNNEL
+            out[key] = run_fsm_path_bench(spark, prog_name)
+            print(f"# {key}: {out[key]}", file=sys.stderr)
+        except Exception as e:
+            out[key] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"# {key} failed: {e}", file=sys.stderr)
+    try:
+        out["streaming"] = run_streaming_bench(spark)
+        print(f"# streaming sessionization: {out['streaming']}",
+              file=sys.stderr)
+    except Exception as e:
+        out["streaming"] = {"error": f"{type(e).__name__}: {e}"}
+        print(f"# streaming bench failed: {e}", file=sys.stderr)
+    return out
+
+
+def _gate_subprocess() -> dict | None:
+    """Run the gate suite in a child process with the 48g heap and
+    return its parsed result (also persisted to BENCH_GATE.json — the
+    committed artifact of record; the contract line carries only a
+    compact summary so the driver's tail capture can't truncate it
+    mid-JSON, which is how round 3 lost its per-query dict)."""
+    out_path = os.path.join(_REPO, "BENCH_GATE.json")
+    env = dict(os.environ)
+    env.setdefault("SPARK_DRIVER_MEM", "48g")
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--gate",
+         "--out", out_path],
+        env=env,
+        stdout=sys.stderr,  # keep this process's stdout for the contract line
+        timeout=5400,
+    )
+    if proc.returncode != 0:
+        print(f"# gate subprocess rc={proc.returncode}", file=sys.stderr)
+    try:
+        with open(out_path) as f:
+            return json.load(f)
+    except (OSError, ValueError) as e:
+        print(f"# gate result unreadable: {e}", file=sys.stderr)
+        return None
+
+
+def _gate_summary(gate: dict | None) -> dict | None:
+    """Compact per-query view for the one-line contract output."""
+    if not gate:
+        return None
+    if "error" in gate:
+        return {"error": gate["error"]}
+    s: dict = {"events": gate.get("events"), "detail": "BENCH_GATE.json"}
+    marg = gate.get("marginal") or {}
+    for name in BASELINE_DEFS:
+        g = gate.get(name) or {}
+        m = marg.get(name) or {}
+        s[name] = {
+            "store_s": g.get("spark_store_s"),
+            "oracle_s": g.get("oracle_s"),
+            "ratio_store": g.get("ratio_store"),
+            "marginal_ratio": m.get("marginal_ratio"),
+            "match": g.get("match"),
+        }
+    tot = gate.get("total") or {}
+    s["total_ratio_store"] = tot.get("ratio_store")
+    for k in ("b1_fsm_path", "b2_fsm_path", "streaming"):
+        sub = gate.get(k) or {}
+        s[k + "_eps"] = sub.get("events_per_sec")
+    return s
 
 
 def check_ts_dtype(sf_dir: str) -> str:
@@ -444,9 +602,33 @@ def check_ts_dtype(sf_dir: str) -> str:
 
 
 def main() -> None:
+    if "--gate" in sys.argv:
+        out_path = None
+        if "--out" in sys.argv:
+            out_path = sys.argv[sys.argv.index("--out") + 1]
+        gate = run_gate_suite()
+        payload = json.dumps(gate, indent=1)
+        if out_path:
+            with open(out_path, "w") as f:
+                f.write(payload + "\n")
+        else:
+            print(payload)
+        return
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     ts_dtype = check_ts_dtype(sf_dir)
+
+    # gate first, in its own JVM (48g), before this process opens its
+    # 16g session — full memory isolation in both directions
+    baseline = None
+    if os.environ.get("SPARK_GRAFT_SKIP_BASELINE") != "1":
+        try:
+            baseline = _gate_subprocess()
+        except Exception as e:
+            baseline = {"error": f"{type(e).__name__}: {e}"}
+            print(f"# baseline gate failed: {e}", file=sys.stderr)
+
     from trck_spark.session import get_spark
 
     spark = get_spark("trck_spark_bench")
@@ -500,38 +682,6 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
     queries["trck_count_clicks"](spark, sf_dir).count()
 
-    # the baseline gate runs FIRST: its 20M-event dataset is freshly
-    # written/read (page-cache warm) and the heavy sf0.1 pipeline
-    # queries haven't pressured memory yet — running it last made the
-    # DuckDB oracle's wallclock swing 4-6x between invocations
-    baseline = None
-    if os.environ.get("SPARK_GRAFT_SKIP_BASELINE") != "1":
-        try:
-            baseline = run_baseline_gate(spark)
-        except Exception as e:  # never let the gate break the contract line
-            baseline = {"error": f"{type(e).__name__}: {e}"}
-            print(f"# baseline gate failed: {e}", file=sys.stderr)
-        try:
-            if "error" not in baseline:
-                baseline["marginal"] = run_marginal_gate(spark, baseline)
-        except Exception as e:
-            baseline["marginal"] = {"error": f"{type(e).__name__}: {e}"}
-            print(f"# marginal gate failed: {e}", file=sys.stderr)
-        try:
-            baseline["b1_fsm_path"] = run_fsm_path_bench(spark)
-            print(f"# b1 FSM path: {baseline['b1_fsm_path']}",
-                  file=sys.stderr)
-        except Exception as e:
-            baseline["b1_fsm_path"] = {"error": f"{type(e).__name__}: {e}"}
-            print(f"# fsm-path bench failed: {e}", file=sys.stderr)
-        try:
-            baseline["streaming"] = run_streaming_bench(spark)
-            print(f"# streaming sessionization: {baseline['streaming']}",
-                  file=sys.stderr)
-        except Exception as e:
-            baseline["streaming"] = {"error": f"{type(e).__name__}: {e}"}
-            print(f"# streaming bench failed: {e}", file=sys.stderr)
-
     from trck_spark.pipeline.dedup import release
 
     for name in bench_names:
@@ -579,8 +729,9 @@ def main() -> None:
         "events_per_sec": round(n_events / b1, 1),
         "ts_dtype": ts_dtype,
     }
-    if baseline is not None:
-        result["baseline"] = baseline
+    gate_summary = _gate_summary(baseline)
+    if gate_summary is not None:
+        result["gate"] = gate_summary
     print(json.dumps(result))
 
 
