@@ -188,6 +188,74 @@ def test_streaming_session_features_matches_batch(spark, tmp_path):
     assert got == expect
 
 
+def test_streaming_session_out_of_order(spark, tmp_path):
+    """Cross-micro-batch late arrival within the watermark: a later
+    batch delivers an event with t EARLIER than the open session's
+    start.  The interval merge must extend the session downward
+    (session_start moves to the late event) and a gap-separated late
+    event must close as its own earlier session — matching batch
+    semantics, not absorbing into the open session with an unchanged
+    start (round-3 ADVICE)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trck_spark.pipeline.streaming import streaming_session_features
+
+    d = tmp_path / "sess_ooo"
+    d.mkdir()
+    batches = [
+        # (user_id, ts_s, event_id, event_type)
+        [(1, 5000, 0, "view"), (1, 5100, 1, "click")],
+        # late arrivals: 4900 merges into the open session (start must
+        # drop to 4900); 100 is >= gap older -> its own earlier session
+        [(1, 4900, 2, "view"), (1, 100, 3, "purchase")],
+        [(999, 1_000_000, 4, "view")],  # sentinel: watermark flush
+    ]
+    for i, b in enumerate(batches):
+        pq.write_table(
+            pa.table({
+                "user_id": pa.array([r[0] for r in b], pa.int64()),
+                "ts": pa.array(
+                    [r[1] * 1_000_000 for r in b], pa.timestamp("us")
+                ),
+                "event_id": pa.array([r[2] for r in b], pa.int64()),
+                "event_type": pa.array([r[3] for r in b]),
+            }),
+            str(d / f"b{i}.parquet"),
+        )
+    sdf = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    collected: list = []
+
+    q = (
+        streaming_session_features(sdf, delay="2 hours")
+        .writeStream.foreachBatch(
+            lambda bdf, _bid: collected.extend(bdf.collect())
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["n_events"], r["duration_s"], r["n_clicks"],
+            r["has_purchase"],
+        )
+        for r in collected
+        if r["user_id"] != 999
+    }
+    assert got == {
+        (1, 100): (1, 0, 0, True),
+        (1, 4900): (3, 200, 1, False),
+    }
+
+
 def test_streaming_exact_dedup(spark, tmp_path):
     from trck_spark.pipeline.streaming import streaming_exact_dedup
 

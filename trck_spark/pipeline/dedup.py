@@ -960,6 +960,233 @@ ORDER BY inc.doc_id
 """
 
 
+# ------------------------------------------------ fingerprint store
+#
+# The materialized corpus-side artifact for incremental dedup: the
+# docstring TODO of round 3 (re-fingerprinting the whole corpus every
+# ingestion run), closed.  A FingerprintStore is a directory holding
+#
+#   fp/            corpus fingerprints, BUCKETED by fingerprint — an
+#                  incremental join shuffles only the (small) incoming
+#                  batch to the store's partitioning; the corpus side
+#                  is never re-shuffled, never re-fingerprinted
+#   bloom/         bloom bitmap as (w: word index, word: int64) rows
+#   _fpstore.json  manifest: bucket count, fingerprint count, bloom
+#                  geometry (m bits, k hashes)
+#
+# The bloom filter is PURE CATALYST on both sides: build = explode k
+# xxhash64(fp, seed) bit positions -> groupBy(word index) ->
+# bit_or(bit); probe = explode the incoming batch's k positions ->
+# broadcast-join the bloom words -> a fingerprint is maybe-in-corpus
+# iff ALL k probed bits are set.  No UDF, no driver-side bitmap.  At
+# 1% fpp the bitmap is ~1.2 bytes/fingerprint (m = -n ln p / ln^2 2),
+# so ~10^8 corpus fingerprints broadcast as ~120 MB of words; beyond
+# that, skip the bloom (bloom_fpp=None) and rely on the bucketed join
+# alone, or shard blooms per bucket (not implemented).
+
+FP_MANIFEST = "_fpstore.json"
+
+
+def _bloom_geometry(n_fp: int, fpp: float) -> tuple[int, int]:
+    """(m_bits, k_hashes) for an n_fp-element bloom at ``fpp``."""
+    import math
+
+    n = max(n_fp, 1)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _bloom_positions(fp_col, m: int, k: int):
+    """array of k bit positions for a fingerprint column — k independent
+    hashes via xxhash64(fp, seed_i)."""
+    from pyspark.sql import functions as F
+
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(fp_col, F.lit(i)), F.lit(m))
+            for i in range(k)
+        ]
+    )
+
+
+def write_fingerprint_store(
+    docs_df,
+    path: str,
+    n_buckets: int = 32,
+    bloom_fpp: float | None = 0.01,
+):
+    """Materialize the distinct normalized-text fingerprints of
+    ``docs_df`` (doc_id, text) as a FingerprintStore at ``path``;
+    returns the re-opened fingerprint DataFrame.
+
+    One full scan of the corpus — the LAST one it ever needs: every
+    later ingestion run joins the incoming batch against this artifact
+    (see ``incremental_dedup_apply``) without touching the corpus
+    documents again."""
+    import json as _json
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    spark = docs_df.sparkSession
+    fps = (
+        docs_df.select(F.md5(F.expr(NORM)).alias("fingerprint"))
+        .distinct()
+    )
+    fp_path = os.path.join(os.path.abspath(path), "fp")
+    table = "fpstore_" + re.sub(
+        r"[^A-Za-z0-9_]", "_", os.path.abspath(path)
+    ).strip("_")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        fps.repartition(n_buckets, "fingerprint")
+        .write.bucketBy(n_buckets, "fingerprint")
+        .option("path", fp_path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    corpus = spark.table(table)
+    n_fp = corpus.count()
+    manifest = {"version": 1, "n_buckets": n_buckets, "n_fp": n_fp}
+    if bloom_fpp:
+        m, k = _bloom_geometry(n_fp, bloom_fpp)
+        words = (
+            corpus.select(
+                F.explode(
+                    _bloom_positions(F.col("fingerprint"), m, k)
+                ).alias("pos")
+            )
+            .select(
+                (F.col("pos") / 64).cast("long").alias("w"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), "
+                    "CAST(pmod(pos, 64) AS INT))"
+                ).alias("bit"),
+            )
+            .groupBy("w")
+            .agg(F.expr("bit_or(bit)").alias("word"))
+        )
+        words.write.mode("overwrite").parquet(
+            os.path.join(os.path.abspath(path), "bloom")
+        )
+        manifest["bloom"] = {"m": m, "k": k, "fpp": bloom_fpp}
+    with open(os.path.join(path, FP_MANIFEST), "w") as f:
+        _json.dump(manifest, f)
+    return corpus
+
+
+def open_fingerprint_store(spark, path: str):
+    """(fingerprints DataFrame, manifest) for the store at ``path`` —
+    re-registers the bucketed table in a fresh session via DDL, no data
+    movement."""
+    import json as _json
+    import os
+    import re
+
+    with open(os.path.join(path, FP_MANIFEST)) as f:
+        manifest = _json.load(f)
+    fp_path = os.path.join(os.path.abspath(path), "fp")
+    table = "fpstore_" + re.sub(
+        r"[^A-Za-z0-9_]", "_", os.path.abspath(path)
+    ).strip("_")
+    if not spark.catalog.tableExists(table):
+        spark.sql(
+            f"CREATE TABLE {table} (`fingerprint` string) USING PARQUET "
+            f"CLUSTERED BY (`fingerprint`) INTO {manifest['n_buckets']} "
+            f"BUCKETS LOCATION '{fp_path}'"
+        )
+    return spark.table(table), manifest
+
+
+def incremental_dedup_apply(spark, batch_df, store_path: str):
+    """(doc_id, fingerprint, status) for an incoming batch (doc_id,
+    text) against a persisted FingerprintStore — ``incremental_dedup``
+    semantics (corpus_dup / batch_dup / kept) WITHOUT re-scanning the
+    corpus documents: the corpus side is the materialized fingerprint
+    table, fronted by the bloom sidecar when present.
+
+    Bloom front: fingerprints whose k probed bits are not all set are
+    definitively absent from the corpus and skip the corpus join
+    entirely — at a ~99%-new daily batch that removes the corpus-side
+    join for almost every row; only maybe-present fingerprints (real
+    dups + fpp false positives) reach the exact bucketed join, which
+    shuffles just those rows to the store's bucketing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    corpus, manifest = open_fingerprint_store(spark, store_path)
+    incoming = batch_df.select(
+        "doc_id", F.md5(F.expr(NORM)).alias("fingerprint")
+    )
+    first_in_batch = incoming.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("first_id")
+    )
+
+    fps = incoming.select("fingerprint").distinct()
+    bloom_cfg = manifest.get("bloom")
+    if bloom_cfg:
+        bloom = spark.read.parquet(
+            os.path.join(os.path.abspath(store_path), "bloom")
+        )
+        m, k = bloom_cfg["m"], bloom_cfg["k"]
+        probes = fps.select(
+            "fingerprint",
+            F.explode(
+                _bloom_positions(F.col("fingerprint"), m, k)
+            ).alias("pos"),
+        ).select(
+            "fingerprint",
+            (F.col("pos") / 64).cast("long").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                "CAST(pmod(pos, 64) AS INT))"
+            ).alias("bit"),
+        )
+        maybe = (
+            probes.join(F.broadcast(bloom), "w", "left")
+            .groupBy("fingerprint")
+            .agg(
+                F.min(
+                    (
+                        F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(
+                            F.col("bit")
+                        )
+                        != 0
+                    ).cast("int")
+                ).alias("all_set")
+            )
+            .filter(F.col("all_set") == 1)
+            .select("fingerprint")
+        )
+    else:
+        maybe = fps
+    in_corpus = (
+        maybe.join(corpus, "fingerprint")
+        .select("fingerprint")
+        .withColumn("in_corpus", F.lit(1))
+    )
+    # no broadcast hint: in_corpus is bounded by the batch's dup count
+    # (tiny for a daily batch) and AQE broadcasts it when it turns out
+    # small, but a backfill batch that is mostly dups must be allowed
+    # to shuffle-join
+    return (
+        incoming.join(in_corpus, "fingerprint", "left")
+        .join(first_in_batch, "fingerprint")
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.when(F.col("in_corpus").isNotNull(), "corpus_dup")
+            .when(F.col("doc_id") != F.col("first_id"), "batch_dup")
+            .otherwise("kept")
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def semantic_dedup(
     spark,
     sf_dir: str,

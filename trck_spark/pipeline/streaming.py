@@ -95,6 +95,20 @@ def streaming_session_features(
     session (unbounded on an infinite stream), so the streaming form
     identifies sessions by (user_id, session_start) instead — the
     equivalence test joins the two forms on exactly that key.
+
+    Out-of-order arrival: each step merges the open-session interval
+    with the batch's events in event-time order, so a late event
+    (within the watermark) that lands BEFORE the open session's start
+    extends the session downward (session_start moves earlier) or, if
+    gap-separated from it, closes as its own earlier session — the
+    same sessions the batch operator computes.  Batch equivalence
+    therefore holds for any arrival order in which an event reaches
+    the operator before its session's row has been emitted; an event
+    arriving after its session was already closed out (its
+    event-time neighbors were >= gap_s newer, or the watermark fired
+    the timeout) starts a new session where batch would have merged —
+    the unavoidable cost of emitting finalized rows from bounded
+    state.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -136,19 +150,33 @@ def streaming_session_features(
             )
         events.sort(key=lambda e: (e[0], e[1]))
 
-        open_s = list(state.get) if state.exists else None
+        # interval merge over (open-session state + batch events) in
+        # event-time order: a late event with t < state.start either
+        # merges (moving session_start downward) or splits off as its
+        # own earlier session — matching the batch operator for any
+        # not-yet-emitted session (see docstring)
+        intervals: list = (
+            [list(state.get)] if state.exists else []
+        )
         for t, _seq, et in events:
-            if open_s is not None and t >= open_s[1] + gap_s:
-                out.append(row(*open_s))
-                open_s = None
-            if open_s is None:
-                open_s = [t, t, 0, 0, 0]
-            open_s[1] = max(open_s[1], t)
-            open_s[2] += 1
-            if et == "click":
-                open_s[3] += 1
-            if et == "purchase":
-                open_s[4] = 1
+            intervals.append(
+                [t, t, 1, 1 if et == "click" else 0,
+                 1 if et == "purchase" else 0]
+            )
+        intervals.sort(key=lambda iv: (iv[0], iv[1]))
+        merged: list = []
+        for iv in intervals:
+            if merged and iv[0] < merged[-1][1] + gap_s:
+                m = merged[-1]
+                m[0] = min(m[0], iv[0])
+                m[1] = max(m[1], iv[1])
+                m[2] += iv[2]
+                m[3] += iv[3]
+                m[4] = max(m[4], iv[4])
+            else:
+                merged.append(list(iv))
+        out.extend(row(*m) for m in merged[:-1])
+        open_s = merged[-1] if merged else None
 
         if open_s is not None:
             state.update(tuple(open_s))
