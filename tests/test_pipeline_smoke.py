@@ -103,6 +103,99 @@ def test_multimodal_decode_real_pil():
     assert decode_image(buf.getvalue()) == (17, 9, 3)
 
 
+def test_multimodal_decode_audio_stub():
+    from trck_spark.pipeline.multimodal import decode_audio
+
+    import pytest
+
+    assert decode_audio(b"x" * 100, fake=True) == (16_000, 50, 1)
+    try:
+        import soundfile  # noqa: F401
+
+        has_sf = True
+    except ImportError:
+        has_sf = False
+    if not has_sf:
+        with pytest.raises(NotImplementedError):
+            decode_audio(b"xx", strict=True)
+        with pytest.warns(RuntimeWarning):
+            assert decode_audio(b"x" * 100) == (16_000, 50, 1)
+
+
+def test_multimodal_decode_audio_real():
+    """Real decode path: soundfile round-trip on a generated WAV
+    (skipped when soundfile is not installed — the container default)."""
+    import pytest
+
+    soundfile = pytest.importorskip("soundfile")
+    import io
+
+    import numpy as np
+
+    from trck_spark.pipeline.multimodal import decode_audio
+
+    buf = io.BytesIO()
+    soundfile.write(
+        buf, np.zeros((480, 2), dtype=np.int16), 48_000, format="WAV"
+    )
+    assert decode_audio(buf.getvalue()) == (48_000, 480, 2)
+
+
+def test_multimodal_decode_video_stub():
+    import hashlib
+
+    import pytest
+
+    from trck_spark.pipeline.multimodal import decode_video_frames
+
+    blob = bytes(range(200))  # 200 bytes, frame_bytes=64 -> 3 frames
+    frames = list(decode_video_frames(blob, 64, 2, fake=True))
+    fps = 200 % 30 + 1
+    assert frames == [
+        (0, 0, hashlib.md5(blob[0:64]).hexdigest()),
+        (2, 2000 // fps, hashlib.md5(blob[128:192]).hexdigest()),
+    ]
+    try:
+        import av  # noqa: F401
+
+        has_av = True
+    except ImportError:
+        has_av = False
+    if not has_av:
+        with pytest.raises(NotImplementedError):
+            list(decode_video_frames(b"xx", strict=True))
+        with pytest.warns(RuntimeWarning):
+            assert list(decode_video_frames(blob, 64, 2)) == frames
+
+
+def test_multimodal_decode_video_real():
+    """Real decode path: PyAV round-trip on a generated container
+    (skipped when PyAV is not installed — the container default)."""
+    import pytest
+
+    av = pytest.importorskip("av")
+    import io
+
+    import numpy as np
+
+    from trck_spark.pipeline.multimodal import decode_video_frames
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as out:
+        stream = out.add_stream("mpeg4", rate=10)
+        stream.width, stream.height = 32, 32
+        for _ in range(6):
+            frame = av.VideoFrame.from_ndarray(
+                np.zeros((32, 32, 3), dtype=np.uint8), format="rgb24"
+            )
+            for packet in stream.encode(frame):
+                out.mux(packet)
+        for packet in stream.encode():
+            out.mux(packet)
+    frames = list(decode_video_frames(buf.getvalue(), stride=2))
+    assert [idx for idx, _ts, _h in frames] == [0, 2, 4]
+
+
 def test_ngram_hot_shingle_cap(spark, tmp_path):
     """A shingle shared by every doc must not explode into O(n^2)
     candidate pairs: with df > max_shingle_df it is dropped from counts

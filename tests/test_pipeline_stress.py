@@ -196,6 +196,61 @@ def test_semantic_dedup_50k_sqrt_cells(spark, tmp_path):
     assert elapsed < 300, f"semantic dedup at 50k took {elapsed:.0f}s"
 
 
+def test_semantic_dedup_adversarial_single_cell(spark, tmp_path):
+    """Adversarial skew (the CC giant-component analog): every non-pivot
+    vector lands in ONE cell — pivot 0 sits at the cluster center and
+    pivots 1..15 are pushed far away, so cell 0 holds ~8k members and
+    the per-cell pair join degenerates to its quadratic worst case in a
+    single shuffle key.  The run must stay bounded (AQE's skew-join
+    splitting keeps the hot cell parallel) and correct: every cluster
+    member dups to vec 0, the far pivots survive untouched."""
+    import os
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n, dim, n_cells = 8_000, 16, 16
+    rng = np.random.RandomState(7)
+    base = np.ones(dim, dtype=np.float32)
+    vecs = base + rng.standard_normal((n, dim)).astype(np.float32) * 1e-3
+    for p in range(1, n_cells):
+        far = np.zeros(dim, dtype=np.float32)
+        far[p] = 1000.0  # orthogonal-ish and far: own cell, no dups
+        vecs[p] = far
+    d = str(tmp_path / "semskew")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * n, pa.int32()),
+        }),
+        f"{d}/embeddings.parquet",
+    )
+
+    from trck_spark.pipeline.dedup import release, semantic_dedup
+
+    t0 = time.time()
+    out = semantic_dedup(spark, d, n_cells=n_cells, threshold=0.9)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    elapsed = time.time() - t0
+    release(out)
+    assert len(rows) == n
+    cell0 = {i for i, r in rows.items() if r["cell"] == rows[0]["cell"]}
+    assert len(cell0) == n - (n_cells - 1), "skew setup broke"
+    assert rows[0]["kept"]
+    for p in range(1, n_cells):
+        assert rows[p]["kept"] and rows[p]["dup_of"] is None
+    dropped = [i for i, r in rows.items() if not r["kept"]]
+    assert len(dropped) == n - n_cells
+    assert all(rows[i]["dup_of"] == 0 for i in dropped)
+    assert elapsed < 180, f"skewed semantic dedup took {elapsed:.0f}s"
+
+
 def test_dedup_clusters_100k_planted(spark, stress_dir):
     """The full keep/drop path at 100k docs: every planted near-dup pair
     must co-cluster, and the label set must cover the corpus."""

@@ -1,17 +1,38 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The image decode is gated behind an OPTIONAL dependency: ``decode_image``
-uses PIL when importable (the real path, wired below), and otherwise
-falls back to a deterministic byte-length fake with a warning (or raises
-NotImplementedError with ``strict=True``).  This container ships no
-image/audio libraries, so the registered queries pin ``fake=True`` —
-which also keeps them arithmetic and therefore oracle-checkable.
-Everything Spark-side — binary column handling, schema, batch iteration,
-partitioning — is identical between the two paths.
+Every decode is gated behind an OPTIONAL dependency with the same
+three-way contract: ``decode_image`` uses PIL, ``decode_audio`` uses
+soundfile, ``decode_video_frames`` uses PyAV — each takes the real path
+when its library imports, otherwise falls back to a deterministic
+byte-arithmetic fake with a warning, or raises NotImplementedError
+under ``strict=True`` (a deploy-time gap, not a code gap: installing
+the library turns the real path on).  This container ships none of the
+media libraries, so the registered queries pin ``fake=True`` — which
+also keeps them arithmetic and therefore oracle-checkable.  Everything
+Spark-side — binary column handling, schema, batch iteration,
+partitioning — is identical between the paths.
 """
 
 from __future__ import annotations
+
+
+def _absent(name: str, dep: str, strict: bool) -> None:
+    """Shared optional-dependency miss: raise under strict, else warn
+    (the caller then runs the deterministic fake)."""
+    if strict:
+        raise NotImplementedError(
+            f"{name} requires {dep} (not installed); "
+            "pass fake=True for the deterministic stub"
+        )
+    import warnings
+
+    warnings.warn(
+        f"{dep} not importable — {name} falling back to the "
+        "deterministic fake decoder",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def _fake_decode(blob: bytes) -> tuple[int, int, int]:
@@ -35,25 +56,94 @@ def decode_image(
     try:
         from PIL import Image
     except ImportError:
-        if strict:
-            raise NotImplementedError(
-                "image decoding requires PIL/pillow (not installed); "
-                "pass fake=True for the deterministic stub"
-            )
-        import warnings
-
-        warnings.warn(
-            "PIL/pillow not importable — decode_image falling back to "
-            "the deterministic fake decoder",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+        _absent("image decoding", "PIL/pillow", strict)
         return _fake_decode(blob)
     import io
 
     with Image.open(io.BytesIO(blob)) as im:
         im.load()
         return (im.width, im.height, len(im.getbands()))
+
+
+def _fake_decode_audio(blob: bytes) -> tuple[int, int, int]:
+    # bytes read as 16-bit mono PCM at a fixed rate — deterministic
+    return (16_000, len(blob) // 2, 1)
+
+
+def decode_audio(
+    blob: bytes, fake: bool = False, strict: bool = False
+) -> tuple[int, int, int]:
+    """-> (sample_rate, n_samples, n_channels).
+
+    Same optional-dependency contract as ``decode_image``: soundfile
+    (libsndfile) decodes real containers (wav/flac/ogg) when
+    importable; ``fake=True`` or an absent library uses the
+    deterministic bytes-as-PCM16-mono stub."""
+    if fake:
+        return _fake_decode_audio(blob)
+    try:
+        import soundfile
+    except ImportError:
+        _absent("audio decoding", "soundfile", strict)
+        return _fake_decode_audio(blob)
+    import io
+
+    with soundfile.SoundFile(io.BytesIO(blob)) as f:
+        return (f.samplerate, f.frames, f.channels)
+
+
+def _fake_video_frames(blob: bytes, frame_bytes: int, stride: int):
+    """Deterministic fake container: fps from byte length, each
+    ``frame_bytes`` slice is one frame; every ``stride``-th frame
+    yields (idx, ts_ms, md5-of-slice)."""
+    import hashlib
+
+    fps = len(blob) % 30 + 1
+    n_frames = len(blob) // frame_bytes
+    for idx in range(0, n_frames, stride):
+        piece = blob[idx * frame_bytes : (idx + 1) * frame_bytes]
+        yield (idx, idx * 1000 // fps, hashlib.md5(piece).hexdigest())
+
+
+def decode_video_frames(
+    blob: bytes,
+    frame_bytes: int = 64,
+    stride: int = 2,
+    fake: bool = False,
+    strict: bool = False,
+):
+    """Yield (frame_idx, ts_ms, frame_md5) for every ``stride``-th
+    frame of a video blob.
+
+    Real path: PyAV demuxes/decodes the container's first video stream
+    and fingerprints each sampled frame's raw planes (frame_bytes is
+    ignored — real frames carry their own size).  Fake path: the
+    byte-slice container (see ``_fake_video_frames``)."""
+    if fake:
+        yield from _fake_video_frames(blob, frame_bytes, stride)
+        return
+    try:
+        import av
+    except ImportError:
+        _absent("video decoding", "PyAV", strict)
+        yield from _fake_video_frames(blob, frame_bytes, stride)
+        return
+    import hashlib
+    import io
+
+    with av.open(io.BytesIO(blob)) as container:
+        stream = container.streams.video[0]
+        tb = stream.time_base
+        for idx, frame in enumerate(container.decode(stream)):
+            if idx % stride:
+                continue
+            ts_ms = (
+                int(frame.pts * tb * 1000) if frame.pts is not None else 0
+            )
+            digest = hashlib.md5(
+                b"".join(bytes(p) for p in frame.planes)
+            ).hexdigest()
+            yield (idx, ts_ms, digest)
 
 
 def binary_docs(spark, sf_dir: str):
@@ -110,10 +200,15 @@ FROM documents ORDER BY doc_id
 
 
 def audio_frame_sample(spark, sf_dir: str, frame_bytes: int = 1024,
-                       every_nth: int = 4):
-    """Frame sampling plumbing for audio/video blobs: number of frames and
-    sampled frame offsets per blob (mapInPandas; arithmetic fake)."""
-    from pyspark.sql import functions as F
+                       every_nth: int = 4, fake: bool = True,
+                       strict: bool = False):
+    """Frame sampling plumbing for audio blobs: number of PCM frames
+    and sampled frame offsets per blob (mapInPandas through
+    ``decode_audio``).  The registered query pins ``fake=True`` (the
+    oracle-checkable byte-arithmetic stub: 16-bit mono, so
+    n_frames == n_bytes // frame_bytes for even frame_bytes);
+    ``fake=False`` decodes real containers via soundfile when
+    importable."""
 
     df = binary_docs(spark, sf_dir)
 
@@ -123,7 +218,11 @@ def audio_frame_sample(spark, sf_dir: str, frame_bytes: int = 1024,
         for pdf in batches:
             rows = []
             for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
-                n_frames = len(b) // frame_bytes
+                _sr, n_samples, ch = decode_audio(
+                    bytes(b), fake=fake, strict=strict
+                )
+                frame_samples = max(frame_bytes // (2 * max(ch, 1)), 1)
+                n_frames = n_samples // frame_samples
                 offsets = list(range(0, n_frames, every_nth))
                 rows.append((doc_id, n_frames, len(offsets)))
             yield pd.DataFrame(
@@ -152,44 +251,36 @@ def video_frame_sample(
     sf_dir: str,
     frame_bytes: int = 64,
     stride: int = 2,
+    fake: bool = True,
+    strict: bool = False,
 ):
-    """Frame sampling over fake video containers: a 1-to-N mapInPandas
-    (each blob explodes into its sampled frames) — the batch shape a real
-    ffmpeg-backed sampler would have.  The deterministic fake container
-    reads fps from the byte length and treats each ``frame_bytes`` slice
-    as one frame; every ``stride``-th frame is emitted with its
-    timestamp and an md5 frame fingerprint, so the whole operator is
-    oracle-checkable (documents are ASCII: byte and char offsets agree
-    between the binary slice here and the SQL substring).
-
-    Real decode would replace ``_frames`` with ffmpeg; the Spark-side
-    plumbing — binary column in, multi-row Arrow batches out, no shuffle
-    until the final presentation sort — is the production shape.
+    """Frame sampling over video containers: a 1-to-N mapInPandas (each
+    blob explodes into its sampled frames) through
+    ``decode_video_frames``.  The registered query pins ``fake=True``:
+    the deterministic container reads fps from the byte length and
+    treats each ``frame_bytes`` slice as one frame, every
+    ``stride``-th frame emitting its timestamp and an md5 frame
+    fingerprint — fully oracle-checkable (documents are ASCII: byte
+    and char offsets agree between the binary slice here and the SQL
+    substring).  ``fake=False`` demuxes/decodes real containers via
+    PyAV when importable; the Spark-side plumbing — binary column in,
+    multi-row Arrow batches out, no shuffle until the final
+    presentation sort — is identical.
     """
 
     df = binary_docs(spark, sf_dir)
 
     def sample(batches):
-        import hashlib
-
         import pandas as pd
-
-        def _frames(blob):
-            fps = len(blob) % 30 + 1
-            n_frames = len(blob) // frame_bytes
-            for idx in range(0, n_frames, stride):
-                piece = blob[idx * frame_bytes : (idx + 1) * frame_bytes]
-                yield (
-                    idx,
-                    idx * 1000 // fps,
-                    hashlib.md5(piece).hexdigest(),
-                )
 
         for pdf in batches:
             rows = [
                 (int(doc_id), idx, ts, h)
                 for doc_id, blob in zip(pdf["doc_id"], pdf["blob"])
-                for idx, ts, h in _frames(blob)
+                for idx, ts, h in decode_video_frames(
+                    bytes(blob), frame_bytes, stride,
+                    fake=fake, strict=strict,
+                )
             ]
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "ts_ms", "frame_md5"]
