@@ -274,6 +274,40 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert len(out) == 4
 
 
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """Stream-static incremental dedup: corpus dups (fingerprint in the
+    persisted FingerprintStore) are dropped by the anti-join, burst
+    dups within the stream by the watermark dedup; only genuinely new
+    documents come out — and the corpus documents are never read (the
+    store is built from a frame and the stream plan touches only the
+    artifact)."""
+    from trck_spark.pipeline.dedup import write_fingerprint_store
+    from trck_spark.pipeline.streaming import streaming_incremental_dedup
+
+    store_path = str(tmp_path / "fpstore")
+    corpus = spark.createDataFrame(
+        [(9000, "src0", "alpha beta gamma"),      # dup of stream docs 0/2/3
+         (9001, "src0", "known corpus text")],
+        "doc_id long, source string, text string",
+    )
+    write_fingerprint_store(corpus, store_path, n_buckets=2)
+
+    src, rows = _write_batches(tmp_path)
+    out = _run_stream(
+        spark, src,
+        lambda s: streaming_incremental_dedup(
+            s, store_path, delay="1 hour"
+        ),
+        "append",
+    )
+    kept = {r["doc_id"] for r in out}
+    # docs 0, 2, 3 are corpus dups (alpha beta gamma) -> dropped by the
+    # static join; 1, 4, 5 are new and unique -> kept
+    assert kept == {1, 4, 5}
+    # emitted rows carry the fingerprint for downstream store refresh
+    assert all(len(r["fingerprint"]) == 32 for r in out)
+
+
 def test_streaming_doc_stats_matches_batch(spark, tmp_path):
     from pyspark.sql import functions as F
 

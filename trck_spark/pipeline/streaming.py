@@ -46,6 +46,49 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_incremental_dedup(
+    docs_sdf,
+    store_path: str,
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+):
+    """Continuous ingestion against a persisted corpus: the streaming
+    form of ``dedup.incremental_dedup_apply``.
+
+    Two dedup layers, both scale-bounded:
+    1. STREAM-STATIC anti-join against the FingerprintStore's bucketed
+       fingerprint table (``dedup.write_fingerprint_store``): documents
+       whose fingerprint already exists in the corpus are dropped.  The
+       static side is the materialized artifact — the corpus documents
+       are never re-scanned, and the join is a per-micro-batch hash
+       join against a fingerprint-bucketed table (only the batch side
+       shuffles).  The bloom sidecar is a batch-side optimization; the
+       stream path relies on the bucketed join alone (a bloom probe
+       would need a per-fingerprint aggregation — extra stream state
+       costing more than the hash join it would front).
+    2. In-stream first-occurrence dedup within the watermark horizon
+       (``dropDuplicatesWithinWatermark``) for burst duplicates —
+       re-crawls and retries that arrive before any corpus refresh.
+
+    The store is refreshed OUTSIDE the stream (rebuild or append via
+    ``write_fingerprint_store``); a restarted stream picks up the new
+    snapshot.  Emitted rows carry ``fingerprint`` so a downstream sink
+    can append them to the store for the next refresh cycle.
+    """
+    from pyspark.sql import functions as F
+
+    from trck_spark.pipeline.dedup import open_fingerprint_store
+
+    spark = docs_sdf.sparkSession
+    corpus, _manifest = open_fingerprint_store(spark, store_path)
+    return (
+        docs_sdf.withColumn("fingerprint", F.md5(F.expr(NORM)))
+        .join(corpus, "fingerprint", "left_anti")
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 def _epoch_s(df, ts_col: str):
     """Epoch-seconds column for either timestamp flavor: TIMESTAMP_NTZ
     (how parquet timestamp[us] reads) forbids a direct BIGINT cast, so
