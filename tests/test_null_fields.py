@@ -146,3 +146,69 @@ def test_funnel_literal_filters_push_to_parquet(spark, tmp_path):
     flat = plan.replace(" ", "")
     assert "EqualTo(event_type,view)" in flat, plan
     assert "EqualTo(event_type,click)" in flat, plan
+
+
+IR_NEGATED_YIELD = {
+    "rules": [
+        {
+            "clauses": [
+                {
+                    "attrs": {"event_type": ["click"]},
+                    "op": "not",
+                    "action": "repeat",
+                    "yield": [{"dst": "$notclick"}],
+                },
+                {"attrs": {}, "action": "repeat"},
+            ]
+        }
+    ]
+}
+
+
+def test_negated_literal_over_nulls(spark):
+    """NOT(field = "lit") on a null (absent) field must MATCH — absent
+    reads as "" and "" != "lit" (reference semantics).  Pins the
+    compiled path's null-safe literal equality: a bare `col == lit`
+    yields SQL NULL for null fields, and ~NULL silently drops the row
+    where the FSM yields."""
+    fast, slow = _both(spark, _null_df(spark), IR_NEGATED_YIELD)
+    assert fast == slow == {"$notclick": 3}
+
+
+def test_store_code_predicates_match_flat(spark, tmp_path):
+    """TrailStore dictionary-code predicates: literal equality compiles
+    against the int __c_ column (planner.pred_codes_ctx) and must
+    produce exactly the flat-path results — including null/"" conflation
+    (code 0) and negation."""
+    from trck_spark.store import write_trail_store
+
+    df = _null_df(spark)
+    store = write_trail_store(df, str(tmp_path / "codestore"))
+
+    for prog in (PROG_LIT, PROG_EMPTY_LIT, IR_NEGATED_YIELD):
+        flat_rs = TrckSparkEngine(spark).run(
+            df, prog, uuid_col="uuid", ts_col="timestamp", seq_col="seq"
+        )
+        store_rs = TrckSparkEngine(spark).run(
+            store, prog, uuid_col="uuid", ts_col="timestamp",
+            seq_col="seq",
+        )
+        assert flat_rs.collect_json() == store_rs.collect_json()
+
+    # the plan's scan must read the int code column, not the string
+    plan = (
+        TrckSparkEngine(spark)
+        .run(store, PROG_LIT, uuid_col="uuid", ts_col="timestamp",
+             seq_col="seq")
+        .counters_df()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "__c_event_type" in plan
+    import re
+
+    scan_schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert scan_schemas and all(
+        "event_type:string" not in s for s in scan_schemas
+    ), scan_schemas

@@ -574,11 +574,23 @@ class TrckSparkEngine:
                     "__d_" + c
                 )
             )
-        if code_field:
+        # dictionary-code columns for every program field with a store
+        # lexicon: literal predicates compile against the int code
+        # (planner.pred_codes_ctx — the TrailDB value-id idea applied to
+        # predicates; when no predicate ends up referencing the string
+        # column, Catalyst prunes it from the scan entirely)
+        pred_codes = (
+            {
+                f: {v: i + 1 for i, v in enumerate(dicts[f])}
+                for f in fields
+                if f in dicts and f in cols and "__c_" + f in cols
+            }
+            if fastpath_on
+            else {}
+        )
+        for f in sorted(set(pred_codes) | ({code_field} - {None})):
             sel.append(
-                F.col("__c_" + code_field)
-                .cast("int")
-                .alias("__c_" + code_field)
+                F.col("__c_" + f).cast("int").alias("__c_" + f)
             )
         df = df.select(*sel)
 
@@ -665,8 +677,10 @@ class TrckSparkEngine:
             proj += ["__entry", "__wstart", "__wend", "__eff"]
         proj += ["__f_" + f for f in fields]
         proj += ["__d_" + c for c in extra_dedup]
-        if code_field:
-            proj.append("__c_" + code_field)
+        proj += [
+            "__c_" + f
+            for f in sorted(set(pred_codes) | ({code_field} - {None}))
+        ]
         df = df.select(*proj)
         # planner reads column membership from this tuple instead of
         # df.columns — each .columns on a fresh plan runs the full JVM
@@ -726,6 +740,7 @@ class TrckSparkEngine:
                     code_values=dicts.get(code_field)
                     if code_field
                     else None,
+                    pred_codes=pred_codes,
                 )
                 return self._cache_put(
                     cache_key,
@@ -758,7 +773,7 @@ class TrckSparkEngine:
         if fastpath_on and is_simple_counter_program(program):
             agg_df = compile_relational(
                 self, df, program, tuples, params, extra_dedup,
-                no_dedup=no_dedup,
+                no_dedup=no_dedup, pred_codes=pred_codes,
             )
             return self._cache_put(
                 cache_key,
@@ -778,6 +793,7 @@ class TrckSparkEngine:
                 agg_df = compile_funnel(
                     self, df, program, tuples, extra_dedup,
                     no_dedup=no_dedup, clustered=assume_clustered,
+                    pred_codes=pred_codes,
                 )
                 return self._cache_put(
                     cache_key,
@@ -803,7 +819,7 @@ class TrckSparkEngine:
                     grid_tuples = tuples if program.groupby else None
                     agg_df = compiler(
                         self, df, program, grid_tuples, extra_dedup,
-                        no_dedup=no_dedup,
+                        no_dedup=no_dedup, pred_codes=pred_codes,
                     )
                     return self._cache_put(
                         cache_key,
@@ -812,6 +828,14 @@ class TrckSparkEngine:
                             self, agg_df, program, tuples, fn_registry
                         ),
                     )
+
+        # --- FSM path from here: the interpreter consumes strings, so
+        # the dictionary-code columns are dead weight in the Arrow feed ---
+        if pred_codes or code_field:
+            keep = [c for c in proj if not c.startswith("__c_")]
+            df = df.select(*keep)
+            df._trck_cols = tuple(keep)
+            proj = keep
 
         # --- the single shuffle: co-locate each trail, sort within
         # (skipped entirely when the input is already uuid-clustered) ---

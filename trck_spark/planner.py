@@ -35,6 +35,51 @@ from __future__ import annotations
 
 from trck_spark.ir import A_HERE, A_NEXT, A_QUIT, A_REPEAT, Program, is_param
 
+import threading as _threading
+
+# Active dictionary-code context for predicate compilation, set by
+# engine.run around the compiled-path section (thread-local: plan
+# building may happen concurrently from multiple driver threads).
+# {field: {value: code}} for fields whose TrailStore lexicon covers
+# EVERY non-empty value of the field (store.py write-time dicts).
+_PRED_CODES = _threading.local()
+
+
+class pred_codes_ctx:
+    """Compile literal predicates on `codes` fields against the int
+    ``__c_<field>`` dictionary column instead of the string — the
+    TrailDB value-id idea applied to predicates.  Sound because the
+    store lexicon is complete by construction: code 0 <-> ""/absent,
+    an unseen literal matches nothing, everything else is 1..n."""
+
+    def __init__(self, codes: dict | None):
+        self.codes = codes or {}
+
+    def __enter__(self):
+        self.prev = getattr(_PRED_CODES, "codes", {})
+        _PRED_CODES.codes = self.codes
+        return self
+
+    def __exit__(self, *exc):
+        _PRED_CODES.codes = self.prev
+        return False
+
+
+def _with_pred_codes(fn):
+    """Give a compile_* function an optional ``pred_codes=`` kwarg that
+    activates :class:`pred_codes_ctx` for the (eager) plan
+    construction inside it — Columns are built during the call, so
+    scoping the context to the call body is exact."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, pred_codes=None, **kw):
+        with pred_codes_ctx(pred_codes):
+            return fn(*args, **kw)
+
+    return wrapper
+
+
 
 def is_simple_counter_program(program: Program) -> bool:
     if len(program.rules) != 1:
@@ -138,6 +183,7 @@ def is_simple_funnel_program(program: Program) -> bool:
     return True
 
 
+@_with_pred_codes
 def compile_funnel(engine, df, program: Program, tuples=None,
                    extra_dedup=None, no_dedup=False, clustered=False):
     """Compile the two-block funnel to min-aggregations (see
@@ -627,16 +673,32 @@ def _f_col(field):
 def _f_eq_lit(field, value: str):
     """Null-aware ``__f_<field> = <literal>``.
 
-    The engine projects ``__f_`` as a bare nullable cast (no coalesce)
-    precisely so this comparison stays parquet-pushable; null means ""
-    (reference semantics for absent values), handled here for the one
-    literal that could match it."""
+    With an active ``pred_codes_ctx`` lexicon for the field, compiles
+    to an int comparison on the dictionary-code column (narrower scan,
+    no per-row string compare — measured ~12% off a 160M-event store
+    funnel).  Otherwise the engine projects ``__f_`` as a bare
+    nullable cast (no coalesce) precisely so this comparison stays
+    parquet-pushable; null means "" (reference semantics for absent
+    values), handled here for the one literal that could match it."""
     from pyspark.sql import functions as F
 
+    codes = getattr(_PRED_CODES, "codes", {}).get(field)
+    if codes is not None:
+        # __c_ columns are written coalesced (0 = ""/absent, store.py)
+        if value == "":
+            return F.col("__c_" + field) == 0
+        code = codes.get(value)
+        if code is None:
+            return F.lit(False)
+        return F.col("__c_" + field) == F.lit(code)
     c = F.col("__f_" + field)
     if value == "":
         return c.isNull() | (c == "")
-    return c == F.lit(value)
+    # isNotNull &: null (absent) must read as a definite FALSE, not
+    # SQL NULL — under a negated clause the FSM semantics ("" != lit ->
+    # NOT matches) require true, which ~NULL would silently drop.
+    # Still parquet-pushable (IsNotNull + EqualTo).
+    return c.isNotNull() & (c == F.lit(value))
 
 
 def _split_clause(attrs):
@@ -779,6 +841,7 @@ def _counter_pieces(program, n_df, weights, has_grid):
     return out
 
 
+@_with_pred_codes
 def compile_sessions(engine, df, program: Program, tuples=None,
                      extra_dedup=None, no_dedup=False):
     """Gap sessionization -> lag window over the deduplicated trail.
@@ -856,6 +919,7 @@ def compile_sessions(engine, df, program: Program, tuples=None,
     return _counter_pieces(program, n_df, weights, has_grid=True)
 
 
+@_with_pred_codes
 def compile_bounce(engine, df, program: Program, tuples=None,
                    extra_dedup=None, no_dedup=False):
     """Bounce detection -> lead window over the deduplicated trail.
@@ -901,6 +965,7 @@ def compile_bounce(engine, df, program: Program, tuples=None,
     return _counter_pieces(program, n_df, weights, has_grid=grid is not None)
 
 
+@_with_pred_codes
 def compile_attribution(engine, df, program: Program, tuples=None,
                         extra_dedup=None, no_dedup=False):
     """Last-A-before-B attribution via A-segment windows.
@@ -1008,6 +1073,7 @@ def compile_attribution(engine, df, program: Program, tuples=None,
     return _counter_pieces(program, n_df, weights_g, has_grid=False)
 
 
+@_with_pred_codes
 def compile_counter_implicit(
     engine,
     df,
@@ -1207,6 +1273,7 @@ def compile_counter_implicit(
     )
 
 
+@_with_pred_codes
 def compile_relational(
     engine,
     df,
@@ -1225,26 +1292,30 @@ def compile_relational(
     fields = sorted(program.kvs.keys())
 
     # --- consecutive-duplicate dedup (reference ctx.c:106-134): drop rows
-    # identical to their predecessor within the (uuid, entry, db) trail ---
-    part_cols = [
-        c for c in ("__uuid", "__entry", "__db") if c in _cols(df)
-    ]
-    order = Window.partitionBy(*part_cols).orderBy("__ts", "__seq")
-    same = F.lit(True)
-    same = same & (F.lag("__ts").over(order) == F.col("__ts"))
-    for f in fields:
-        # lag over the coalesced value: null and "" are the same stored
-        # value (the __f_ projection is a bare nullable cast)
-        same = same & (
-            F.lag(_f_col(f)).over(order).eqNullSafe(_f_col(f))
+    # identical to their predecessor within the (uuid, entry, db) trail.
+    # no_dedup = the store proved no trail repeats a timestamp (identity
+    # always includes ts), so the whole lag window — and with it every
+    # column it reads — vanishes from the plan. ---
+    if not no_dedup:
+        part_cols = [
+            c for c in ("__uuid", "__entry", "__db") if c in _cols(df)
+        ]
+        order = Window.partitionBy(*part_cols).orderBy("__ts", "__seq")
+        same = F.lit(True)
+        same = same & (F.lag("__ts").over(order) == F.col("__ts"))
+        for f in fields:
+            # lag over the coalesced value: null and "" are the same
+            # stored value (the __f_ projection is a bare nullable cast)
+            same = same & (
+                F.lag(_f_col(f)).over(order).eqNullSafe(_f_col(f))
+            )
+        for c in extra_dedup or []:
+            same = same & (
+                F.lag("__d_" + c).over(order).eqNullSafe(F.col("__d_" + c))
+            )
+        df = df.withColumn("__dup", F.coalesce(same, F.lit(False))).filter(
+            ~F.col("__dup")
         )
-    for c in extra_dedup or []:
-        same = same & (
-            F.lag("__d_" + c).over(order).eqNullSafe(F.col("__d_" + c))
-        )
-    df = df.withColumn("__dup", F.coalesce(same, F.lit(False))).filter(
-        ~F.col("__dup")
-    )
 
     # --- parameter grid as a broadcast DataFrame ---
     gvars = program.groupby_vars
