@@ -173,3 +173,54 @@ start ->
     )
     assert rs_fast.collect_json() == {"$clicks": 2}
     assert rs_fast.telemetry() == {}
+
+
+def test_prepared_plan_cache(spark, monkeypatch):
+    """Identical (frame, program, options) runs hit the prepared-plan
+    cache: same results, FRESH Dataset each time (no AQE stage reuse —
+    distinct JVM Dataset handles), distinct result-set state.  Any
+    input to the key (program text, params, kill-switch env) must
+    miss."""
+    from trck_spark.engine import TrckSparkEngine
+
+    df = spark.createDataFrame(
+        [("u1", 100, 0, "click"), ("u1", 200, 1, "view"),
+         ("u2", 150, 0, "click")],
+        "uuid string, timestamp long, seq long, event_type string",
+    )
+    prog = """
+start ->
+    receive
+        event_type = "click" -> yield $clicks
+        * -> repeat
+"""
+    eng = TrckSparkEngine(spark)
+    rs1 = eng.run(df, prog, uuid_col="uuid", ts_col="timestamp",
+                  seq_col="seq")
+    assert len(eng._plan_cache) == 1
+    rs2 = eng.run(df, prog, uuid_col="uuid", ts_col="timestamp",
+                  seq_col="seq")
+    assert rs1 is not rs2
+    # fresh JVM Dataset on the cache hit: collect() re-executes every
+    # stage instead of reusing the first run's materialized AQE stages
+    assert rs1.agg_df._jdf.equals(rs1.agg_df._jdf)
+    assert not rs1.agg_df._jdf.equals(rs2.agg_df._jdf)
+    assert rs1.counters_df().collect() == rs2.counters_df().collect()
+
+    # different program text -> new entry
+    eng.run(df, prog.replace("$clicks", "$c2"), uuid_col="uuid",
+            ts_col="timestamp", seq_col="seq")
+    assert len(eng._plan_cache) == 2
+    # kill switch bypasses both lookup and insert
+    monkeypatch.setenv("TRCK_SPARK_NO_PLAN_CACHE", "1")
+    eng.run(df, prog, uuid_col="uuid", ts_col="timestamp", seq_col="seq")
+    assert len(eng._plan_cache) == 2
+    monkeypatch.delenv("TRCK_SPARK_NO_PLAN_CACHE")
+    # fn hooks are per-run side effects -> never cached
+    calls = []
+    eng.run(df, prog, uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+            fn_registry={"initialize": lambda: calls.append(1)})
+    assert calls == [1]
+    assert len(eng._plan_cache) == 2
+    # bounded LRU
+    assert eng.PLAN_CACHE_MAX >= 2
