@@ -387,3 +387,46 @@ def test_param_shapes_with_window_entries(spark):
             spark, df, getattr(Q, progname), window_entries=entries
         )
         assert fast == slow, progname
+
+
+def test_compiled_shapes_on_store_match_flat(spark, tmp_path):
+    """Every compiled shape over a TrailStore (dictionary-code
+    predicates active, dedup elided by the ts-unique proof where it
+    holds) must produce exactly the flat-parquet results — the
+    store-side differential for planner.pred_codes_ctx across funnel /
+    sessions / bounce / attribution / counter / implicit-foreach
+    shapes on real data."""
+    from trck_spark.queries import (
+        PROG_CLICKS_BY_USER,
+        PROG_COUNT_BY_TYPE,
+        PROG_COUNT_CLICKS,
+        PROG_FUNNEL,
+    )
+    from trck_spark.store import write_trail_store
+
+    ev = load_events(spark, "/root/testdata/sf0.01").select(
+        "uuid", "timestamp", "event_id", "event_type", "user"
+    )
+    store = write_trail_store(
+        ev, str(tmp_path / "evstore"), uuid_col="uuid",
+        ts_col="timestamp", seq_col="event_id",
+    )
+    assert store._trailstore_manifest["dicts"], "lexicons expected"
+
+    def norm(res):
+        if isinstance(res, list):
+            return sorted(res, key=lambda d: sorted(d.items()))
+        return res
+
+    for prog in (PROG_SESSIONS, PROG_BOUNCE, PROG_ATTRIBUTION,
+                 PROG_FUNNEL, PROG_COUNT_CLICKS, PROG_COUNT_BY_TYPE,
+                 PROG_CLICKS_BY_USER):
+        flat = TrckSparkEngine(spark).run(
+            ev, prog, uuid_col="uuid", ts_col="timestamp",
+            seq_col="event_id",
+        ).collect_json()
+        st = TrckSparkEngine(spark).run(
+            store, prog, uuid_col="uuid", ts_col="timestamp",
+            seq_col="event_id",
+        ).collect_json()
+        assert norm(flat) == norm(st), prog
