@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -269,7 +270,9 @@ def run_baseline_gate(spark, n_events: int = None,
     oc: dict = {}
     for name, (_p, oracle_sql) in BASELINE_DEFS.items():
         orows: list = []
-        lo_sql = oracle_sql.replace("perf", "perf_lo")
+        # word-bounded so an identifier merely CONTAINING 'perf' (e.g.
+        # perf_score) can never be silently rewritten into a wrong view
+        lo_sql = re.sub(r"\bperf\b", "perf_lo", oracle_sql)
 
         def one_oracle():
             t0 = time.time()
@@ -572,6 +575,13 @@ def _gate_subprocess() -> dict | None:
     compact summary so the driver's tail capture can't truncate it
     mid-JSON, which is how round 3 lost its per-query dict)."""
     out_path = os.path.join(_REPO, "BENCH_GATE.json")
+    # remove any prior-round artifact BEFORE the child runs: if the child
+    # crashes before writing, reading the stale file would silently report
+    # last round's numbers as this run's gate summary
+    try:
+        os.remove(out_path)
+    except OSError:
+        pass
     env = dict(os.environ)
     env.setdefault("SPARK_DRIVER_MEM", "48g")
     proc = subprocess.run(
@@ -583,6 +593,7 @@ def _gate_subprocess() -> dict | None:
     )
     if proc.returncode != 0:
         print(f"# gate subprocess rc={proc.returncode}", file=sys.stderr)
+        return {"error": f"gate subprocess exited rc={proc.returncode}"}
     try:
         with open(out_path) as f:
             return json.load(f)

@@ -120,3 +120,97 @@ def test_events_scans_prune_columns(plans):
             if cols >= full:
                 bad.append((name, sorted(cols)))
     assert not bad, f"unpruned events scans: {bad}"
+
+
+# ---------------------------------------------------------------------
+# Forced-broadcast audit (round-5 invariant): a `F.broadcast(x)` hint is
+# a MANDATORY broadcast — Spark honors it regardless of size, so a hint
+# on any input whose cardinality grows with the corpus is a latent OOM
+# at 10^8-10^9 docs (Spark's broadcast hard limit is 8 GB; the driver
+# dies first).  Round 4 shipped exactly that bug on the per-document
+# count tables of the ngram/minhash verify joins.  Every hint call site
+# must therefore name an input that is bounded by something OTHER than
+# corpus size (a parameter grid, an eval set, bloom geometry, sqrt(N)
+# pivots with a documented ceiling) and be whitelisted here with its
+# bound.  AQE broadcasts genuinely-small sides at runtime without any
+# hint, so removing a hint never costs performance at small scale.
+
+_SRC_ROOT = os.path.join(os.path.dirname(__file__), "..", "trck_spark")
+
+# (basename, broadcast argument prefix) -> why the input is bounded
+_BROADCAST_WHITELIST = {
+    ("curation.py", "evl"): "eval-set shingles: eval suite is a constant",
+    ("dedup.py", "bloom"): "bloom words: geometry-capped (~m/64 rows), "
+                           "manifest-gated off beyond ~1e8 fingerprints",
+    ("dedup.py", "piv"): "sqrt(N) pivot set, documented ceiling",
+    ("similarity.py", "q"): "query vectors: request-sized",
+    ("similarity.py", "centers"): "n_centers constant",
+    ("similarity.py", "piv"): "n_cells constant / sqrt(N)",
+    ("text.py", "n_docs"): "single-row scalar",
+    ("engine.py", "excl_df"): "side-input exclude list, file-sized",
+    ("engine.py", "w_df"): "side-input window file, file-sized",
+    ("planner.py", "grid"): "foreach parameter grid, grid-sized",
+    ("store.py", "lex_df"): "lexicon, capped at n_fields * dict_max",
+}
+
+_BROADCAST_RE = re.compile(
+    r"(?:F|functions)\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)"
+)
+
+
+def test_no_unjustified_forced_broadcast_in_source():
+    bad = []
+    for dirpath, _dirs, files in os.walk(_SRC_ROOT):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            with open(path) as f:
+                src = f.read()
+            for m in _BROADCAST_RE.finditer(src):
+                arg = m.group(1)
+                if (fname, arg) not in _BROADCAST_WHITELIST:
+                    line = src[: m.start()].count("\n") + 1
+                    bad.append(f"{fname}:{line} broadcast({arg}...)")
+    assert not bad, (
+        "forced broadcast on un-whitelisted input (prove the input's "
+        f"cardinality is corpus-independent, then whitelist): {bad}"
+    )
+
+
+# queries whose analyzed plan legitimately carries broadcast hints —
+# every hint inside them resolves to a whitelisted bounded input above
+_HINTED_QUERIES_OK = {
+    "ann_cosine_topk", "ann_cosine_topk_lsh", "ann_cosine_topk_ivf_pivot",
+    "knn_label_vote", "semantic_dedup", "contamination_check",
+    "tfidf_topterms",
+    "incremental_dedup_store",  # bloom sidecar (geometry-capped)
+    # trck engine queries: grid / lexicon / side-input broadcasts
+    *{n for n in _QUERIES if n.startswith("trck_")},
+}
+
+
+@pytest.fixture(scope="module")
+def analyzed_plans(spark):
+    out = {}
+    for name, fn in sorted(_QUERIES.items()):
+        df = fn(spark, SF_DIR)
+        out[name] = df._jdf.queryExecution().analyzed().toString()
+        from trck_spark.pipeline.dedup import release
+
+        release(df)
+    return out
+
+
+def test_pair_family_has_no_broadcast_hints(analyzed_plans):
+    """The dedup pair family (per-doc count joins, banding self-joins)
+    must carry ZERO logical broadcast hints: all of its join inputs
+    scale with the corpus, so join strategy is AQE's call, never ours."""
+    bad = []
+    for name, plan in analyzed_plans.items():
+        if name in _HINTED_QUERIES_OK:
+            continue
+        n_hints = plan.count("ResolvedHint")
+        if n_hints:
+            bad.append((name, n_hints))
+    assert not bad, f"broadcast hints on corpus-scaled queries: {bad}"

@@ -431,11 +431,13 @@ class TrckSparkEngine:
                     id(events_df),
                     program_text_or_ir
                     if isinstance(program_text_or_ir, str)
-                    else json.dumps(
-                        program_text_or_ir, sort_keys=True, default=str
-                    ),
-                    json.dumps(params, sort_keys=True, default=str),
-                    json.dumps(event_filter, sort_keys=True, default=str),
+                    else json.dumps(program_text_or_ir, sort_keys=True),
+                    # no default=str: two distinct non-JSON values with
+                    # equal str() (e.g. two equal-schema DataFrames) must
+                    # NOT collide into one cache key — anything that is
+                    # not plain JSON raises TypeError and skips caching
+                    json.dumps(params, sort_keys=True),
+                    json.dumps(event_filter, sort_keys=True),
                     uuid_col, ts_col, seq_col, db_col, num_partitions,
                     tuple(dedup_cols)
                     if isinstance(dedup_cols, (list, tuple))

@@ -123,8 +123,12 @@ def ngram_jaccard_pairs(
     would otherwise dominate the job (standard practice in web-scale
     dedup; near-universal shingles carry no similarity signal anyway).
     The surviving join is bounded by max_shingle_df^2 pairs per shingle.
-    The hot set is tiny by construction (<= total_occurrences / df_cap),
-    so it broadcasts."""
+
+    No forced broadcasts anywhere: the hot set and the per-doc count
+    table both scale with the corpus (counts is one row PER DOCUMENT —
+    at 10^9 docs a broadcast hint would blow past Spark's 8 GB
+    broadcast limit and the driver heap), so all joins are plain;
+    AQE broadcasts a side at runtime iff it is actually small."""
     from pyspark.sql import functions as F
 
     sh_cached = shingle_df(spark, sf_dir).select(
@@ -137,7 +141,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("df") > max_shingle_df)
         .select("h")
     )
-    sh = sh_cached.join(F.broadcast(hot), "h", "left_anti")
+    sh = sh_cached.join(hot, "h", "left_anti")
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -157,8 +161,8 @@ def ngram_jaccard_pairs(
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return _own_caches(
-        inter.join(F.broadcast(ca), "a")
-        .join(F.broadcast(cb), "b")
+        inter.join(ca, "a")
+        .join(cb, "b")
         .filter(jac >= threshold)
         .select("a", "b", F.floor(jac * 1000000).cast("long").alias("jaccard_e6"))
         .orderBy("a", "b"),
@@ -180,9 +184,10 @@ def ngram_containment_pairs(
     near-dups, containment for subset duplication (Broder's original
     resemblance/containment pair).
 
-    Same inverted-index join, df-cap skew guard, and fixed-width hashed
-    shuffle keys as :func:`ngram_jaccard_pairs`; only the final scoring
-    expression differs, so the 100 TB properties carry over unchanged.
+    Same inverted-index join, df-cap skew guard, fixed-width hashed
+    shuffle keys, and no-forced-broadcast rule as
+    :func:`ngram_jaccard_pairs`; only the final scoring expression
+    differs, so the 100 TB properties carry over unchanged.
     """
     from pyspark.sql import functions as F
 
@@ -196,7 +201,7 @@ def ngram_containment_pairs(
         .filter(F.col("df") > max_shingle_df)
         .select("h")
     )
-    sh = sh_cached.join(F.broadcast(hot), "h", "left_anti")
+    sh = sh_cached.join(hot, "h", "left_anti")
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -216,8 +221,8 @@ def ngram_containment_pairs(
     )
     cont = F.col("inter") / F.least(F.col("na"), F.col("nb"))
     return _own_caches(
-        inter.join(F.broadcast(ca), "a")
-        .join(F.broadcast(cb), "b")
+        inter.join(ca, "a")
+        .join(cb, "b")
         .filter(cont >= threshold)
         .select(
             "a", "b",
@@ -403,13 +408,15 @@ def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2,
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    # counts is one row per document — never hint it broadcast (see
+    # ngram_jaccard_pairs); AQE picks broadcast at runtime iff small
     return _own_caches(
         inter.join(
-            F.broadcast(counts.select(F.col("doc_id").alias("a"),
-                                      F.col("n").alias("na"))), "a")
+            counts.select(F.col("doc_id").alias("a"),
+                          F.col("n").alias("na")), "a")
         .join(
-            F.broadcast(counts.select(F.col("doc_id").alias("b"),
-                                      F.col("n").alias("nb"))), "b")
+            counts.select(F.col("doc_id").alias("b"),
+                          F.col("n").alias("nb")), "b")
         .filter(jac >= threshold)
         .select("a", "b", F.floor(jac * 1000000).cast("long").alias("jaccard_e6"))
         .orderBy("a", "b"),
@@ -1026,7 +1033,6 @@ def write_fingerprint_store(
     documents again."""
     import json as _json
     import os
-    import re
 
     from pyspark.sql import functions as F
 
@@ -1036,9 +1042,7 @@ def write_fingerprint_store(
         .distinct()
     )
     fp_path = os.path.join(os.path.abspath(path), "fp")
-    table = "fpstore_" + re.sub(
-        r"[^A-Za-z0-9_]", "_", os.path.abspath(path)
-    ).strip("_")
+    table = _fpstore_table_name(path)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     (
         fps.repartition(n_buckets, "fingerprint")
@@ -1077,20 +1081,46 @@ def write_fingerprint_store(
     return corpus
 
 
+def _fpstore_table_name(path: str) -> str:
+    import os
+    import re
+
+    return "fpstore_" + re.sub(
+        r"[^A-Za-z0-9_]", "_", os.path.abspath(path)
+    ).strip("_")
+
+
+def drop_fingerprint_store(spark, path: str, delete_files: bool = False):
+    """Release the catalog entry for the store at ``path`` (and
+    optionally the files).  Stores register a permanent bucketed table
+    named from the absolute path; without this, deleting the directory
+    leaves a metastore entry pointing at a missing location, and tmp
+    paths accumulate dead tables across sessions."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {_fpstore_table_name(path)}")
+    if delete_files:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def open_fingerprint_store(spark, path: str):
     """(fingerprints DataFrame, manifest) for the store at ``path`` —
     re-registers the bucketed table in a fresh session via DDL, no data
-    movement."""
+    movement.  Raises FileNotFoundError when the fp/ data directory has
+    been removed, instead of resurrecting a table over a missing
+    location."""
     import json as _json
     import os
-    import re
 
     with open(os.path.join(path, FP_MANIFEST)) as f:
         manifest = _json.load(f)
     fp_path = os.path.join(os.path.abspath(path), "fp")
-    table = "fpstore_" + re.sub(
-        r"[^A-Za-z0-9_]", "_", os.path.abspath(path)
-    ).strip("_")
+    if not os.path.isdir(fp_path):
+        raise FileNotFoundError(
+            f"fingerprint store data directory missing: {fp_path} "
+            "(was the store deleted? see drop_fingerprint_store)"
+        )
+    table = _fpstore_table_name(path)
     if not spark.catalog.tableExists(table):
         spark.sql(
             f"CREATE TABLE {table} (`fingerprint` string) USING PARQUET "

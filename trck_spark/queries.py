@@ -686,14 +686,21 @@ def q_lineitem_pricing(spark, sf_dir):
 
 
 def q_revenue_by_segment(spark, sf_dir):
-    """Join orders to the customer dim (broadcast) and aggregate."""
+    """Join orders to the customer dim and aggregate.
+
+    No broadcast hint: customer scales with SF (at 100 TB it is ~10^9
+    rows, far past the broadcast limit), so the join is left to AQE —
+    it broadcasts the pruned 2-column dim when it is actually small and
+    shuffle-joins otherwise."""
     from pyspark.sql import functions as F
 
-    cust = spark.read.parquet(_t("customer", sf_dir))
+    cust = spark.read.parquet(_t("customer", sf_dir)).select(
+        "c_custkey", "c_mktsegment"
+    )
     orders = spark.read.parquet(_t("orders", sf_dir))
     return (
         orders.join(
-            F.broadcast(cust),
+            cust,
             orders.o_custkey == cust.c_custkey,
         )
         .groupBy("c_mktsegment")
