@@ -70,6 +70,45 @@ def release(df) -> None:
             pass
 
 
+def _cap_buckets(df, key_cols, cap, label, log_dropped=False):
+    """Drop every LSH bucket larger than ``cap`` rows -> (kept, dropped).
+
+    A bucket whose key collides for k docs yields O(k^2) candidate
+    pairs in the self-join that follows — one boilerplate-heavy corpus
+    (precisely the dedup workload) can put millions of near-identical
+    docs in one bucket and turn the job quadratic.  Same pattern as the
+    hot-shingle df-cap: count bucket sizes, anti-join the oversized
+    ones away.  Pairs only discoverable via a dropped bucket are not
+    emitted — that loss is NOT silent: ``dropped`` (one row per dropped
+    bucket with its size) is returned and attached to the operator's
+    result as ``_trck_dropped_buckets``, and with ``log_dropped=True``
+    an eager count emits a warning with the dropped row mass (used by
+    the stress tests and the scale bench, which report it).
+
+    ``cap=None`` disables the guard (exact parity mode)."""
+    from pyspark.sql import functions as F
+
+    if cap is None:
+        return df, None
+    sizes = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("bn"))
+    over = sizes.filter(F.col("bn") > cap)
+    kept = df.join(over.select(*key_cols), list(key_cols), "left_anti")
+    if log_dropped:
+        import warnings
+
+        stats = over.agg(
+            F.count(F.lit(1)).alias("buckets"),
+            F.coalesce(F.sum("bn"), F.lit(0)).alias("rows"),
+        ).collect()[0]
+        if stats["buckets"]:
+            warnings.warn(
+                f"{label}: dropped {stats['buckets']} over-cap buckets "
+                f"(> {cap} rows) covering {stats['rows']} rows; pairs "
+                "only discoverable via those buckets are not emitted"
+            )
+    return kept, over
+
+
 def normalized_docs(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
@@ -344,7 +383,9 @@ def minhash_signatures(spark, sf_dir: str, hashes_df=None):
 
 
 def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2,
-                      hash_mode: str = "xxhash64"):
+                      hash_mode: str = "xxhash64",
+                      max_band_bucket: int | None = 4096,
+                      log_dropped: bool = False):
     """Near-duplicate candidate pairs via LSH banding over MinHash
     signatures, verified with exact Jaccard on the candidates only.
 
@@ -355,7 +396,17 @@ def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2,
     despite the banding (see _minhash_oracle_sql); recall near the
     threshold remains probabilistic by construction, covered by the
     recall test (which runs the production hash).
-    """
+
+    ``max_band_bucket`` guards the band self-join against bucket skew:
+    k docs sharing one (band, band-hash) bucket — boilerplate or
+    byte-identical corpora — yield O(k^2) candidates, so buckets larger
+    than the cap are dropped (counted, attached to the result as
+    ``_trck_dropped_buckets``, warned about with ``log_dropped=True``;
+    see :func:`_cap_buckets`).  Byte-identical documents belong to
+    :func:`exact_dedup`, which is O(n); this operator's cap only costs
+    recall on pathological near-identical floods.  The default (4096)
+    cannot fire on the driver's sf tables, so oracle parity is
+    unaffected."""
     from pyspark.sql import functions as F
 
     # one shingling+hash pass feeds both signatures and verification
@@ -382,6 +433,10 @@ def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2,
         "doc_id",
         F.explode(F.expr(band_expr)).alias("e"),
     ).select("doc_id", "e.band", "e.bh")
+    bands, dropped = _cap_buckets(
+        bands, ("band", "bh"), max_band_bucket,
+        "minhash_lsh_pairs", log_dropped,
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cands = (
@@ -410,7 +465,7 @@ def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2,
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     # counts is one row per document — never hint it broadcast (see
     # ngram_jaccard_pairs); AQE picks broadcast at runtime iff small
-    return _own_caches(
+    out = _own_caches(
         inter.join(
             counts.select(F.col("doc_id").alias("a"),
                           F.col("n").alias("na")), "a")
@@ -422,20 +477,45 @@ def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2,
         .orderBy("a", "b"),
         [hashes_df],
     )
+    out._trck_dropped_buckets = dropped
+    return out
 
 
 # --------------------------------------------------------------- SimHash
 
 
 def simhash_pairs(spark, sf_dir: str, max_hamming: int = 3,
-                  hash_mode: str = "xxhash64"):
+                  hash_mode: str = "xxhash64",
+                  max_bucket: int | None = None,
+                  log_dropped: bool = False):
     """64-bit token SimHash near-dup pairs with hamming <= max_hamming.
 
-    Pair generation uses the pigeonhole band trick: split the 64-bit
-    fingerprint into 4 x 16-bit keys; any pair within hamming distance 3
-    agrees exactly on at least one key, so an equi-join per key finds all
-    candidates without O(n^2) comparison; candidates verified with
-    bit_count(xor).
+    Pair generation is a multi-index pigeonhole join (the HmSearch /
+    multi-index-hashing family): split the 64-bit fingerprint into 6
+    chunks (widths 11,11,11,11,10,10); a pair within hamming distance 3
+    leaves at least 3 chunks untouched, so SOME 3-subset of its chunks
+    matches exactly — an equi-join over the C(6,3) = 20 combination
+    keys finds every candidate without O(n^2) comparison, and
+    bit_count(xor) verifies.  Recall is exact (pigeonhole), identical
+    to brute force, so the banded ANSI-SQL oracle still matches.
+
+    Why 6-choose-3 and not the classic 4 x 16-bit single-chunk scheme:
+    key cardinality.  16-bit keys cap at 4 x 65,536 buckets, so
+    expected candidate volume on uniform fingerprints is
+    ~4 * N^2 / 2^17 — at N = 10^9 that is ~3 * 10^13 joined rows
+    (dead).  Combination keys carry 31-33 bits each:
+    sum over 20 combos of N^2 / 2^(bits+1) ~= 20 * N^2 / 2^33 —
+    ~10^5 pairs at N = 10^6, ~2.3 * 10^9 at N = 10^9 (tractable), at
+    the price of 20 key rows per doc instead of 4.
+
+    Real corpora are not uniform: ``max_bucket`` (optional) drops
+    over-cap key buckets exactly like the minhash band cap — identical
+    fingerprints (byte-identical docs re-ingested at scale) otherwise
+    make one bucket quadratic.  The default is None because any
+    correct output for such a flood is itself O(k^2) pairs; exact
+    duplicates belong to :func:`exact_dedup` first.  Dropped buckets
+    attach as ``_trck_dropped_buckets``; ``log_dropped=True`` warns
+    with the dropped mass.
 
     Token bits: ``hash_mode='xxhash64'`` (default) splits the native
     64-bit hash into two 32-bit words; ``hash_mode='md5'`` takes the
@@ -492,31 +572,63 @@ def simhash_pairs(spark, sf_dir: str, max_hamming: int = 3,
             expr = term if expr is None else expr.bitwiseOR(term)
         return expr
 
+    if max_hamming > 3:
+        raise ValueError(
+            "the 6-chunk/choose-3 pigeonhole guarantees recall only "
+            f"for max_hamming <= 3 (got {max_hamming})"
+        )
     fps = bit_sums.select(
         "doc_id", half(0).alias("fp_lo"), half(32).alias("fp_hi")
     )
     fps.cache()
+
+    # 6 chunks over the 64 fingerprint bits; chunk values extracted from
+    # the halves (every intermediate stays within signed-64)
+    widths = [11, 11, 11, 11, 10, 10]
+    offsets = [0, 11, 22, 33, 44, 54]
+
+    def chunk(i: int):
+        off, w = offsets[i], widths[i]
+        mask = (1 << w) - 1
+        if off + w <= 32:  # entirely in the low half
+            return F.shiftrightunsigned(F.col("fp_lo"), off).bitwiseAND(
+                F.lit(mask)
+            )
+        if off >= 32:  # entirely in the high half
+            return F.shiftrightunsigned(
+                F.col("fp_hi"), off - 32
+            ).bitwiseAND(F.lit(mask))
+        # straddles the split: low bits from fp_lo, rest from fp_hi
+        n_lo = 32 - off
+        lo_part = F.shiftrightunsigned(F.col("fp_lo"), off)
+        hi_part = F.shiftleft(
+            F.col("fp_hi").bitwiseAND(F.lit((1 << (w - n_lo)) - 1)), n_lo
+        )
+        return lo_part.bitwiseOR(hi_part)
+
+    from itertools import combinations
+
+    combos = list(combinations(range(6), 3))
+    key_structs = [
+        F.struct(
+            F.lit(ci).alias("k"),
+            (
+                chunk(i)
+                .bitwiseOR(F.shiftleft(chunk(j), 11))
+                .bitwiseOR(F.shiftleft(chunk(l), 22))
+            ).alias("kv"),
+        )
+        for ci, (i, j, l) in enumerate(combos)
+    ]
     keys = fps.select(
         "doc_id",
         "fp_lo",
         "fp_hi",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("k"),
-                        F.shiftright(
-                            F.col("fp_lo" if k < 2 else "fp_hi"),
-                            (k % 2) * 16,
-                        )
-                        .bitwiseAND((1 << 16) - 1)
-                        .alias("kv"),
-                    )
-                    for k in range(4)
-                ]
-            )
-        ).alias("e"),
+        F.explode(F.array(*key_structs)).alias("e"),
     ).select("doc_id", "fp_lo", "fp_hi", "e.k", "e.kv")
+    keys, dropped = _cap_buckets(
+        keys, ("k", "kv"), max_bucket, "simhash_pairs", log_dropped
+    )
     a = keys.alias("a")
     b = keys.alias("b")
     ham = F.bit_count(
@@ -538,7 +650,9 @@ def simhash_pairs(spark, sf_dir: str, max_hamming: int = 3,
         .distinct()
         .orderBy("a", "b")
     )
-    return _own_caches(out, [fps])
+    out = _own_caches(out, [fps])
+    out._trck_dropped_buckets = dropped
+    return out
 
 
 def embedding_near_dup_pairs(
@@ -547,6 +661,8 @@ def embedding_near_dup_pairs(
     threshold: float = 0.4,
     n_bands: int = 12,
     band_planes: int = 3,
+    max_band_bucket: int | None = 4096,
+    log_dropped: bool = False,
 ):
     """Embedding-cosine near-duplicate pairs via banded random-hyperplane
     LSH: vectors agreeing with a candidate on ANY band's full sign
@@ -563,6 +679,12 @@ def embedding_near_dup_pairs(
     defaults here are tuned to the synthetic table's cosine range
     (max pair ~0.6) so the demo output is non-empty with recall >= 0.9
     at threshold 0.4.
+
+    ``max_band_bucket``: identical-embedding floods (re-ingested
+    corpora, zero vectors) put k vectors in one (band, sig) bucket and
+    the self-join goes O(k^2); buckets above the cap are dropped with
+    the dropped mass attached as ``_trck_dropped_buckets`` (warned with
+    ``log_dropped=True``) — same guard as the minhash banding.
     """
     from pyspark.sql import functions as F
 
@@ -609,10 +731,14 @@ def embedding_near_dup_pairs(
         .select("vec_id", "e.band", "e.sig")
         .persist()
     )
+    keys_capped, dropped = _cap_buckets(
+        keys, ("band", "sig"), max_band_bucket,
+        "embedding_near_dup_pairs", log_dropped,
+    )
     cand = (
-        keys.alias("x")
+        keys_capped.alias("x")
         .join(
-            keys.alias("y"),
+            keys_capped.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.sig") == F.col("y.sig"))
             & (F.col("x.vec_id") < F.col("y.vec_id")),
@@ -637,7 +763,7 @@ def embedding_near_dup_pairs(
         F.sqrt(F.col("na2").cast("double"))
         * F.sqrt(F.col("nb2").cast("double"))
     )
-    return _own_caches(
+    out = _own_caches(
         cand.join(va, "a")
         .join(vb, "b")
         .withColumn("cos", cos)
@@ -650,6 +776,8 @@ def embedding_near_dup_pairs(
         .orderBy("a", "b"),
         [emb, keys],
     )
+    out._trck_dropped_buckets = dropped
+    return out
 
 
 # ------------------------------------------------- near-dup clustering
