@@ -181,7 +181,7 @@ def test_no_unjustified_forced_broadcast_in_source():
 # queries whose analyzed plan legitimately carries broadcast hints —
 # every hint inside them resolves to a whitelisted bounded input above
 _HINTED_QUERIES_OK = {
-    "ann_cosine_topk", "ann_cosine_topk_lsh", "ann_cosine_topk_ivf_pivot",
+    "ann_cosine_methods",  # query-vector / pivot / centers broadcasts
     "knn_label_vote", "semantic_dedup", "contamination_check",
     "tfidf_topterms",
     "incremental_dedup_store",  # bloom sidecar (geometry-capped)

@@ -177,38 +177,143 @@ def q_incremental_dedup_store(spark, sf_dir):
     return dedup.incremental_dedup_apply(spark, batch, path)
 
 
+def q_text_metrics(spark, sf_dir):
+    """Merged text-analysis gate row: lang_id + text_quality +
+    token_stats + doc_fingerprint + repetition_stats + pii_stats
+    inner-joined on doc_id (each emits exactly one row per document
+    with disjoint metric columns, so the join is 1:1 and the driver's
+    value hash covers every constituent operator's full output).
+
+    Merged so the whole registry fits the driver's 50-row correctness
+    budget in a single round — rounds 3/4 each left a 7-row stale tail
+    (VERDICT r04 item 2).  The six operators stay independent library
+    functions (and keep their own oracle-parity tests + bench rows);
+    only the driver-gate registry row is combined."""
+    from functools import reduce
+
+    dfs = [
+        text.lang_id(spark, sf_dir),
+        text.text_quality(spark, sf_dir),
+        text.token_stats(spark, sf_dir),
+        text.doc_fingerprint(spark, sf_dir),
+        text.repetition_stats(spark, sf_dir),
+        text.pii_stats(spark, sf_dir),
+    ]
+    return reduce(lambda l_, r: l_.join(r, "doc_id"), dfs).orderBy(
+        "doc_id"
+    )
+
+
+def text_metrics_oracle_sql() -> str:
+    from trck_spark.pipeline.text import (
+        doc_fingerprint_oracle_sql,
+        lang_id_oracle_sql,
+        pii_stats_oracle_sql,
+        repetition_stats_oracle_sql,
+        text_quality_oracle_sql,
+        token_stats_oracle_sql,
+    )
+
+    subs = [
+        lang_id_oracle_sql(),
+        text_quality_oracle_sql(),
+        token_stats_oracle_sql(),
+        doc_fingerprint_oracle_sql(),
+        repetition_stats_oracle_sql(),
+        pii_stats_oracle_sql(),
+    ]
+    joined = f"({subs[0]}) t0"
+    for i, s in enumerate(subs[1:], 1):
+        joined += f" JOIN ({s}) t{i} USING (doc_id)"
+    return f"SELECT * FROM {joined} ORDER BY doc_id"
+
+
+def q_ann_cosine_methods(spark, sf_dir):
+    """Merged ANN gate row: exact / LSH-bucketed / IVF-pivot cosine
+    top-k unioned with a ``method`` tag — one registry row whose value
+    hash covers all three search strategies (same 50-row-budget story
+    as q_text_metrics; the three operators remain independent library
+    functions with their own tests + bench rows)."""
+    from pyspark.sql import functions as F
+
+    parts = [
+        similarity.cosine_topk(spark, sf_dir, k=5, n_queries=5)
+        .withColumn("method", F.lit("exact")),
+        similarity.cosine_topk_lsh(spark, sf_dir, k=5)
+        .withColumn("method", F.lit("lsh")),
+        similarity.cosine_topk_ivf_pivot(spark, sf_dir, k=5)
+        .withColumn("method", F.lit("ivf_pivot")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("method", "qid", F.desc("score_e6"), "did")
+
+
+def ann_cosine_methods_oracle_sql() -> str:
+    # _COSINE_ORACLE / _lsh_oracle_sql / _ivf_pivot_oracle_sql are
+    # module-level below (defined before this is ever CALLED)
+    subs = [
+        ("exact", _COSINE_ORACLE),
+        ("lsh", _lsh_oracle_sql()),
+        ("ivf_pivot", _ivf_pivot_oracle_sql()),
+    ]
+    union = "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS method, * FROM ({s})" for m, s in subs
+    )
+    return (
+        f"SELECT * FROM ({union}) "
+        "ORDER BY method, qid, score_e6 DESC, did"
+    )
+
+
+def q_split_pack(spark, sf_dir):
+    """Merged curation-assignment gate row: hash_split (train/val/test
+    bucket) joined 1:1 with sequence_pack (shard/offset packing plan)
+    on doc_id — both are deterministic per-document assignments, so one
+    row per document carries both operators' full output for the
+    driver's value hash (same 50-row-budget story as q_text_metrics)."""
+    return (
+        curation.hash_split(spark, sf_dir)
+        .join(curation.sequence_pack(spark, sf_dir), "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def split_pack_oracle_sql() -> str:
+    return (
+        f"SELECT * FROM ({_HASH_SPLIT_ORACLE}) s "
+        f"JOIN ({_SEQUENCE_PACK_ORACLE}) p USING (doc_id) "
+        "ORDER BY doc_id"
+    )
+
+
 def pipeline_queries() -> dict:
     # ORDER MATTERS for the driver's correctness gate: it evaluates the
-    # registry in iteration order under a wallclock budget, and round 3
-    # ran out after 50 of 56 rows — dropping exactly the tail (the
-    # multimodal + remaining text queries).  Cheap single-pass queries
-    # run first; the heavy self-join dedup family (2s+ each at sf0.01,
-    # with equally heavy DuckDB oracles) runs last, so a budget cut
-    # lands on the queries with the longest green streak.
+    # registry in iteration order under a budget that cut at exactly 50
+    # rows in rounds 3 and 4, leaving a stale tail each time.  Round 5
+    # merges same-key query families (text_metrics = 6 text operators
+    # joined on doc_id; ann_cosine_methods = 3 ANN strategies unioned;
+    # split_pack = hash_split ⋈ sequence_pack) so the WHOLE registry is
+    # ≤ 50 rows and every operator gets a hard signal every round.
+    # Cheap single-pass queries still run first so a wallclock cut, if
+    # any, lands on the queries with the longest green streak.
     return {
         "dedup_exact": q_dedup_exact,
-        "lang_id": q_lang_id,
-        "text_quality": q_text_quality,
-        "token_stats": q_token_stats,
-        "doc_fingerprint": q_doc_fingerprint,
+        "text_metrics": q_text_metrics,
         "image_metadata": q_image_metadata,
         "audio_frame_sample": q_audio_frame_sample,
         "video_frame_sample": q_video_frame_sample,
-        "hash_split": q_hash_split,
-        "sequence_pack": q_sequence_pack,
-        "pii_stats": q_pii_stats,
-        "repetition_stats": q_repetition_stats,
+        "split_pack": q_split_pack,
         "quota_sample": q_quota_sample,
         "mixture_sample": q_mixture_sample,
         "vocab_topk": q_vocab_topk,
         "tfidf_topterms": q_tfidf_topterms,
         "dup_span_stats": q_dup_span_stats,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
         # the KMeans IVF stays a library operator (recall-tested, no
-        # collect); its deterministic twin ann_cosine_topk_ivf_pivot is
-        # the registered+oracled IVF query
-        "ann_cosine_topk_ivf_pivot": q_ann_cosine_topk_ivf_pivot,
+        # collect); its deterministic twin (the IVF-pivot query) is
+        # gate-covered inside ann_cosine_methods
+        "ann_cosine_methods": q_ann_cosine_methods,
         "knn_label_vote": q_knn_label_vote,
         "semantic_dedup": q_semantic_dedup,
         "incremental_dedup": q_incremental_dedup,
@@ -790,10 +895,11 @@ def pipeline_oracles() -> dict:
         ),
         "ngram_jaccard_pairs": _NGRAM_ORACLE,
         "ngram_containment_pairs": _CONTAINMENT_ORACLE,
-        "repetition_stats": repetition_stats_oracle_sql(),
-        "hash_split": _HASH_SPLIT_ORACLE,
-        "sequence_pack": _SEQUENCE_PACK_ORACLE,
-        "pii_stats": pii_stats_oracle_sql(),
+        # merged gate rows (see q_text_metrics / q_ann_cosine_methods /
+        # q_split_pack): the constituent operators' individual oracles
+        # stay importable for tests and ad-hoc use
+        "text_metrics": text_metrics_oracle_sql(),
+        "split_pack": split_pack_oracle_sql(),
         "tfidf_topterms": tfidf_topterms_oracle_sql(),
         "dup_span_stats": dup_span_stats_oracle_sql(),
         "semantic_dedup": semantic_dedup_oracle_sql(),
@@ -810,14 +916,8 @@ def pipeline_oracles() -> dict:
         "mixture_sample": _MIXTURE_ORACLE,
         "vocab_topk": _VOCAB_ORACLE,
         "contamination_check": _CONTAMINATION_ORACLE,
-        "ann_cosine_topk": _COSINE_ORACLE,
-        "ann_cosine_topk_lsh": _lsh_oracle_sql(),
-        "ann_cosine_topk_ivf_pivot": _ivf_pivot_oracle_sql(),
+        "ann_cosine_methods": ann_cosine_methods_oracle_sql(),
         "knn_label_vote": _KNN_ORACLE,
-        "lang_id": lang_id_oracle_sql(),
-        "text_quality": text_quality_oracle_sql(),
-        "token_stats": token_stats_oracle_sql(),
-        "doc_fingerprint": doc_fingerprint_oracle_sql(),
         "image_metadata": image_metadata_oracle_sql(),
         "audio_frame_sample": audio_frame_sample_oracle_sql(),
         "video_frame_sample": video_frame_sample_oracle_sql(),
