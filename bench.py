@@ -561,10 +561,112 @@ def run_gate_suite() -> dict:
         out["streaming"] = {"error": f"{type(e).__name__}: {e}"}
         print(f"# streaming bench failed: {e}", file=sys.stderr)
     try:
+        n_pair_docs = int(
+            os.environ.get("SPARK_GRAFT_PAIR_DOCS", 5_000_000)
+        )
+        if n_pair_docs > 0:
+            out["pair_scale"] = run_pair_scale_bench(spark, n_pair_docs)
+            print(f"# pair_scale: {out['pair_scale']}", file=sys.stderr)
+    except Exception as e:
+        out["pair_scale"] = {"error": f"{type(e).__name__}: {e}"}
+        print(f"# pair scale bench failed: {e}", file=sys.stderr)
+    try:
         run_flat_block(spark, out)  # LAST: degrades the JVM it runs in
     except Exception as e:
         out["flat_error"] = f"{type(e).__name__}: {e}"
         print(f"# flat block failed: {e}", file=sys.stderr)
+    return out
+
+
+def run_pair_scale_bench(spark, n_docs: int = 5_000_000) -> dict:
+    """Dedup pair family at a scale where the O(candidates) terms
+    dominate (VERDICT r04 item 6): minhash_lsh_pairs, dedup_clusters
+    and dedup_apply end-to-end over a generated ``n_docs`` corpus with
+    planted exact/near duplicates and a boilerplate hot-shingle flood
+    (trck_spark.benchdata.ensure_docs_dataset — ground truth returned
+    by the generator, asserted here, so this is a value-checked bench,
+    not just a stopwatch).
+
+    Reports per-operator wallclock + docs/s, the band-collision
+    candidate count vs verified pair count, planted-pair recall
+    (minhash is probabilistic by construction: ~87% expected at the
+    planted J~0.5 under 32x4 banding; the ngram path behind
+    dedup_clusters/apply is exact and must find every planted dup),
+    and survivors vs planted ground truth.  Single timed run per
+    operator — at this scale the work dwarfs plan-build cost, and
+    fingerprints are intentionally NOT shared across operators (each
+    timing is the full end-to-end cost)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from trck_spark.benchdata import ensure_docs_dataset
+    from trck_spark.pipeline import dedup as _dd
+
+    _gc = spark.sparkContext._jvm.System.gc
+    path = os.path.join(_CACHE_DIR, f"docs_{n_docs}")
+    t0 = _t.time()
+    truth = ensure_docs_dataset(spark, path, n_docs=n_docs)
+    out: dict = {"n_docs": n_docs, "gen_s": round(_t.time() - t0, 1),
+                 "truth": truth}
+    near_lo, orig_hi = truth["near_lo"], truth["orig_hi"]
+
+    t0 = _t.time()
+    pairs = _dd.minhash_lsh_pairs(spark, path, threshold=0.2,
+                                  log_dropped=True)
+    n_pairs = pairs.count()
+    el = _t.time() - t0
+    # untimed diagnostics on the same lineage
+    n_cands = pairs._trck_candidates.count()
+    dropped = pairs._trck_dropped_buckets
+    n_dropped = dropped.count() if dropped is not None else 0
+    found_near = pairs.filter(
+        (F.col("b") >= near_lo) & (F.col("a") == F.col("b") - near_lo)
+    ).count()
+    found_exact = pairs.filter(
+        (F.col("b") >= orig_hi) & (F.col("b") < near_lo)
+        & (F.col("a") == F.col("b") - orig_hi)
+    ).count()
+    _dd.release(pairs)
+    out["minhash_lsh_pairs"] = {
+        "s": round(el, 1), "docs_per_s": int(n_docs / el),
+        "n_pairs": n_pairs, "n_candidates": n_cands,
+        "dropped_buckets": n_dropped,
+        "near_recall": round(found_near / max(truth["n_near"], 1), 4),
+        "exact_recall": round(found_exact / max(truth["n_exact"], 1), 4),
+    }
+    _gc()
+
+    t0 = _t.time()
+    cl = _dd.dedup_clusters(spark, path, threshold=0.2)
+    agg = cl.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum((F.col("cluster_size") > 1).cast("long")).alias("dup_docs"),
+    ).collect()[0]
+    el = _t.time() - t0
+    _dd.release(cl)
+    out["dedup_clusters"] = {
+        "s": round(el, 1), "docs_per_s": int(n_docs / el),
+        "rows": agg["rows"],
+        "docs_in_dup_clusters": agg["dup_docs"],
+        # exact path: every planted duplicate must be clustered with
+        # its base -> base+dup docs all sit in size>1 clusters
+        "expected_min_dup_docs": truth["n_duplicates"],
+    }
+    _gc()
+
+    t0 = _t.time()
+    ap = _dd.dedup_apply(spark, path, threshold=0.2)
+    n_surv = ap.count()
+    el = _t.time() - t0
+    _dd.release(ap)
+    expected = n_docs - truth["n_duplicates"]
+    out["dedup_apply"] = {
+        "s": round(el, 1), "docs_per_s": int(n_docs / el),
+        "survivors": n_surv, "expected_survivors": expected,
+        "survivors_match": n_surv == expected,
+    }
+    _gc()
     return out
 
 
@@ -625,6 +727,23 @@ def _gate_summary(gate: dict | None) -> dict | None:
     for k in ("b1_fsm_path", "b2_fsm_path", "streaming"):
         sub = gate.get(k) or {}
         s[k + "_eps"] = sub.get("events_per_sec")
+    ps = gate.get("pair_scale") or {}
+    if ps:
+        if "error" in ps:
+            s["pair_scale"] = {"error": ps["error"]}
+        else:
+            s["pair_scale"] = {
+                "n_docs": ps.get("n_docs"),
+                "minhash_s": (ps.get("minhash_lsh_pairs") or {}).get("s"),
+                "clusters_s": (ps.get("dedup_clusters") or {}).get("s"),
+                "apply_s": (ps.get("dedup_apply") or {}).get("s"),
+                "near_recall": (ps.get("minhash_lsh_pairs") or {}).get(
+                    "near_recall"
+                ),
+                "survivors_match": (ps.get("dedup_apply") or {}).get(
+                    "survivors_match"
+                ),
+            }
     return s
 
 

@@ -292,3 +292,139 @@ def test_streaming_split_fixture_watermark(spark, tmp_path):
         for prob in compare_results(case["expected"], actual):
             failures.append(f"case {i}: {prob}")
     assert not failures, "\n".join(failures)
+
+
+# -------------------------------------------- side inputs on the stream
+
+
+def _run_stream_sideinput(spark, src_dir, events_df, program,
+                          exclude_df=None, window_df=None):
+    """Stream events_df file-by-file through streaming_partials with the
+    given side inputs (markers finalization), return partial rows."""
+    from pyspark.sql import functions as F
+
+    from trck_spark.runner import cookie_to_bytes
+    from trck_spark.streaming import (
+        STREAM_END_TS, aggregate_partials, streaming_partials,
+    )
+
+    src_dir.mkdir(parents=True, exist_ok=True)
+    cookies = sorted(
+        cookie_to_bytes(r["uuid"]).hex()
+        for r in events_df.select("uuid").distinct().collect()
+    )
+    schema = events_df.schema
+    # two files: split trails across triggers to exercise carried state
+    mid = events_df.agg(
+        F.floor((F.min("timestamp") + F.max("timestamp")) / 2)
+    ).collect()[0][0]
+    events_df.filter(F.col("timestamp") <= mid).coalesce(1).write.parquet(
+        str(src_dir / "a.parquet")
+    )
+    events_df.filter(F.col("timestamp") > mid).coalesce(1).write.parquet(
+        str(src_dir / "b.parquet")
+    )
+    end_rows = [(u, STREAM_END_TS, 0, None) for u in cookies]
+    spark.createDataFrame(end_rows, schema).coalesce(1).write.parquet(
+        str(src_dir / "zzz_end.parquet")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir / "*.parquet"))
+    )
+    parts = streaming_partials(
+        stream, program, uuid_col="uuid", ts_col="timestamp",
+        seq_col="seq", exclude_df=exclude_df, window_df=window_df,
+    )
+    collected = []
+
+    def sink(batch_df, _bid):
+        collected.extend(batch_df.collect())
+
+    q = parts.writeStream.foreachBatch(sink).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(300)
+    return collected
+
+
+def _counters_from_rows(program, rows):
+    out: dict = {}
+    for r in rows:
+        out[r["var"]] = out.get(r["var"], 0) + int(r["n"])
+    return out
+
+
+def test_streaming_exclude_df_matches_batch(spark, tmp_path):
+    """exclude_df on the stream == the batch engine's exclude anti-join
+    (same DataFrame side input, same program, same events)."""
+    from trck_spark.engine import TrckSparkEngine
+    from trck_spark.io import trails_json_to_df
+
+    trails = [{
+        "u1": [{"timestamp": 100, "event_type": "view"},
+               {"timestamp": 200, "event_type": "click"}],
+        "u2": [{"timestamp": 150, "event_type": "click"}],
+        "u3": [{"timestamp": 180, "event_type": "click"}],
+    }]
+    ev = trails_json_to_df(spark, trails).select(
+        "uuid", "timestamp", "seq", "event_type"
+    )
+    excl = spark.createDataFrame([("u2",)], "uuid string")
+    prog = """
+start ->
+    receive
+        event_type = "click" -> yield $clicks, repeat
+        * -> repeat
+"""
+    batch = TrckSparkEngine(spark).run(
+        ev, prog, uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+        exclude=excl,
+    ).collect_json()
+    rows = _run_stream_sideinput(
+        spark, tmp_path / "ex", ev, prog, exclude_df=excl
+    )
+    assert _counters_from_rows(prog, rows) == batch == {"$clicks": 2}
+
+
+def test_streaming_window_df_matches_batch(spark, tmp_path):
+    """window_df on the stream == the batch engine's per-(uuid, entry)
+    window evaluation — multi-entry uuids and [start, end) bounds
+    included; end-of-trail markers still finalize every entry."""
+    from trck_spark.engine import TrckSparkEngine
+    from trck_spark.io import trails_json_to_df
+
+    trails = [{
+        "u1": [{"timestamp": 100, "event_type": "view"},
+               {"timestamp": 200, "event_type": "view"},
+               {"timestamp": 300, "event_type": "view"}],
+        "u2": [{"timestamp": 120, "event_type": "view"},
+               {"timestamp": 260, "event_type": "view"}],
+    }]
+    ev = trails_json_to_df(spark, trails).select(
+        "uuid", "timestamp", "seq", "event_type"
+    )
+    # u1 gets TWO entries (list semantics); u2's entry covers one event
+    w_df = spark.createDataFrame(
+        [("u1", 100, 250), ("u1", 250, 400), ("u2", 200, 300)],
+        "uuid string, s long, e long",
+    )
+    prog = """
+start ->
+    receive
+        event_type = "view" -> yield $views_in_window
+        * -> repeat
+"""
+    batch = TrckSparkEngine(spark).run(
+        ev, prog, uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+        window_entries=w_df,
+    ).collect_json()
+    rows = _run_stream_sideinput(
+        spark, tmp_path / "win", ev, prog, window_df=w_df
+    )
+    # u1 entry1 -> views at 100, 200; u1 entry2 -> view at 300;
+    # u2 -> view at 260: 4 total (windows are [start, end))
+    assert _counters_from_rows(prog, rows) == batch == {
+        "$views_in_window": 4
+    }

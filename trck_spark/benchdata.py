@@ -83,3 +83,99 @@ def ensure_perf_dataset(spark, path: str, n_cookies: int = N_COOKIES,
     with open(marker, "w") as f:
         json.dump(want, f)
     return path
+
+
+# ------------------------------------------------ dedup-scale documents
+
+DOCS_GEN_VERSION = 1
+
+
+def ensure_docs_dataset(spark, path: str, n_docs: int = 5_000_000,
+                        n_words: int = 30, vocab: int = 30_000,
+                        exact_frac: float = 0.02,
+                        near_frac: float = 0.10,
+                        boiler_mod: int = 100) -> dict:
+    """Generate (once, marker-cached) a documents.parquet corpus at
+    ``path`` sized for the dedup pair-family scale bench, and return
+    its planted ground truth.
+
+    Layout (all boundaries deterministic in doc_id):
+      - [0, orig_hi):       originals — words are pure hash functions
+                            of (base_id, position) over a ``vocab``-word
+                            vocabulary, so cross-doc shingle collisions
+                            are negligible.
+      - [orig_hi, near_lo): EXACT duplicates of base = id - orig_hi
+                            (byte-identical text; collapses in every
+                            dedup operator and makes LSH buckets carry
+                            real duplicate mass).
+      - [near_lo, n_docs):  NEAR duplicates of base = id - near_lo —
+                            words at positions 7/17/27 replaced with a
+                            doc-unique word, perturbing <= 9 of the
+                            n_words-2 3-gram shingles per side
+                            (Jaccard ~0.5 at n_words=30: far above the
+                            0.2 bench threshold, so every planted pair
+                            is a must-find edge).
+      - Boilerplate: docs whose BASE id % boiler_mod == 37 start with
+        the same 3 words — a hot-shingle flood (df ~ n_docs/boiler_mod)
+        that the inverted-index df-cap must drop and LSH banding must
+        shrug off, at scale.
+
+    Ground truth returned: n_exact / n_near planted duplicates,
+    expected non-survivor count (n_exact + n_near: every duplicate
+    cluster keeps exactly its minimum id = the base), and the planted
+    near-pair count.  The generator is pure Catalyst over spark.range —
+    no driver-side data, no Python UDF — so 5M docs materialize in
+    seconds and the same recipe would scale out on a real cluster.
+    """
+    n_exact = int(n_docs * exact_frac)
+    n_near = int(n_docs * near_frac)
+    orig_hi = n_docs - n_exact - n_near
+    near_lo = n_docs - n_near
+    truth = {
+        "n_docs": n_docs, "n_exact": n_exact, "n_near": n_near,
+        "orig_hi": orig_hi, "near_lo": near_lo,
+        "n_duplicates": n_exact + n_near,
+    }
+    marker = os.path.join(path, "_GEN.json")
+    want = {"v": DOCS_GEN_VERSION, "n_docs": n_docs, "n_words": n_words,
+            "vocab": vocab, "exact_frac": exact_frac,
+            "near_frac": near_frac, "boiler_mod": boiler_mod}
+    try:
+        with open(marker) as f:
+            if json.load(f) == want:
+                return truth
+    except (OSError, ValueError):
+        pass
+
+    from pyspark.sql import functions as F
+
+    base = (
+        f"CASE WHEN id >= {near_lo} THEN id - {near_lo} "
+        f"WHEN id >= {orig_hi} THEN id - {orig_hi} ELSE id END"
+    )
+    word = (
+        f"CASE WHEN id >= {near_lo} AND j IN (7, 17, 27) "
+        f"THEN concat('p', pmod(xxhash64(id * 31 + j + 1000000000), "
+        f"{vocab})) "
+        f"WHEN ({base}) % {boiler_mod} = 37 AND j < 3 "
+        f"THEN concat('b', j) "
+        f"ELSE concat('w', pmod(xxhash64(({base}) * 31 + j), {vocab})) "
+        f"END"
+    )
+    text = (
+        f"concat_ws(' ', transform(sequence(0, {n_words - 1}), "
+        f"j -> {word}))"
+    )
+    df = spark.range(0, n_docs, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.expr(text).alias("text"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("src"), F.pmod("id", F.lit(4))).alias("source"),
+    )
+    df = df.withColumn("n_chars", F.length("text"))
+    df.write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+    with open(marker, "w") as f:
+        json.dump(want, f)
+    return truth

@@ -131,20 +131,25 @@ def contamination_check(spark, sf_dir: str, n_eval: int = 100,
         "doc_id", F.col("h64").alias("h")
     )
     evl = (
-        sh.filter(F.col("doc_id") < n_eval).select("h").distinct()
+        sh.filter(F.col("doc_id") < n_eval)
+        .select("h").distinct()
+        .withColumn("__hit", F.lit(1))
     )
     corpus = sh.filter(F.col("doc_id") >= n_eval)
-    totals = corpus.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles")
-    )
-    shared = (
-        corpus.join(F.broadcast(evl), "h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
+    # ONE corpus pass: left-join the (bounded, broadcastable) eval
+    # shingle set and count totals + hits in the same aggregation.
+    # The previous two-branch form (totals agg + inner-join agg,
+    # joined) shingled the corpus twice — at 100 TB that is two full
+    # scans; at sf0.1 it was the round-2->4 wallclock regression.
     ratio = F.col("n_shared") / F.col("n_shingles")
     return (
-        shared.join(totals, "doc_id")
+        corpus.join(F.broadcast(evl), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") > 0)
         .select(
             "doc_id",
             "n_shared",

@@ -433,8 +433,16 @@ def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2,
         "doc_id",
         F.explode(F.expr(band_expr)).alias("e"),
     ).select("doc_id", "e.band", "e.bh")
+    # the signature pipeline (mapInPandas over 128 permutations — the
+    # expensive stage) feeds FOUR consumers of `bands`: the bucket-size
+    # pass, the over-cap anti-join, and both sides of the self-join.
+    # Persist the banded keys once or each consumer recomputes
+    # signatures from scratch (measured at 5M docs: ~100 s per
+    # recompute, the bulk of the operator's wallclock)
+    bands_raw = bands
+    bands_raw.persist()
     bands, dropped = _cap_buckets(
-        bands, ("band", "bh"), max_band_bucket,
+        bands_raw, ("band", "bh"), max_band_bucket,
         "minhash_lsh_pairs", log_dropped,
     )
     a = bands.alias("a")
@@ -475,9 +483,13 @@ def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2,
         .filter(jac >= threshold)
         .select("a", "b", F.floor(jac * 1000000).cast("long").alias("jaccard_e6"))
         .orderBy("a", "b"),
-        [hashes_df],
+        [hashes_df, bands_raw],
     )
     out._trck_dropped_buckets = dropped
+    # lazy band-collision candidate pairs (pre-verification): nothing
+    # here executes unless a caller counts it — the scale bench reports
+    # |candidates| vs |verified pairs| from this handle
+    out._trck_candidates = cands
     return out
 
 

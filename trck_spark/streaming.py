@@ -74,11 +74,28 @@ def streaming_partials(
     finalize_after_ms: int = 0,
     finalize_idle_gap: int | None = None,
     watermark_delay: str = "0 seconds",
+    exclude_df=None,
+    window_df=None,
 ):
     """streaming events DataFrame -> streaming partial-monoid rows.
 
     foreach_values: for implicit-foreach programs the lexicon cannot be
     computed from an unbounded stream; pass the value list explicitly.
+
+    exclude_df / window_df: the batch engine's side inputs, streaming
+    form — both are STATIC DataFrames (the reference's exclude/window
+    files are fixed per query run), applied as stream-static joins
+    before the stateful step, so the micro-batch path needs no state
+    for them.  exclude_df: first column = uuid (raw or 32-hex cookie
+    form); matching trails are dropped via a stream-static left join +
+    null filter (left_anti is not a supported stream-static join
+    type).  window_df: positional columns (uuid, start, end
+    [, replacement_id]) with the batch engine's semantics — each entry
+    is an independent evaluation of the uuid's events inside
+    [start, end), reported under replacement_id when given
+    (engine.py window-entries join); the stateful group key becomes
+    (effective uuid, entry) so concurrent entries keep separate FSM
+    state, exactly like the batch per-(uuid, entry) trails.
 
     finalize_after_ms > 0 arms a processing-time timeout per trail that
     fires pending ``after`` edges once the trail goes idle.
@@ -138,7 +155,71 @@ def streaming_partials(
         "__seq",
         F.col(seq_col).cast("long") if seq_col else F.lit(0).cast("long"),
     )
+    if exclude_df is not None or window_df is not None:
+        from trck_spark.engine import _uuid_hex_col
+
+        df = df.withColumn("__uuid_hex", _uuid_hex_col(F.col("__uuid")))
+    if exclude_df is not None:
+        ex = exclude_df.select(
+            _uuid_hex_col(
+                F.col(exclude_df.columns[0]).cast("string")
+            ).alias("__uuid_hex"),
+        ).distinct().withColumn("__excl", F.lit(1))
+        # stream-static LEFT join + null filter == anti join (anti is
+        # not in Structured Streaming's supported stream-static types)
+        df = (
+            df.join(ex, "__uuid_hex", "left")
+            .filter(F.col("__excl").isNull())
+            .drop("__excl")
+        )
+    if window_df is not None:
+        from pyspark.sql import Window as W
+
+        wc = window_df.columns
+        uhex = _uuid_hex_col(F.col(wc[0]).cast("string"))
+        eff = (
+            _uuid_hex_col(
+                F.coalesce(
+                    F.col(wc[3]).cast("string"),
+                    F.col(wc[0]).cast("string"),
+                )
+            )
+            if len(wc) > 3
+            else uhex
+        )
+        w_df = window_df.select(
+            uhex.alias("__uuid_hex"),
+            F.col(wc[1]).cast("long").alias("__wstart"),
+            F.col(wc[2]).cast("long").alias("__wend"),
+            eff.alias("__eff"),
+        ).withColumn(
+            "__entry",
+            F.row_number().over(
+                W.partitionBy("__uuid_hex").orderBy(
+                    "__wstart", "__wend", "__eff"
+                )
+            ),
+        )
+        df = (
+            df.join(w_df, "__uuid_hex", "inner")
+            # end-of-trail marker events (ts >= STREAM_END_TS) must reach
+            # every entry's FSM to fire pending `after` edges, so they
+            # bypass the range filter (the join already fanned them out
+            # to one row per entry)
+            .filter(
+                (
+                    (F.col("__ts") >= F.col("__wstart"))
+                    & (F.col("__ts") < F.col("__wend"))
+                )
+                | (F.col("__ts") >= F.lit(STREAM_END_TS))
+            )
+            # the trail reports under the (possibly rebound) id,
+            # mirroring the batch engine's __eff column
+            .withColumn("__uuid", F.col("__eff"))
+        )
     proj = ["__uuid", "__ts", "__seq"]
+    if window_df is not None:
+        proj.append("__entry")
     in_cols = events_sdf.columns
     for f in fields:
         if f in in_cols:
@@ -293,7 +374,10 @@ def streaming_partials(
         timeout = GroupStateTimeout.EventTimeTimeout
     else:
         timeout = GroupStateTimeout.NoTimeout
-    return df.groupBy("__uuid").applyInPandasWithState(
+    group_cols = (
+        ["__uuid", "__entry"] if window_df is not None else ["__uuid"]
+    )
+    return df.groupBy(*group_cols).applyInPandasWithState(
         step,
         outputStructType=STREAM_PARTIAL_SCHEMA,
         stateStructType=STATE_SCHEMA,
