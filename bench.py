@@ -667,6 +667,58 @@ def run_pair_scale_bench(spark, n_docs: int = 5_000_000) -> dict:
         "survivors_match": n_surv == expected,
     }
     _gc()
+
+    # daily-ingestion story at the same scale: materialize the original
+    # corpus as a FingerprintStore once, then classify the incoming
+    # batch (the planted exact + near duplicates) against the ARTIFACT.
+    # Ground truth: every exact dup hits the corpus (corpus_dup =
+    # n_exact); near dups have distinct doc-unique texts (kept =
+    # n_near, batch_dup = 0).
+    import shutil
+    import tempfile
+
+    store_path = tempfile.mkdtemp(prefix="trck_scale_fpstore_")
+    try:
+        docs = spark.read.parquet(f"{path}/documents.parquet")
+        corpus = docs.filter(F.col("doc_id") < truth["orig_hi"])
+        batch = docs.filter(F.col("doc_id") >= truth["orig_hi"])
+        t0 = _t.time()
+        _dd.write_fingerprint_store(
+            _dd.spread_input(spark, corpus), store_path
+        )
+        write_s = _t.time() - t0
+        t0 = _t.time()
+        cls = _dd.incremental_dedup_apply(
+            spark, _dd.spread_input(spark, batch), store_path
+        )
+        agg = (
+            cls.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        apply_s = _t.time() - t0
+        by = {r["status"]: r["n"] for r in agg}
+        out["fingerprint_store"] = {
+            "corpus_docs": truth["orig_hi"],
+            "batch_docs": n_docs - truth["orig_hi"],
+            "write_s": round(write_s, 1),
+            "apply_s": round(apply_s, 1),
+            "batch_docs_per_s": int(
+                (n_docs - truth["orig_hi"]) / apply_s
+            ),
+            "status_counts": by,
+            "counts_match": (
+                by.get("corpus_dup", 0) == truth["n_exact"]
+                and by.get("kept", 0) == truth["n_near"]
+                and by.get("batch_dup", 0) == 0
+            ),
+        }
+    finally:
+        try:
+            _dd.drop_fingerprint_store(spark, store_path)
+        except Exception:
+            pass
+        shutil.rmtree(store_path, ignore_errors=True)
+    _gc()
     return out
 
 
@@ -743,6 +795,12 @@ def _gate_summary(gate: dict | None) -> dict | None:
                 "survivors_match": (ps.get("dedup_apply") or {}).get(
                     "survivors_match"
                 ),
+                "fpstore_apply_s": (
+                    ps.get("fingerprint_store") or {}
+                ).get("apply_s"),
+                "fpstore_counts_match": (
+                    ps.get("fingerprint_store") or {}
+                ).get("counts_match"),
             }
     return s
 

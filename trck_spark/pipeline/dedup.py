@@ -705,6 +705,9 @@ def embedding_near_dup_pairs(
     emb0 = spread_input(
         spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     )
+    # one-row dim probe: O(1) driver data at any corpus size (reads a
+    # single row from one partition; NOT a collect of the column).  At
+    # 100 TB pass dim explicitly if the extra probe job is unwanted.
     dim = len(emb0.select("embedding").first()[0])
     planes = _lsh_planes(n_bands * band_planes, dim)
 
@@ -1379,7 +1382,12 @@ def semantic_dedup(
     production scale runs n_cells ~ sqrt(N) (k-means over a sample),
     keeping cells at ~sqrt(N) rows — the pair join here is a shuffle
     on the cell key and AQE splits any skewed cell.  No all-pairs
-    stage exists anywhere.
+    stage exists anywhere.  Ceiling note: the pivot table broadcast is
+    n_cells rows ~ sqrt(N)·dim·8 B — at N = 1e9, dim = 1024 that is
+    ~260 MB, inside Spark's 8 GB broadcast limit but large enough to
+    matter; past that, swap the broadcast for a shuffle join on the
+    assignment (or a coarse two-level pivot tree), which changes no
+    semantics.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
