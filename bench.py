@@ -895,6 +895,7 @@ def main() -> None:
         lambda s, d: _txt.repetition_stats(s, d)
     )
     queries["pii_stats"] = lambda s, d: _txt.pii_stats(s, d)
+    queries["lm_score"] = lambda s, d: _txt.lm_score(s, d)
     queries["hash_split"] = lambda s, d: _cur.hash_split(s, d)
     queries["sequence_pack"] = lambda s, d: _cur.sequence_pack(s, d)
     bench_names = [
@@ -913,7 +914,7 @@ def main() -> None:
                   "vocab_topk", "contamination_check",
                   "trck_clicks_by_user", "mixture_sample",
                   "ngram_containment_pairs", "repetition_stats",
-                  "hash_split", "sequence_pack", "pii_stats",
+                  "hash_split", "sequence_pack", "pii_stats", "lm_score",
                   "tfidf_topterms", "dup_span_stats", "semantic_dedup"):
         if extra in queries:
             bench_names.append(extra)

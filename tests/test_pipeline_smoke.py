@@ -799,3 +799,78 @@ def test_hash_split_stability(spark):
     n = len(a)
     frac_train = sum(1 for v in a.values() if v == "train") / n
     assert frac_train > 0.9  # 98% requested; tiny-sample tolerance
+
+
+def test_lm_score_planted(spark, tmp_path):
+    """Hand-computed Laplace bigram scores on a 3-doc corpus: the
+    reference slice is doc 0 ('a b a b'), so c1 = {a:2, b:2}, V = 2,
+    c2 = {(a,b):2, (b,a):1}.  Scores (integer e6):
+      (a,b): 1e6*3 // 4 = 750000   (b,a): 1e6*2 // 4 = 500000
+      (b,b): 1e6*1 // 4 = 250000   (c,a): 1e6*1 // (0+2) = 500000
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trck_spark.pipeline.text import lm_score
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b a b", "b b c a", "x"]),
+            "source": pa.array(["src0", "src1", "src1"]),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = {r["doc_id"]: r for r in lm_score(spark, str(tmp_path)).collect()}
+    # doc 0: bigrams (a,b),(b,a),(a,b) -> (750000+500000+750000)//3
+    assert rows[0]["lm_bigrams"] == 3
+    assert rows[0]["lm_score_e6"] == 2000000 // 3
+    # doc 1: (b,b),(b,c),(c,a) -> b,c unseen bigram: 1e6*1//(2+2)=250000
+    assert rows[1]["lm_bigrams"] == 3
+    assert rows[1]["lm_score_e6"] == (250000 + 250000 + 500000) // 3
+    # doc 2: single token -> no bigrams, score 0
+    assert rows[2]["lm_bigrams"] == 0 and rows[2]["lm_score_e6"] == 0
+
+
+def test_short_docs_survive_all_operators(spark, tmp_path):
+    """Documents with 0/1/2 words must not crash any shingle- or
+    bigram-based operator.  Regression: Spark's sequence(1, 0) yields
+    the DESCENDING array [1, 0] (unlike SQL generate_series, which is
+    empty), so the un-guarded shingle window indexed out of bounds on
+    any real-world corpus containing a short document."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trck_spark.pipeline import curation, dedup, text
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array([
+                "", "one", "two words",
+                "three words here",
+                "a slightly longer document with enough words",
+                "a slightly longer document with enough words",
+            ]),
+            "lang": pa.array(["en"] * 6),
+            "source": pa.array(["src0"] * 6),
+            "n_chars": pa.array([0, 3, 9, 16, 44, 44], pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    d = str(tmp_path)
+    for fn in (
+        lambda: dedup.ngram_jaccard_pairs(spark, d).collect(),
+        lambda: dedup.ngram_containment_pairs(spark, d).collect(),
+        lambda: dedup.minhash_lsh_pairs(spark, d).collect(),
+        lambda: dedup.simhash_pairs(spark, d).collect(),
+        lambda: dedup.dup_span_stats(spark, d).collect(),
+        lambda: curation.contamination_check(spark, d, n_eval=2).collect(),
+        lambda: text.lm_score(spark, d).collect(),
+    ):
+        fn()  # must not raise
+    # the exact-dup pair (docs 4, 5) must still be found end-to-end
+    surv = dedup.dedup_apply(spark, d, threshold=0.2)
+    ids = {r["doc_id"] for r in surv.collect()}
+    dedup.release(surv)
+    assert 4 in ids and 5 not in ids

@@ -5,6 +5,8 @@ against the equivalent batch computation on the same rows.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -46,6 +48,12 @@ def _write_batches(tmp_path):
             ),
             str(d / f"b{i}.parquet"),
         )
+        # FileStreamSource orders files by modification time, breaking
+        # ties arbitrarily — under CPU load two writes can land in the
+        # same ms, letting the watermark-flush file process before the
+        # late-arrival file.  Pin strictly increasing mtimes.
+        os.utime(str(d / f"b{i}.parquet"), (1_700_000_000 + i,
+                                            1_700_000_000 + i))
     return d, rows
 
 
@@ -115,6 +123,10 @@ def test_streaming_session_features_matches_batch(spark, tmp_path):
             }),
             str(d / f"b{i}.parquet"),
         )
+        # pin strictly increasing mtimes: FileStreamSource orders by
+        # modification time with arbitrary tie-break (see _write_batches)
+        os.utime(str(d / f"b{i}.parquet"), (1_700_000_000 + i,
+                                            1_700_000_000 + i))
 
     sdf = (
         spark.readStream.schema(
@@ -223,6 +235,10 @@ def test_streaming_session_out_of_order(spark, tmp_path):
             }),
             str(d / f"b{i}.parquet"),
         )
+        # pin strictly increasing mtimes: FileStreamSource orders by
+        # modification time with arbitrary tie-break (see _write_batches)
+        os.utime(str(d / f"b{i}.parquet"), (1_700_000_000 + i,
+                                            1_700_000_000 + i))
     sdf = (
         spark.readStream.schema(
             "user_id long, ts timestamp, event_id long, event_type string"

@@ -16,6 +16,19 @@ from trck_spark.output import format_output
 from trck_spark.fsm.interpreter import Results
 
 
+def _pin_mtime(path, t: int) -> None:
+    """FileStreamSource orders files by modification time with an
+    arbitrary tie-break; under CPU load consecutive writes can land in
+    the same ms and reorder micro-batches (e.g. the watermark-flush
+    file before a late-arrival file).  Pin every file under ``path``
+    (Spark writes directories of part files) to an explicit mtime so
+    trigger order is deterministic."""
+    for root, _dirs, files in os.walk(str(path)):
+        for f in files:
+            os.utime(os.path.join(root, f), (t, t))
+    os.utime(str(path), (t, t))
+
+
 def _stream_fixture(spark, tmp_path, trails_dbs, program, params,
                     finalize="markers"):
     """Write one parquet file per source DB, stream them one per trigger
@@ -70,6 +83,7 @@ def _stream_fixture(spark, tmp_path, trails_dbs, program, params,
         df = df.select("uuid", "db", "seq", "timestamp", *all_fields)
         schema = df.schema
         df.coalesce(1).write.parquet(str(src / f"db{i:03d}.parquet"))
+        _pin_mtime(src / f"db{i:03d}.parquet", 1_700_000_000 + i)
     if finalize == "markers":
         end_rows = [
             (u, len(trails_dbs), 0, MAX_TIMESTAMP) + (None,) * len(all_fields)
@@ -78,6 +92,7 @@ def _stream_fixture(spark, tmp_path, trails_dbs, program, params,
         spark.createDataFrame(end_rows, schema).coalesce(1).write.parquet(
             str(src / "zzz_end.parquet")
         )
+        _pin_mtime(src / "zzz_end.parquet", 1_700_000_000 + 1000)
     else:
         # far-future dummy-trail batches: the first advances the
         # watermark past every fixture deadline, the second triggers the
@@ -89,6 +104,7 @@ def _stream_fixture(spark, tmp_path, trails_dbs, program, params,
                  + (None,) * len(all_fields)],
                 schema,
             ).coalesce(1).write.parquet(str(src / f"zzz_wm{k}.parquet"))
+            _pin_mtime(src / f"zzz_wm{k}.parquet", 1_700_000_000 + 1000 + k)
 
     stream = (
         spark.readStream.schema(schema)
@@ -235,14 +251,17 @@ def test_event_time_watermark_finalization(spark, tmp_path):
     spark.createDataFrame(
         [("u1", 100, 0, "view")], schema
     ).coalesce(1).write.parquet(str(src / "a.parquet"))
+    _pin_mtime(src / "a.parquet", 1_700_000_000)
     # batch b: unrelated trail far in the future -> watermark jumps
     spark.createDataFrame(
         [("u2", 100000, 0, "click")], schema
     ).coalesce(1).write.parquet(str(src / "b.parquet"))
+    _pin_mtime(src / "b.parquet", 1_700_000_001)
     # batch c: another advance; u1's event-time timer fires here
     spark.createDataFrame(
         [("u2", 200000, 1, "click")], schema
     ).coalesce(1).write.parquet(str(src / "c.parquet"))
+    _pin_mtime(src / "c.parquet", 1_700_000_002)
 
     stream = (
         spark.readStream.schema(schema)

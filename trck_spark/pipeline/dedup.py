@@ -18,11 +18,17 @@ from __future__ import annotations
 
 NORM = "regexp_replace(lower(text), '\\\\s+', ' ')"
 WORDS = f"split({NORM}, ' ')"
-# word 3-gram shingles, 1-based element_at
+# word 3-gram shingles, 1-based element_at.  The size guard must be a
+# CASE, not greatest(.., 0): Spark's sequence(1, 0) yields the
+# DESCENDING array [1, 0] (not empty like SQL generate_series), so a
+# document with < 3 words would hit element_at out-of-bounds and kill
+# every shingle consumer (regression-tested in
+# tests/test_pipeline_smoke.py::test_short_docs_survive_all_operators)
 SHINGLES = (
-    "array_distinct(transform(sequence(1, greatest(size(w) - 2, 0)), "
+    "CASE WHEN size(w) >= 3 THEN "
+    "array_distinct(transform(sequence(1, size(w) - 2), "
     "g -> concat_ws(' ', element_at(w, g), element_at(w, g + 1), "
-    "element_at(w, g + 2))))"
+    "element_at(w, g + 2)))) ELSE array() END"
 )
 
 
@@ -366,12 +372,17 @@ def minhash_signatures(spark, sf_dir: str, hashes_df=None):
                 m = mins[:, i]
                 acc[doc_id] = m if prev is None else np.minimum(prev, m)
             del pdf
-        yield pd.DataFrame(
-            {
-                "doc_id": list(acc.keys()),
-                "sig": [s.tolist() for s in acc.values()],
-            }
-        )
+        # empty partitions (docs with < 3 words have no shingles; tiny
+        # corpora leave most partitions bare) must yield NOTHING — an
+        # empty untyped pd.DataFrame defaults its columns to float64,
+        # which Arrow cannot convert to array<long>
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "doc_id": list(acc.keys()),
+                    "sig": [s.tolist() for s in acc.values()],
+                }
+            )
 
     # shingles of one doc must land in one partition for the local min;
     # repartition by doc_id (same pattern as the trck engine trail shuffle)

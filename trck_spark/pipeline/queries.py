@@ -179,8 +179,8 @@ def q_incremental_dedup_store(spark, sf_dir):
 
 def q_text_metrics(spark, sf_dir):
     """Merged text-analysis gate row: lang_id + text_quality +
-    token_stats + doc_fingerprint + repetition_stats + pii_stats
-    inner-joined on doc_id (each emits exactly one row per document
+    token_stats + doc_fingerprint + repetition_stats + pii_stats +
+    lm_score inner-joined on doc_id (each emits exactly one row per document
     with disjoint metric columns, so the join is 1:1 and the driver's
     value hash covers every constituent operator's full output).
 
@@ -198,6 +198,7 @@ def q_text_metrics(spark, sf_dir):
         text.doc_fingerprint(spark, sf_dir),
         text.repetition_stats(spark, sf_dir),
         text.pii_stats(spark, sf_dir),
+        text.lm_score(spark, sf_dir),
     ]
     return reduce(lambda l_, r: l_.join(r, "doc_id"), dfs).orderBy(
         "doc_id"
@@ -208,6 +209,7 @@ def text_metrics_oracle_sql() -> str:
     from trck_spark.pipeline.text import (
         doc_fingerprint_oracle_sql,
         lang_id_oracle_sql,
+        lm_score_oracle_sql,
         pii_stats_oracle_sql,
         repetition_stats_oracle_sql,
         text_quality_oracle_sql,
@@ -221,6 +223,7 @@ def text_metrics_oracle_sql() -> str:
         doc_fingerprint_oracle_sql(),
         repetition_stats_oracle_sql(),
         pii_stats_oracle_sql(),
+        lm_score_oracle_sql(),
     ]
     joined = f"({subs[0]}) t0"
     for i, s in enumerate(subs[1:], 1):

@@ -442,3 +442,135 @@ def doc_fingerprint_oracle_sql() -> str:
         "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) "
         "AS fingerprint FROM documents ORDER BY doc_id"
     )
+
+
+# ------------------------------------------- LM familiarity (CCNet-style)
+
+
+def lm_score(spark, sf_dir: str, ref_source: str = "src0"):
+    """(doc_id, lm_bigrams, lm_score_e6): CCNet-style language-model
+    quality signal — how familiar each document's word bigrams are to a
+    Laplace-smoothed bigram model trained on a reference slice of the
+    corpus (``source == ref_source``; swap for a curated high-quality
+    table in production, exactly like CCNet scores Common Crawl against
+    a Wikipedia LM).
+
+    Per bigram (w1, w2): p = (c2(w1,w2) + 1) / (c1(w1) + V), with c2 /
+    c1 the reference bigram/unigram counts and V the reference
+    vocabulary size.  Scores are quantized per BIGRAM as
+    floor(1e6 * p) in exact BIGINT arithmetic (1e6 * (c2+1) fits well
+    inside int64) and only integers are ever summed, so the result is
+    bit-identical on any engine and any partitioning — the same
+    integer-quantization trick the embedding operators use.  A real
+    perplexity sums per-token float log-probs, whose reduction order
+    Spark does not fix; the integer mean-probability form keeps the
+    ranking signal (higher = more in-domain) and the driver's
+    hash-compare both.
+
+    lm_score_e6 = integer mean of the doc's bigram scores (0 for docs
+    with < 2 tokens).  Scale shape: two groupBys over the reference
+    slice (corpus-scaled but agg-reduced), one join of doc bigrams
+    against the bigram table on (w1, w2) and one against the unigram
+    table on w1 — AQE broadcasts either table iff it is actually
+    small; nothing is collected and no broadcast is forced."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (
+        f"filter(split({NORM}, ' '), w -> w != '')"
+    )
+    # CASE guard, not greatest(.., 0): Spark's sequence(1, 0) yields
+    # [1, 0] (descending), which would index out of bounds on docs
+    # with < 2 tokens (same hazard as dedup.SHINGLES)
+    bigram_expr = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"g -> struct(element_at({toks}, g) AS w1, "
+        f"element_at({toks}, g + 1) AS w2)) "
+        "ELSE array() END"
+    )
+    doc_bg = docs.select(
+        "doc_id", F.explode(F.expr(bigram_expr)).alias("bg")
+    ).select("doc_id", "bg.w1", "bg.w2")
+
+    ref = docs.filter(F.col("source") == ref_source)
+    ref_tok = ref.select(F.explode(F.expr(toks)).alias("w"))
+    c1 = ref_tok.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = c1.agg(F.count(F.lit(1)).alias("v"))
+    ref_bg = ref.select(F.explode(F.expr(bigram_expr)).alias("bg")).select(
+        "bg.w1", "bg.w2"
+    )
+    c2 = ref_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+
+    scored = (
+        doc_bg.join(c2, ["w1", "w2"], "left")
+        .join(c1.withColumnRenamed("w", "w1"), "w1", "left")
+        .crossJoin(vocab)
+        .select(
+            "doc_id",
+            F.expr(
+                "(1000000 * (coalesce(c2, 0) + 1)) DIV "
+                "(coalesce(c1, 0) + v)"
+            ).alias("s_e6"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("lm_bigrams"),
+        F.expr("sum(s_e6) DIV count(1)").alias("lm_score_e6"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lm_bigrams", F.lit(0)).alias("lm_bigrams"),
+            F.coalesce("lm_score_e6", F.lit(0)).alias("lm_score_e6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def lm_score_oracle_sql(ref_source: str = "src0") -> str:
+    toks = (
+        "list_filter(string_split(regexp_replace(lower(text), "
+        "'\\s+', ' ', 'g'), ' '), w -> w != '')"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, source, {toks} AS t FROM documents),
+doc_bg AS (
+  SELECT doc_id, t[g] AS w1, t[g + 1] AS w2
+  FROM d, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g)
+),
+ref_tok AS (
+  SELECT unnest(t) AS w FROM d WHERE source = '{ref_source}'
+),
+c1 AS (SELECT w, count(*) AS c1 FROM ref_tok GROUP BY 1),
+vocab AS (SELECT count(*) AS v FROM c1),
+ref_bg AS (
+  SELECT t[g] AS w1, t[g + 1] AS w2
+  FROM d, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g)
+  WHERE source = '{ref_source}'
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM ref_bg GROUP BY 1, 2),
+scored AS (
+  SELECT doc_id,
+         (1000000 * (coalesce(c2.c2, 0) + 1))
+           // (coalesce(c1.c1, 0) + vocab.v) AS s_e6
+  FROM doc_bg
+  LEFT JOIN c2 ON doc_bg.w1 = c2.w1 AND doc_bg.w2 = c2.w2
+  LEFT JOIN c1 ON doc_bg.w1 = c1.w
+  CROSS JOIN vocab
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS lm_bigrams,
+         sum(s_e6) // count(*) AS lm_score_e6
+  FROM scored GROUP BY 1
+)
+SELECT documents.doc_id,
+       coalesce(lm_bigrams, 0)::BIGINT AS lm_bigrams,
+       coalesce(lm_score_e6, 0)::BIGINT AS lm_score_e6
+FROM documents LEFT JOIN per_doc ON documents.doc_id = per_doc.doc_id
+ORDER BY documents.doc_id
+"""
