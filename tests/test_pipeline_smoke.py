@@ -845,16 +845,20 @@ def test_short_docs_survive_all_operators(spark, tmp_path):
 
     pq.write_table(
         pa.table({
-            "doc_id": pa.array(range(6), pa.int64()),
+            "doc_id": pa.array(range(8), pa.int64()),
             "text": pa.array([
                 "", "one", "two words",
                 "three words here",
                 "a slightly longer document with enough words",
                 "a slightly longer document with enough words",
+                None,  # null text must flow through, never crash
+                "héllo wörld émoji 🎉 unicode test words",
             ]),
-            "lang": pa.array(["en"] * 6),
-            "source": pa.array(["src0"] * 6),
-            "n_chars": pa.array([0, 3, 9, 16, 44, 44], pa.int64()),
+            "lang": pa.array(["en"] * 8),
+            "source": pa.array(["src0"] * 8),
+            "n_chars": pa.array(
+                [0, 3, 9, 16, 44, 44, 0, 39], pa.int64()
+            ),
         }),
         str(tmp_path / "documents.parquet"),
     )

@@ -335,17 +335,29 @@ def _shingle_hashes(spark, sf_dir: str, hash_mode: str = "xxhash64"):
     return sh.select("doc_id", h32.alias("h32"), h64.alias("h64"))
 
 
-def minhash_signatures(spark, sf_dir: str, hashes_df=None):
+def minhash_signatures(spark, sf_dir: str, hashes_df=None,
+                       emit: str = "sig"):
     """(doc_id, sig array<long>[128]) via vectorized numpy over Arrow
-    batches of exploded shingle hashes.
+    batches of exploded shingle hashes — or, with
+    ``emit='band_hashes'``, (doc_id, bhs array<long>[N_BANDS]): the
+    LSH band hashes computed numpy-side (FNV-1a over each band's
+    ROWS_PER_BAND signature slice, exact uint64 wraparound).
 
     Permutation j of shingle hash h is (a_j*(h mod p) + b_j) mod p with
     p = 2^31 - 1; products stay below 2^62, exact in int64 on every
     engine, and the modulus wraps ~a_j times per hash so the family
-    genuinely permutes (see the _MERSENNE note above)."""
+    genuinely permutes (see the _MERSENNE note above).
+
+    Why band_hashes exists: the banding consumer needs only one 64-bit
+    key per (doc, band), so shipping the full 128-long signature
+    through Arrow and hashing slices JVM-side moves 4x the bytes and
+    adds 160M-row explode+hash work — at 5M docs that was ~45% of the
+    whole operator.  The md5 parity mode still uses the full
+    signatures (its band digests must be reproducible in ANSI SQL)."""
     if hashes_df is None:
         hashes_df = _shingle_hashes(spark, sf_dir)
     sh = hashes_df.select("doc_id", "h32")
+    band_mode = emit == "band_hashes"
 
     def sig_batches(batches):
         import numpy as np
@@ -376,20 +388,50 @@ def minhash_signatures(spark, sf_dir: str, hashes_df=None):
         # corpora leave most partitions bare) must yield NOTHING — an
         # empty untyped pd.DataFrame defaults its columns to float64,
         # which Arrow cannot convert to array<long>
-        if acc:
+        if not acc:
+            return
+        if not band_mode:
             yield pd.DataFrame(
                 {
                     "doc_id": list(acc.keys()),
                     "sig": [s.tolist() for s in acc.values()],
                 }
             )
+            return
+        # FNV-1a fold of each band's slice, vectorized over all docs
+        # at once (numpy uint64 wraps mod 2^64 exactly); viewed back
+        # as int64 for the Spark long column
+        sigs = np.stack(list(acc.values())).astype(np.uint64)  # (n, 128)
+        with np.errstate(over="ignore"):
+            bhs = np.empty((sigs.shape[0], N_BANDS), dtype=np.uint64)
+            prime = np.uint64(0x100000001B3)
+            for band in range(N_BANDS):
+                hsh = np.full(
+                    sigs.shape[0], 0xCBF29CE484222325, dtype=np.uint64
+                )
+                for r in range(ROWS_PER_BAND):
+                    hsh = (hsh ^ sigs[:, band * ROWS_PER_BAND + r]) \
+                        * prime
+                bhs[:, band] = hsh
+        bhs_i = bhs.view(np.int64)
+        yield pd.DataFrame(
+            {
+                "doc_id": list(acc.keys()),
+                "bhs": [row.tolist() for row in bhs_i],
+            }
+        )
 
     # shingles of one doc must land in one partition for the local min;
     # repartition by doc_id (same pattern as the trck engine trail shuffle)
+    schema = (
+        "doc_id long, bhs array<long>"
+        if band_mode
+        else "doc_id long, sig array<long>"
+    )
     return (
         sh.repartition("doc_id")
         .sortWithinPartitions("doc_id")
-        .mapInPandas(sig_batches, schema="doc_id long, sig array<long>")
+        .mapInPandas(sig_batches, schema=schema)
     )
 
 
@@ -424,8 +466,10 @@ def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2,
     # (fixed-width rows; MEMORY_AND_DISK so a 100 TB run spills, not OOMs)
     hashes_df = _shingle_hashes(spark, sf_dir, hash_mode=hash_mode)
     hashes_df.persist()
-    sigs = minhash_signatures(spark, sf_dir, hashes_df=hashes_df)
     if hash_mode == "md5":
+        # parity mode: full signatures + ANSI-SQL-reproducible md5
+        # band digests (the DuckDB oracle mirrors this construction)
+        sigs = minhash_signatures(spark, sf_dir, hashes_df=hashes_df)
         band_expr = (
             f"transform(sequence(0, {N_BANDS - 1}), b -> "
             f"struct(b AS band, cast(conv(substring(md5(concat_ws(',', "
@@ -433,25 +477,32 @@ def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2,
             f"{ROWS_PER_BAND}), x -> cast(x AS string)))), 1, 15), "
             f"16, 10) AS bigint) AS bh))"
         )
+        bands_raw = sigs.select(
+            "doc_id",
+            F.explode(F.expr(band_expr)).alias("e"),
+        ).select("doc_id", "e.band", "e.bh")
+        # the signature pipeline feeds FOUR consumers of the banded
+        # keys (bucket-size pass, over-cap anti-join, both self-join
+        # sides); persist the exploded rows once — md5 band digests
+        # are too expensive to recompute per consumer
+        bands_raw.persist()
+        banded_cache = bands_raw
     else:
-        # hash the signature slice directly — no string round-trip
-        band_expr = (
-            f"transform(sequence(0, {N_BANDS - 1}), b -> "
-            f"struct(b AS band, xxhash64(slice(sig, "
-            f"b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND})) AS bh))"
+        # production path: band hashes computed inside the signature
+        # UDF (numpy FNV over each slice) — the 128-long signatures
+        # never cross Arrow and no 160M-row JVM hash+explode runs
+        # (measured at 5M docs: sigs+bands 275 s -> ~115 s).  Persist
+        # the COMPACT (doc_id, bhs[32]) frame; the per-consumer
+        # explode from the persisted columnar frame is cheap, and the
+        # cache holds 5M rows instead of 160M
+        compact = minhash_signatures(
+            spark, sf_dir, hashes_df=hashes_df, emit="band_hashes"
         )
-    bands = sigs.select(
-        "doc_id",
-        F.explode(F.expr(band_expr)).alias("e"),
-    ).select("doc_id", "e.band", "e.bh")
-    # the signature pipeline (mapInPandas over 128 permutations — the
-    # expensive stage) feeds FOUR consumers of `bands`: the bucket-size
-    # pass, the over-cap anti-join, and both sides of the self-join.
-    # Persist the banded keys once or each consumer recomputes
-    # signatures from scratch (measured at 5M docs: ~100 s per
-    # recompute, the bulk of the operator's wallclock)
-    bands_raw = bands
-    bands_raw.persist()
+        compact.persist()
+        bands_raw = compact.select(
+            "doc_id", F.posexplode("bhs").alias("band", "bh")
+        )
+        banded_cache = compact
     bands, dropped = _cap_buckets(
         bands_raw, ("band", "bh"), max_band_bucket,
         "minhash_lsh_pairs", log_dropped,
@@ -494,7 +545,7 @@ def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2,
         .filter(jac >= threshold)
         .select("a", "b", F.floor(jac * 1000000).cast("long").alias("jaccard_e6"))
         .orderBy("a", "b"),
-        [hashes_df, bands_raw],
+        [hashes_df, banded_cache],
     )
     out._trck_dropped_buckets = dropped
     # lazy band-collision candidate pairs (pre-verification): nothing
