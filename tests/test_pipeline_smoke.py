@@ -878,3 +878,29 @@ def test_short_docs_survive_all_operators(spark, tmp_path):
     ids = {r["doc_id"] for r in surv.collect()}
     dedup.release(surv)
     assert 4 in ids and 5 not in ids
+
+
+def test_dedup_clusters_minhash_method(spark):
+    """method='minhash' edges are a REFINEMENT of the exact ngram
+    clustering (a missed banding edge can split a cluster, never merge
+    two): every minhash cluster must sit wholly inside one ngram
+    cluster, and byte-identical docs must still co-cluster (identical
+    signatures collide in every band)."""
+    from trck_spark.pipeline.dedup import dedup_clusters, release
+
+    ng = dedup_clusters(spark, SF_DIR, method="ngram")
+    ng_lbl = {r["doc_id"]: r["cluster_id"] for r in ng.collect()}
+    release(ng)
+    mh = dedup_clusters(spark, SF_DIR, method="minhash")
+    mh_rows = mh.collect()
+    mh_lbl = {r["doc_id"]: r["cluster_id"] for r in mh_rows}
+    release(mh)
+    assert set(mh_lbl) == set(ng_lbl)
+    # refinement: same minhash label -> same ngram label
+    by_mh: dict = {}
+    for d, c in mh_lbl.items():
+        by_mh.setdefault(c, set()).add(ng_lbl[d])
+    for c, ng_labels in by_mh.items():
+        assert len(ng_labels) == 1, (
+            f"minhash cluster {c} spans ngram clusters {ng_labels}"
+        )

@@ -927,7 +927,8 @@ def connected_components(nodes_df, sym_edges, max_iters: int = 25):
 
 
 def dedup_clusters(
-    spark, sf_dir: str, threshold: float = 0.2, max_iters: int = 25
+    spark, sf_dir: str, threshold: float = 0.2, max_iters: int = 25,
+    method: str = "ngram",
 ):
     """Connected components over the verified near-duplicate pairs:
     every document labeled with the minimum doc_id reachable through
@@ -939,10 +940,28 @@ def dedup_clusters(
     pairwise lists alone can't be applied when near-dups chain A~B~C
     without A~C.  The label loop is ``connected_components`` (min-label
     propagation + pointer jumping, O(log diameter) rounds).
+
+    ``method``: which pair generator supplies the edges.
+      - ``'ngram'`` (default): exact inverted-index Jaccard — full
+        recall, and the df-cap bounds it on boilerplate-heavy corpora
+        at the price of recall on the capped shingles.  The
+        oracle-checked form.
+      - ``'minhash'``: LSH-banded edges — cost is flat in shingle
+        document frequency, the standard choice at web scale
+        (MinHashLSH dedup a la GPT-3/The Pile), with banding-recall
+        edges (~0.9 at Jaccard 0.5 under the 32x4 config; exact dups
+        always collide).  Missing an edge can only SPLIT a cluster,
+        never merge two, so the result is a refinement of the exact
+        clustering.
     """
     from pyspark.sql import functions as F
 
-    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
+    if method == "ngram":
+        pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
+    elif method == "minhash":
+        pairs = minhash_lsh_pairs(spark, sf_dir, threshold=threshold)
+    else:
+        raise ValueError(f"unknown pair method {method!r}")
     edges = pairs.select("a", "b")
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -962,7 +981,8 @@ def dedup_clusters(
     )
 
 
-def dedup_apply(spark, sf_dir: str, threshold: float = 0.2):
+def dedup_apply(spark, sf_dir: str, threshold: float = 0.2,
+                method: str = "ngram"):
     """The applied form of near-dup removal: the surviving corpus.
 
     Keeps exactly one document per connected near-dup cluster (the
@@ -970,10 +990,13 @@ def dedup_apply(spark, sf_dir: str, threshold: float = 0.2):
     size so downstream mixing can up/down-weight survivors that stood
     for many duplicates.  This is the operator a pipeline actually
     materializes; pairs and clusters are its intermediates.
+    ``method`` selects the edge generator (see dedup_clusters) —
+    ``'minhash'`` is the web-scale form.
     """
     from pyspark.sql import functions as F
 
-    clusters = dedup_clusters(spark, sf_dir, threshold=threshold)
+    clusters = dedup_clusters(spark, sf_dir, threshold=threshold,
+                              method=method)
     keep = clusters.filter(
         F.col("doc_id") == F.col("cluster_id")
     ).select("doc_id", "cluster_size")
