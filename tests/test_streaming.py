@@ -340,13 +340,16 @@ def _run_stream_sideinput(spark, src_dir, events_df, program,
     events_df.filter(F.col("timestamp") <= mid).coalesce(1).write.parquet(
         str(src_dir / "a.parquet")
     )
+    _pin_mtime(src_dir / "a.parquet", 1_700_000_000)
     events_df.filter(F.col("timestamp") > mid).coalesce(1).write.parquet(
         str(src_dir / "b.parquet")
     )
+    _pin_mtime(src_dir / "b.parquet", 1_700_000_001)
     end_rows = [(u, STREAM_END_TS, 0, None) for u in cookies]
     spark.createDataFrame(end_rows, schema).coalesce(1).write.parquet(
         str(src_dir / "zzz_end.parquet")
     )
+    _pin_mtime(src_dir / "zzz_end.parquet", 1_700_000_002)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -447,3 +450,55 @@ start ->
     assert _counters_from_rows(prog, rows) == batch == {
         "$views_in_window": 4
     }
+
+
+def test_streaming_window_df_many_to_one_replacement(spark, tmp_path):
+    """TWO uuids rebound to the SAME replacement_id must stay separate
+    FSM trails (batch semantics: trail boundary = original uuid + entry;
+    __eff only renames the report).  A view on u1 and a click on u2 must
+    NOT chain into one funnel conversion under the shared id."""
+    from trck_spark.engine import TrckSparkEngine
+    from trck_spark.io import trails_json_to_df
+
+    trails = [{
+        # u1: view only (funnel arms, never converts)
+        "u1": [{"timestamp": 100, "event_type": "view"}],
+        # u2: click only (funnel never arms)
+        "u2": [{"timestamp": 150, "event_type": "click"}],
+        # u3: a real conversion, also rebound to R — proves the yields
+        # still aggregate under the shared reporting id
+        "u3": [{"timestamp": 110, "event_type": "view"},
+               {"timestamp": 140, "event_type": "click"}],
+    }]
+    ev = trails_json_to_df(spark, trails).select(
+        "uuid", "timestamp", "seq", "event_type"
+    )
+    w_df = spark.createDataFrame(
+        [("u1", 0, 1000, "R"), ("u2", 0, 1000, "R"), ("u3", 0, 1000, "R")],
+        "uuid string, s long, e long, rid string",
+    )
+    prog = """
+start ->
+    receive
+        event_type = "view" -> wait
+        * -> repeat
+wait ->
+    receive
+        event_type = "click" -> yield $conv, quit
+        * -> repeat
+"""
+    batch = TrckSparkEngine(spark).run(
+        ev, prog, uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+        window_entries=w_df,
+    ).collect_json()
+    rows = _run_stream_sideinput(
+        spark, tmp_path / "m2o", ev, prog, window_df=w_df
+    )
+    # only u3 converts; a merged (R, entry=1) trail would chain
+    # u1's view into u2's click for a phantom second conversion
+    assert _counters_from_rows(prog, rows) == batch == {"$conv": 1}
+    # every partial row reports under the replacement id's cookie form
+    from trck_spark.runner import cookie_to_bytes
+
+    r_hex = cookie_to_bytes("R").hex()
+    assert {r["uuid"] for r in rows} == {r_hex}

@@ -94,8 +94,11 @@ def streaming_partials(
     is an independent evaluation of the uuid's events inside
     [start, end), reported under replacement_id when given
     (engine.py window-entries join); the stateful group key becomes
-    (effective uuid, entry) so concurrent entries keep separate FSM
-    state, exactly like the batch per-(uuid, entry) trails.
+    (ORIGINAL uuid, entry) — matching the batch engine's trail
+    boundaries — with the effective (possibly rebound) uuid carried as
+    a column and used only for the cookie and the reported uuid, so
+    two uuids sharing one replacement_id still evaluate as separate
+    trails.
 
     finalize_after_ms > 0 arms a processing-time timeout per trail that
     fires pending ``after`` edges once the trail goes idle.
@@ -213,13 +216,17 @@ def streaming_partials(
                 )
                 | (F.col("__ts") >= F.lit(STREAM_END_TS))
             )
-            # the trail reports under the (possibly rebound) id,
-            # mirroring the batch engine's __eff column
-            .withColumn("__uuid", F.col("__eff"))
         )
+        # NOTE: the stateful group key stays the ORIGINAL uuid (+ entry),
+        # exactly like the batch engine's trail boundaries (engine.py
+        # `change` on (__uuid, __entry)).  __eff is only the REPORTING id
+        # (batch: cookie/output from __eff, engine.py flush_trail) — two
+        # different uuids rebound to the same replacement_id must keep
+        # separate FSM trails, and __entry (a per-original-uuid
+        # row_number) is only unique within its own uuid anyway.
     proj = ["__uuid", "__ts", "__seq"]
     if window_df is not None:
-        proj.append("__entry")
+        proj += ["__entry", "__eff"]
     in_cols = events_sdf.columns
     for f in fields:
         if f in in_cols:
@@ -239,18 +246,26 @@ def streaming_partials(
     if use_event_time:
         df = df.withWatermark("__event_time", watermark_delay)
 
+    has_window = window_df is not None
+
     def step(key, pdf_iter, state: "GroupState") -> Iterator[Any]:
         import pandas as pd
 
         q, tuples_w = _worker_query(spec_json)
-        uuid = key[0]
-        cookie = _cookie_from_uuid(uuid)
         entrypoint = q.compiled.entrypoint
 
         if state.exists:
-            machine_states, last_ts = pickle.loads(bytes(state.get[0]))
+            machine_states, last_ts, eff = pickle.loads(
+                bytes(state.get[0])
+            )
         else:
-            machine_states, last_ts = {}, None
+            machine_states, last_ts, eff = {}, None, None
+        # reporting id: the (possibly rebound) effective uuid for window
+        # entries — constant per (uuid, entry) group, read from the rows
+        # (or, on a row-less timeout call, from the carried state) —
+        # the original uuid otherwise
+        uuid = eff if (has_window and eff is not None) else key[0]
+        cookie = _cookie_from_uuid(uuid)
 
         n_tuples = len(tuples_w) if tuples_w is not None else 1
         agg: dict[int, Results] = {}
@@ -288,6 +303,10 @@ def streaming_partials(
         # assemble this batch's events in (ts, seq) order
         rows_in: list = []
         for pdf in pdf_iter:
+            if has_window and eff is None and len(pdf):
+                eff = pdf["__eff"].iloc[0]
+                uuid = eff
+                cookie = _cookie_from_uuid(uuid)
             tss = pdf["__ts"].tolist()
             seqs = pdf["__seq"].tolist()
             fcols = [pdf["__f_" + f].tolist() for f in fields]
@@ -348,7 +367,7 @@ def streaming_partials(
             state.remove()
         else:
             state.update(
-                (bytearray(pickle.dumps((machine_states, last_ts))),)
+                (bytearray(pickle.dumps((machine_states, last_ts, eff))),)
             )
         if finalize_after_ms > 0:
             state.setTimeoutDuration(finalize_after_ms)
