@@ -336,6 +336,36 @@ def test_minhash_flood_bounded(spark, flood_dir):
     assert len(ed) == 1 and ed[0]["n_docs"] == 50_000
 
 
+def test_band_cap_auto_gate(spark, flood_dir):
+    """The 'auto' bucket-cap default is (a) disabled in md5 parity mode
+    (the SQL oracle has no cap — ADVICE r05), (b) size-gated off below
+    _CAP_GATE_MIN_BAND_ROWS (the guard costs more than any bucket a
+    small corpus can produce), while (c) an EXPLICIT cap is always
+    honored (the flood tests above prove it fires)."""
+    from trck_spark.pipeline import dedup as dd
+
+    sf = "/root/testdata/sf0.01"
+    # (a) md5 parity: auto -> uncapped regardless of corpus size
+    out = dd.minhash_lsh_pairs(spark, sf, hash_mode="md5")
+    assert out._trck_dropped_buckets is None
+    dd.release(out)
+    # (b) small corpus, production hash: gate resolves auto -> None
+    out = dd.minhash_lsh_pairs(spark, sf)
+    assert out._trck_dropped_buckets is None
+    dd.release(out)
+    out = dd.embedding_near_dup_pairs(spark, sf)
+    assert out._trck_dropped_buckets is None
+    dd.release(out)
+    # above the gate the auto cap is live: 50k flood docs x 32 bands
+    # >= 1M band rows -> dropped frame attached (and fires)
+    assert 50_000 * dd.N_BANDS >= dd._CAP_GATE_MIN_BAND_ROWS
+    out = dd.minhash_lsh_pairs(spark, flood_dir)
+    assert out._trck_dropped_buckets is not None
+    assert out.count() == 0  # every bucket over the 4096 auto cap
+    assert out._trck_dropped_buckets.count() > 0
+    dd.release(out)
+
+
 def test_simhash_flood_bounded(spark, flood_dir):
     """50k identical fingerprints through the 6-choose-3 multi-index:
     with a bucket cap the run is bounded and the dropped mass logged."""
