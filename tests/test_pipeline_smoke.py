@@ -246,6 +246,20 @@ def test_decode_image_stdlib_png():
         + b"\xff\xd9"
     )
     assert _parse_image_header(jpg) == (17, 9, 3)
+    # 0xFF fill/padding bytes before a marker are legal (ISO 10918-1
+    # B.1.1.2): the walker must skip them, not read a bogus seg length
+    jpg_pad = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"  # padding run before the APP0 marker
+        + b"\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xff"      # padding before SOF0 too
+        + b"\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 9, 17) + b"\x03" + b"\x00" * 9
+        + b"\xff\xd9"
+    )
+    assert _parse_image_header(jpg_pad) == (17, 9, 3)
+    # a truncated all-padding tail must return None, not index out
+    assert _parse_image_header(b"\xff\xd8" + b"\xff" * 20) is None
 
 
 def test_decode_audio_stdlib_wav():
@@ -830,6 +844,12 @@ def test_lm_score_planted(spark, tmp_path):
     assert rows[1]["lm_score_e6"] == (250000 + 250000 + 500000) // 3
     # doc 2: single token -> no bigrams, score 0
     assert rows[2]["lm_bigrams"] == 0 and rows[2]["lm_score_e6"] == 0
+    # empty reference slice: raise loudly instead of silently scoring
+    # everything 0 via non-ANSI DIV-by-zero null (ADVICE r05)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="reference slice is empty"):
+        lm_score(spark, str(tmp_path), ref_source="no_such_source").collect()
 
 
 def test_short_docs_survive_all_operators(spark, tmp_path):

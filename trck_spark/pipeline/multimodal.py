@@ -76,6 +76,13 @@ def _parse_image_header(blob: bytes):
         while i + 9 < len(blob):
             if blob[i] != 0xFF:
                 return None
+            # skip 0xFF fill/padding bytes allowed before any marker
+            # (ISO 10918-1 B.1.1.2) — treating a padding 0xFF as the
+            # marker byte reads a bogus segment length
+            while blob[i + 1] == 0xFF:
+                i += 1
+                if i + 9 >= len(blob):
+                    return None
             marker = blob[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2

@@ -502,6 +502,9 @@ def lm_score(spark, sf_dir: str, ref_source: str = "src0"):
     )
     c2 = ref_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
 
+    # v = 0 (empty reference slice) would make every score a silent
+    # 0-by-DIV-null (while the ANSI oracle raises) — fail loudly
+    # instead, in-plan so the guard costs no extra job (ADVICE r05)
     scored = (
         doc_bg.join(c2, ["w1", "w2"], "left")
         .join(c1.withColumnRenamed("w", "w1"), "w1", "left")
@@ -509,8 +512,11 @@ def lm_score(spark, sf_dir: str, ref_source: str = "src0"):
         .select(
             "doc_id",
             F.expr(
+                "IF(v = 0, raise_error('lm_score: reference slice is "
+                "empty (no docs with the given ref_source) — scores "
+                "would be undefined'), "
                 "(1000000 * (coalesce(c2, 0) + 1)) DIV "
-                "(coalesce(c1, 0) + v)"
+                "(coalesce(c1, 0) + v))"
             ).alias("s_e6"),
         )
     )
