@@ -138,9 +138,9 @@ def _open_perf(spark, n_events: int):
 
 
 def _steady_state(run, max_runs: int = 12, plateau: float = 0.10,
-                  budget_s: float = 60.0):
+                  budget_s: float = 60.0, settle_runs: int = 2):
     """Steady-state wallclock: one untimed warm-up, then repeat until
-    the timing plateaus; return (best, all_timed_runs).
+    the timing plateaus; return (best, all_timed_runs, median).
 
     The JVM's C2 JIT takes MANY runs to fully compile the generated
     scan/agg code: the 160M B1 curve measures 44.5 -> 3.0 -> 1.8 ->
@@ -152,7 +152,18 @@ def _steady_state(run, max_runs: int = 12, plateau: float = 0.10,
     runs or `budget_s` cumulative seconds.  Applied identically to
     BOTH engines, so the protocol stays symmetric.  The full run list
     goes into the artifact so a reader can see the curve a number came
-    from instead of trusting a point estimate."""
+    from instead of trusting a point estimate.
+
+    `median` (VERDICT r05 item 2): after the plateau, `settle_runs`
+    additional timed runs are taken and the median of the last
+    (settle_runs + 2) runs — the two plateau-confirming runs plus the
+    settled tail, never the JIT ramp — is returned as the gate's
+    REPORTED STATISTIC.  Best-of-N on a ±30% JIT/page-cache-variance
+    query flips across a ratio bar between same-day reruns; a
+    steady-state median is run-stable, and `best` stays in the
+    artifact for cross-round comparability."""
+    import statistics
+
     run()  # untimed warm-up
     best = None
     non_improving = 0
@@ -170,7 +181,15 @@ def _steady_state(run, max_runs: int = 12, plateau: float = 0.10,
             non_improving += 1
         if non_improving >= 2 or spent > budget_s:
             break
-    return best, runs
+    for _ in range(settle_runs):
+        if spent > budget_s * 1.5:
+            break  # settle tail gets slack but not unbounded time
+        cur = run()
+        spent += cur
+        runs.append(round(cur, 3))
+        best = min(best, cur)
+    tail = runs[-min(len(runs), settle_runs + 2):]
+    return best, runs, round(statistics.median(tail), 3)
 
 
 def run_baseline_gate(spark, n_events: int = None,
@@ -235,8 +254,8 @@ def run_baseline_gate(spark, n_events: int = None,
             )
             return time.time() - t0
 
-        best, runs = _steady_state(one)
-        return rows, best, runs
+        best, runs, med = _steady_state(one)
+        return rows, best, runs, med
 
     # session-level warm-up: the first-ever Spark job in a session pays
     # executor spin-up + codegen-infrastructure costs beyond what the
@@ -248,14 +267,15 @@ def run_baseline_gate(spark, n_events: int = None,
     # --- store block: headline layout + both marginal inputs ---
     st: dict = {}
     for name, prog in progs.items():
-        srows, hi_s, hi_runs = time_spark(store, prog)
-        lo_s, lo_runs = time_spark(store_lo, prog)[1:]
+        srows, hi_s, hi_runs, hi_med = time_spark(store, prog)
+        _r, lo_s, lo_runs, lo_med = time_spark(store_lo, prog)
         st[name] = {
             "rows": srows, "hi_s": hi_s, "hi_runs": hi_runs,
             "lo_s": lo_s, "lo_runs": lo_runs,
+            "hi_med": hi_med, "lo_med": lo_med,
         }
-        print(f"# store {name}: hi {hi_s:.3f}s {hi_runs} / "
-              f"lo {lo_s:.3f}s {lo_runs}", file=sys.stderr)
+        print(f"# store {name}: hi {hi_s:.3f}s med {hi_med:.3f}s "
+              f"{hi_runs} / lo {lo_s:.3f}s {lo_runs}", file=sys.stderr)
     _gc()
 
     # --- oracle block ---
@@ -284,27 +304,38 @@ def run_baseline_gate(spark, n_events: int = None,
             con.execute(lo_sql).fetchall()
             return time.time() - t0
 
-        ohi_s, ohi_runs = _steady_state(one_oracle)
-        olo_s, olo_runs = _steady_state(one_oracle_lo)
+        ohi_s, ohi_runs, ohi_med = _steady_state(one_oracle)
+        olo_s, olo_runs, olo_med = _steady_state(one_oracle_lo)
         oc[name] = {
             "rows": list(orows), "hi_s": ohi_s, "hi_runs": ohi_runs,
             "lo_s": olo_s, "lo_runs": olo_runs,
+            "hi_med": ohi_med, "lo_med": olo_med,
             "one_lo": one_oracle_lo,
         }
-        print(f"# oracle {name}: hi {ohi_s:.3f}s {ohi_runs} / "
-              f"lo {olo_s:.3f}s {olo_runs}", file=sys.stderr)
+        print(f"# oracle {name}: hi {ohi_s:.3f}s med {ohi_med:.3f}s "
+              f"{ohi_runs} / lo {olo_s:.3f}s {olo_runs}", file=sys.stderr)
 
     # --- assemble (flat-layout numbers are patched in by
     # run_flat_block, which the suite runs LAST: its 160M window sorts
     # degrade everything that runs after them in the same JVM — round
     # 4 measured the 20M FSM bench at 100 s right after the flat block
     # vs 22 s standalone) ---
-    out: dict = {"events": n_events, "trails": n_events // N_EVENTS}
-    tot = {"spark_store_s": 0.0, "oracle_s": 0.0}
+    out: dict = {
+        "events": n_events, "trails": n_events // N_EVENTS,
+        # the gate's declared statistic (VERDICT r05 item 2): ratios
+        # are reported on BOTH best and steady-state median; the BAR is
+        # declared on the MEDIAN (run-stable), best kept for
+        # cross-round comparability.  Full run lists per timing below.
+        "statistic": "median of post-plateau runs (see _steady_state); "
+                     "best retained for comparability",
+    }
+    tot = {"spark_store_s": 0.0, "oracle_s": 0.0,
+           "spark_store_med": 0.0, "oracle_med": 0.0}
     marginal: dict = {"events_lo": n_lo, "events_hi": n_events}
     d_ev = n_events - n_lo
     for name in BASELINE_DEFS:
         store_s, oracle_s = st[name]["hi_s"], oc[name]["hi_s"]
+        store_med, oracle_med = st[name]["hi_med"], oc[name]["hi_med"]
         match = sorted(tuple(r) for r in st[name]["rows"]) == sorted(
             tuple(r) for r in oc[name]["rows"]
         )
@@ -314,6 +345,11 @@ def run_baseline_gate(spark, n_events: int = None,
             "ratio_store": (
                 round(store_s / oracle_s, 2) if oracle_s else None
             ),
+            "spark_store_median_s": store_med,
+            "oracle_median_s": oracle_med,
+            "ratio_store_median": (
+                round(store_med / oracle_med, 2) if oracle_med else None
+            ),
             "spark_store_meps": round(n_events / store_s / 1e6, 1),
             "oracle_meps": round(n_events / oracle_s / 1e6, 1),
             "match": match,
@@ -322,15 +358,22 @@ def run_baseline_gate(spark, n_events: int = None,
         }
         tot["spark_store_s"] += store_s
         tot["oracle_s"] += oracle_s
+        tot["spark_store_med"] += store_med
+        tot["oracle_med"] += oracle_med
         print(f"# baseline {name}: store "
               f"{out[name]['spark_store_s']}s vs duckdb "
               f"{out[name]['oracle_s']}s = "
-              f"{out[name]['ratio_store']}x (match={match})",
+              f"{out[name]['ratio_store']}x best / "
+              f"{out[name]['ratio_store_median']}x median "
+              f"(match={match})",
               file=sys.stderr)
 
         lo_s, olo_s = st[name]["lo_s"], oc[name]["lo_s"]
+        lo_med, olo_med = st[name]["lo_med"], oc[name]["lo_med"]
         if oracle_s - olo_s <= 0:  # re-measure the cheap side once
-            olo_s = min(olo_s, _steady_state(oc[name]["one_lo"])[0])
+            re_best, _rr, re_med = _steady_state(oc[name]["one_lo"])
+            if re_best < olo_s:
+                olo_s, olo_med = re_best, re_med
         mrow: dict = {
             "spark_store_lo_s": round(lo_s, 3),
             "spark_store_hi_s": round(store_s, 3),
@@ -358,6 +401,15 @@ def run_baseline_gate(spark, n_events: int = None,
                     "marginal_ratio": round(sp_marg / or_marg, 2),
                 }
             )
+        # median-based marginal (same non-monotone guard, same
+        # honesty rule: null, never a clamped sentinel)
+        if store_med - lo_med <= 0 or oracle_med - olo_med <= 0:
+            mrow["marginal_ratio_median"] = None
+        else:
+            mrow["marginal_ratio_median"] = round(
+                ((store_med - lo_med) / d_ev)
+                / ((oracle_med - olo_med) / d_ev), 2
+            )
         marginal[name] = mrow
         print(f"# marginal {name}: spark {mrow['spark_marginal_meps']}"
               f" Mev/s vs duckdb {mrow['oracle_marginal_meps']}"
@@ -367,6 +419,11 @@ def run_baseline_gate(spark, n_events: int = None,
         "spark_store_s": round(tot["spark_store_s"], 3),
         "oracle_s": round(tot["oracle_s"], 3),
         "ratio_store": round(tot["spark_store_s"] / tot["oracle_s"], 2),
+        "spark_store_median_s": round(tot["spark_store_med"], 3),
+        "oracle_median_s": round(tot["oracle_med"], 3),
+        "ratio_store_median": round(
+            tot["spark_store_med"] / tot["oracle_med"], 2
+        ),
     }
     out["marginal"] = marginal
     out["b3_trails_per_sec"] = round(
@@ -404,16 +461,22 @@ def run_flat_block(spark, gate_out: dict) -> None:
             ).counters_df().collect()
             return time.time() - t0
 
-        f_s, f_runs = _steady_state(one)
+        f_s, f_runs, f_med = _steady_state(one)
         _gc()
         row = gate_out[name]
         row["spark_s"] = round(f_s, 3)
         row["ratio"] = (
             round(f_s / row["oracle_s"], 2) if row["oracle_s"] else None
         )
+        row["spark_median_s"] = f_med
+        row["ratio_median"] = (
+            round(f_med / row["oracle_median_s"], 2)
+            if row.get("oracle_median_s") else None
+        )
         row["spark_flat_runs"] = f_runs
         tot_flat += f_s
-        print(f"# flat {name}: {f_s:.3f}s {f_runs}", file=sys.stderr)
+        print(f"# flat {name}: {f_s:.3f}s med {f_med:.3f}s {f_runs}",
+              file=sys.stderr)
     gate_out["total"]["spark_s"] = round(tot_flat, 3)
     gate_out["total"]["ratio"] = round(
         tot_flat / gate_out["total"]["oracle_s"], 2
@@ -771,11 +834,14 @@ def _gate_summary(gate: dict | None) -> dict | None:
             "store_s": g.get("spark_store_s"),
             "oracle_s": g.get("oracle_s"),
             "ratio_store": g.get("ratio_store"),
+            "ratio_store_median": g.get("ratio_store_median"),
             "marginal_ratio": m.get("marginal_ratio"),
+            "marginal_ratio_median": m.get("marginal_ratio_median"),
             "match": g.get("match"),
         }
     tot = gate.get("total") or {}
     s["total_ratio_store"] = tot.get("ratio_store")
+    s["total_ratio_store_median"] = tot.get("ratio_store_median")
     for k in ("b1_fsm_path", "b2_fsm_path", "streaming"):
         sub = gate.get(k) or {}
         s[k + "_eps"] = sub.get("events_per_sec")
