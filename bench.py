@@ -643,8 +643,10 @@ def run_gate_suite() -> dict:
 
 def run_pair_scale_bench(spark, n_docs: int = 5_000_000) -> dict:
     """Dedup pair family at a scale where the O(candidates) terms
-    dominate (VERDICT r04 item 6): minhash_lsh_pairs, dedup_clusters
-    and dedup_apply end-to-end over a generated ``n_docs`` corpus with
+    dominate (VERDICT r04 item 6): minhash_lsh_pairs, simhash_pairs,
+    embedding_near_dup_pairs (on a planted n_docs/5 vector corpus),
+    dedup_clusters and dedup_apply end-to-end over a generated
+    ``n_docs`` corpus with
     planted exact/near duplicates and a boilerplate hot-shingle flood
     (trck_spark.benchdata.ensure_docs_dataset — ground truth returned
     by the generator, asserted here, so this is a value-checked bench,
@@ -691,12 +693,114 @@ def run_pair_scale_bench(spark, n_docs: int = 5_000_000) -> dict:
         & (F.col("a") == F.col("b") - orig_hi)
     ).count()
     _dd.release(pairs)
+    # The recall BAR is banding theory minus 3 sigma (VERDICT r05
+    # item 4): the planted near pairs perturb 9 of 28 3-gram shingles
+    # per side (generator positions 7/17/27), so J = 19/37 exactly, and
+    # 32x4 banding detects with p = 1 - (1 - J^4)^32 ~= 0.9003 — the
+    # measured 0.8999 of round 5 was theory, not a defect.  The bar is
+    # the binomial 3-sigma floor under that p at n_near trials; a fixed
+    # "0.9" bar was the round-4 wording accident this replaces.
+    import math
+
+    n_words, pert_pos = 30, (7, 17, 27)  # ensure_docs_dataset defaults
+    n_sh = n_words - 2
+    pert = {
+        s for p in pert_pos for s in range(p - 2, p + 1)
+        if 0 <= s <= n_words - 3
+    }
+    j_planted = (n_sh - len(pert)) / (n_sh + len(pert))
+    p_theory = 1 - (1 - j_planted ** _dd.ROWS_PER_BAND) ** _dd.N_BANDS
+    bar = p_theory - 3 * math.sqrt(
+        p_theory * (1 - p_theory) / max(truth["n_near"], 1)
+    )
+    near_recall = round(found_near / max(truth["n_near"], 1), 4)
     out["minhash_lsh_pairs"] = {
         "s": round(el, 1), "docs_per_s": int(n_docs / el),
         "n_pairs": n_pairs, "n_candidates": n_cands,
         "dropped_buckets": n_dropped,
-        "near_recall": round(found_near / max(truth["n_near"], 1), 4),
+        "near_recall": near_recall,
+        "near_recall_theory": round(p_theory, 4),
+        "near_recall_bar": round(bar, 4),
+        "near_recall_meets_bar": near_recall >= round(bar, 4),
         "exact_recall": round(found_exact / max(truth["n_exact"], 1), 4),
+    }
+    _gc()
+
+    # --- simhash at candidate-dominated scale (VERDICT r05 item 5):
+    # exact dups have hamming 0 and identical fingerprints, so the
+    # 6-choose-3 multi-index MUST find every one (pigeonhole — a hard
+    # 1.0 bar); planted near dups swap 3 of 30 words, whose hamming is
+    # signal-dependent, so that slice is reported, not gated.
+    t0 = _t.time()
+    sh = _dd.simhash_pairs(spark, path, max_hamming=3, log_dropped=True)
+    n_sh_pairs = sh.count()
+    el = _t.time() - t0
+    sh_cands = sh._trck_candidates.count()
+    sh_dropped = (
+        sh._trck_dropped_buckets.count()
+        if sh._trck_dropped_buckets is not None else 0
+    )
+    sh_exact = sh.filter(
+        (F.col("b") >= orig_hi) & (F.col("b") < near_lo)
+        & (F.col("a") == F.col("b") - orig_hi)
+    ).count()
+    sh_near = sh.filter(
+        (F.col("b") >= near_lo) & (F.col("a") == F.col("b") - near_lo)
+    ).count()
+    _dd.release(sh)
+    out["simhash_pairs"] = {
+        "s": round(el, 1), "docs_per_s": int(n_docs / el),
+        "n_pairs": n_sh_pairs, "n_candidates": sh_cands,
+        "dropped_buckets": sh_dropped,
+        "exact_recall": round(sh_exact / max(truth["n_exact"], 1), 4),
+        "exact_recall_meets_bar": sh_exact == truth["n_exact"],
+        "near_found": sh_near,
+    }
+    _gc()
+
+    # --- embedding near-dup at scale (VERDICT r05 item 5): a planted
+    # 1M-vector corpus (n_docs/5, dim 64).  Exact-duplicate vectors
+    # collide in EVERY hyperplane band and verify at cosine 1.0, so
+    # that slice is a hard 1.0 bar; near dups (one coordinate
+    # replaced, cosine ~0.98) are LSH-probabilistic and reported.
+    # 8 bands x 20 planes keeps random-pair collisions ~1e-5 while
+    # detecting cosine-0.98 pairs with p ~ 0.95.
+    from trck_spark.benchdata import ensure_embeddings_dataset
+
+    n_vecs = max(n_docs // 5, 1_000)
+    t0 = _t.time()
+    etruth = ensure_embeddings_dataset(spark, path, n_vecs=n_vecs)
+    out["emb_gen_s"] = round(_t.time() - t0, 1)
+    e_near_lo, e_orig_hi = etruth["near_lo"], etruth["orig_hi"]
+    t0 = _t.time()
+    ep = _dd.embedding_near_dup_pairs(
+        spark, path, threshold=0.9, n_bands=8, band_planes=20,
+        log_dropped=True,
+    )
+    n_ep = ep.count()
+    el = _t.time() - t0
+    ep_cands = ep._trck_candidates.count()
+    ep_dropped = (
+        ep._trck_dropped_buckets.count()
+        if ep._trck_dropped_buckets is not None else 0
+    )
+    ep_exact = ep.filter(
+        (F.col("b") >= e_orig_hi) & (F.col("b") < e_near_lo)
+        & (F.col("a") == F.col("b") - e_orig_hi)
+    ).count()
+    ep_near = ep.filter(
+        (F.col("b") >= e_near_lo)
+        & (F.col("a") == F.col("b") - e_near_lo)
+    ).count()
+    _dd.release(ep)
+    out["embedding_near_dup_pairs"] = {
+        "n_vecs": n_vecs, "s": round(el, 1),
+        "vecs_per_s": int(n_vecs / el),
+        "n_pairs": n_ep, "n_candidates": ep_cands,
+        "dropped_buckets": ep_dropped,
+        "exact_recall": round(ep_exact / max(etruth["n_exact"], 1), 4),
+        "exact_recall_meets_bar": ep_exact == etruth["n_exact"],
+        "near_recall": round(ep_near / max(etruth["n_near"], 1), 4),
     }
     _gc()
 
@@ -858,6 +962,22 @@ def _gate_summary(gate: dict | None) -> dict | None:
                 "near_recall": (ps.get("minhash_lsh_pairs") or {}).get(
                     "near_recall"
                 ),
+                "near_recall_bar": (
+                    ps.get("minhash_lsh_pairs") or {}
+                ).get("near_recall_bar"),
+                "near_recall_meets_bar": (
+                    ps.get("minhash_lsh_pairs") or {}
+                ).get("near_recall_meets_bar"),
+                "simhash_s": (ps.get("simhash_pairs") or {}).get("s"),
+                "simhash_exact_recall": (
+                    ps.get("simhash_pairs") or {}
+                ).get("exact_recall"),
+                "embedding_s": (
+                    ps.get("embedding_near_dup_pairs") or {}
+                ).get("s"),
+                "embedding_exact_recall": (
+                    ps.get("embedding_near_dup_pairs") or {}
+                ).get("exact_recall"),
                 "survivors_match": (ps.get("dedup_apply") or {}).get(
                     "survivors_match"
                 ),

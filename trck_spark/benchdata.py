@@ -179,3 +179,83 @@ def ensure_docs_dataset(spark, path: str, n_docs: int = 5_000_000,
     with open(marker, "w") as f:
         json.dump(want, f)
     return truth
+
+
+# ---------------------------------------------- dedup-scale embeddings
+
+EMB_GEN_VERSION = 1
+
+
+def ensure_embeddings_dataset(spark, path: str, n_vecs: int = 1_000_000,
+                              dim: int = 64,
+                              exact_frac: float = 0.02,
+                              near_frac: float = 0.10) -> dict:
+    """Generate (once, marker-cached) an embeddings.parquet table at
+    ``path`` sized for the embedding near-dup scale bench, and return
+    its planted ground truth.  Same id layout as the documents
+    generator:
+
+      - [0, orig_hi):       originals — coordinates are hash functions
+                            of (base_id, j) uniform in [-1, 1]; at
+                            dim=64 the expected cosine of two random
+                            vectors is ~0 (never near the threshold).
+      - [orig_hi, near_lo): EXACT duplicates of base = id - orig_hi
+                            (identical vector, cosine 1: must collide
+                            in EVERY LSH band, so found-recall on this
+                            slice is a hard 1.0 bar).
+      - [near_lo, n_vecs):  NEAR duplicates — coordinate j = 0 replaced
+                            with an independent hash value (expected
+                            cosine ~ (dim-1)/dim ~= 0.98 at dim=64:
+                            far above a 0.9 verification threshold;
+                            LSH-band detection is probabilistic, so
+                            this slice reports recall, not a bar).
+
+    Pure Catalyst over spark.range — no driver data, no Python UDF —
+    and deterministic, so reruns and the quantized verification are
+    bit-stable."""
+    n_exact = int(n_vecs * exact_frac)
+    n_near = int(n_vecs * near_frac)
+    orig_hi = n_vecs - n_exact - n_near
+    near_lo = n_vecs - n_near
+    truth = {
+        "n_vecs": n_vecs, "dim": dim, "n_exact": n_exact,
+        "n_near": n_near, "orig_hi": orig_hi, "near_lo": near_lo,
+    }
+    marker = os.path.join(path, "_GEN_EMB.json")
+    want = {"v": EMB_GEN_VERSION, "n_vecs": n_vecs, "dim": dim,
+            "exact_frac": exact_frac, "near_frac": near_frac}
+    try:
+        with open(marker) as f:
+            if json.load(f) == want:
+                return truth
+    except (OSError, ValueError):
+        pass
+
+    from pyspark.sql import functions as F
+
+    base = (
+        f"CASE WHEN id >= {near_lo} THEN id - {near_lo} "
+        f"WHEN id >= {orig_hi} THEN id - {orig_hi} ELSE id END"
+    )
+    # uniform in [-1, 1] with 1e-6 resolution (exact under the int64
+    # quantization the embedding operators verify with)
+    coord = (
+        f"CASE WHEN id >= {near_lo} AND j = 0 "
+        f"THEN (pmod(xxhash64(id * 127 + 3000000000), 2000001) "
+        f"- 1000000) / 1e6 "
+        f"ELSE (pmod(xxhash64(({base}) * 131 + j), 2000001) "
+        f"- 1000000) / 1e6 END"
+    )
+    vec = (
+        f"transform(sequence(0, {dim - 1}), "
+        f"j -> cast(({coord}) AS float))"
+    )
+    df = spark.range(0, n_vecs, 1, 64).select(
+        F.col("id").alias("vec_id"), F.expr(vec).alias("embedding")
+    )
+    df.write.mode("overwrite").parquet(
+        os.path.join(path, "embeddings.parquet")
+    )
+    with open(marker, "w") as f:
+        json.dump(want, f)
+    return truth

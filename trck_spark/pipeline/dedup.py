@@ -792,6 +792,19 @@ def simhash_pairs(spark, sf_dir: str, max_hamming: int = 3,
     )
     out = _own_caches(out, [fps])
     out._trck_dropped_buckets = dropped
+    # lazy pre-verification candidates (key collisions before the
+    # hamming filter), same diagnostic handle as the minhash path —
+    # nothing executes unless a caller counts it
+    out._trck_candidates = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.kv") == F.col("b.kv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
     return out
 
 
@@ -929,6 +942,9 @@ def embedding_near_dup_pairs(
         [emb, keys],
     )
     out._trck_dropped_buckets = dropped
+    # lazy band-collision candidates (pre-verification), diagnostic
+    # handle mirroring the minhash/simhash paths
+    out._trck_candidates = cand
     return out
 
 
