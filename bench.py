@@ -592,6 +592,100 @@ def run_streaming_bench(spark, n_events: int = 20_000_000) -> dict:
     }
 
 
+def run_streaming_window_bench(spark, n_events: int = 20_000_000) -> dict:
+    """Streaming throughput WITH a window-file side input active
+    (VERDICT r05 item 8): the 20M-event perf dataset streamed through
+    ``streaming_partials`` with a window_df covering every trail plus a
+    second bounded entry for every 10th uuid — so the stream-static
+    join, the per-(original uuid, entry) state keys, and the multi-
+    entry fan-out all sit on the timed path.  The emitted counter total
+    is checked against two batch SQL counts over the same parquet (the
+    full-range entries see every click; the sub-range entries see the
+    clicks inside their bounds), so the number is value-checked, not
+    just a stopwatch."""
+    from pyspark.sql import functions as F
+
+    from trck_spark.streaming import streaming_partials
+
+    path, _ = _perf_paths(n_events)
+    schema = spark.read.parquet(path).schema
+    n_cookies = n_events // 200  # benchdata: N_EVENTS per cookie
+    w_df = (
+        spark.range(n_cookies)
+        .selectExpr(
+            "concat('u', id) AS uuid",
+            "CAST(0 AS LONG) AS s",
+            "CAST(2000000 AS LONG) AS e",
+        )
+        .union(
+            spark.range(0, n_cookies, 10).selectExpr(
+                "concat('u', id) AS uuid",
+                "CAST(1010000 AS LONG) AS s",
+                "CAST(1020000 AS LONG) AS e",
+            )
+        )
+    )
+    prog = """
+start ->
+    receive
+        event_type = "click" -> yield $clicks, repeat
+        * -> repeat
+"""
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+    parts = streaming_partials(
+        sdf, prog, uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+        window_df=w_df,
+    )
+    got = {"clicks": 0, "rows": 0}
+
+    def sink(batch_df, _bid):
+        row = batch_df.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        ).collect()[0]
+        got["clicks"] += int(row["s"])
+        got["rows"] += int(row["c"])
+
+    t0 = time.time()
+    q = (
+        parts.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(1200)
+    dt = time.time() - t0
+    if not finished:
+        q.stop()
+        return {
+            "events": n_events, "seconds": round(dt, 3),
+            "error": "timeout after 1200s (partial run, no throughput)",
+        }
+    ev = spark.read.parquet(path)
+    expected = ev.filter(F.col("event_type") == "click").count()
+    expected += (
+        ev.filter(
+            (F.col("event_type") == "click")
+            & (F.col("timestamp") >= 1_010_000)
+            & (F.col("timestamp") < 1_020_000)
+            & (F.expr("CAST(substring(uuid, 2) AS LONG)") % 10 == 0)
+        ).count()
+    )
+    return {
+        "events": n_events,
+        "window_entries": n_cookies + n_cookies // 10,
+        "seconds": round(dt, 3),
+        "events_per_sec": round(n_events / dt, 1),
+        "clicks": got["clicks"],
+        "expected_clicks": expected,
+        "clicks_match": got["clicks"] == expected,
+    }
+
+
 def run_gate_suite() -> dict:
     """Everything that needs the 48g heap / 160M dataset, in one
     process: baseline gate, marginal gate, FSM-path benches (B1
@@ -623,6 +717,13 @@ def run_gate_suite() -> dict:
     except Exception as e:
         out["streaming"] = {"error": f"{type(e).__name__}: {e}"}
         print(f"# streaming bench failed: {e}", file=sys.stderr)
+    try:
+        out["streaming_window"] = run_streaming_window_bench(spark)
+        print(f"# streaming with window file: {out['streaming_window']}",
+              file=sys.stderr)
+    except Exception as e:
+        out["streaming_window"] = {"error": f"{type(e).__name__}: {e}"}
+        print(f"# streaming window bench failed: {e}", file=sys.stderr)
     try:
         n_pair_docs = int(
             os.environ.get("SPARK_GRAFT_PAIR_DOCS", 5_000_000)
@@ -946,9 +1047,13 @@ def _gate_summary(gate: dict | None) -> dict | None:
     tot = gate.get("total") or {}
     s["total_ratio_store"] = tot.get("ratio_store")
     s["total_ratio_store_median"] = tot.get("ratio_store_median")
-    for k in ("b1_fsm_path", "b2_fsm_path", "streaming"):
+    for k in ("b1_fsm_path", "b2_fsm_path", "streaming",
+              "streaming_window"):
         sub = gate.get(k) or {}
         s[k + "_eps"] = sub.get("events_per_sec")
+    sw = gate.get("streaming_window") or {}
+    if "clicks_match" in sw:
+        s["streaming_window_match"] = sw["clicks_match"]
     ps = gate.get("pair_scale") or {}
     if ps:
         if "error" in ps:
