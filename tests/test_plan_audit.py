@@ -214,3 +214,41 @@ def test_pair_family_has_no_broadcast_hints(analyzed_plans):
         if n_hints:
             bad.append((name, n_hints))
     assert not bad, f"broadcast hints on corpus-scaled queries: {bad}"
+
+
+def test_bucket_cap_guard_adds_no_band_exchange(spark):
+    """The LSH bucket-cap guard must cost ZERO exchanges of the banded
+    rows beyond what the band self-join needs anyway (VERDICT r05
+    item 6): sizes come from a window count that piggybacks on each
+    join side's hash exchange.  Pin the physical shape: with the cap
+    active, exactly the TWO join-side exchanges over (band, bh) exist
+    (round 5's groupBy + anti-join form added a third full exchange
+    for the sizes aggregation), with the window count sitting on them;
+    uncapped at this tiny scale the join broadcasts — zero exchanges —
+    which is why the auto cap is size-gated off for small corpora."""
+    from trck_spark.pipeline import dedup as dd
+
+    def shape(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        ex = sum(
+            1 for l in plan.splitlines()
+            if "Exchange hashpartitioning(band" in l
+        )
+        win = sum(
+            1 for l in plan.splitlines()
+            if "Window [count(1)" in l and "band" in l
+        )
+        return ex, win
+
+    capped = dd.minhash_lsh_pairs(
+        spark, SF_DIR, threshold=0.2, max_band_bucket=4096
+    )
+    uncapped = dd.minhash_lsh_pairs(
+        spark, SF_DIR, threshold=0.2, max_band_bucket=None
+    )
+    try:
+        assert shape(capped) == (2, 2), shape(capped)
+        assert shape(uncapped) == (0, 0), shape(uncapped)
+    finally:
+        dd.release(capped)
+        dd.release(uncapped)
