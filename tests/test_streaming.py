@@ -502,3 +502,60 @@ wait ->
 
     r_hex = cookie_to_bytes("R").hex()
     assert {r["uuid"] for r in rows} == {r_hex}
+
+
+def test_streaming_window_df_timeout_reports_replacement_id(
+    spark, tmp_path
+):
+    """Event-time-timeout finalization with a window_df: the timed-out
+    step call sees NO rows, so the replacement id must come from the
+    carried state — the pending `after` edge's yield still reports
+    under the rebound uuid."""
+    from pyspark.sql import functions as F
+
+    from trck_spark.runner import cookie_to_bytes
+    from trck_spark.streaming import streaming_partials
+
+    src = tmp_path / "wto"
+    src.mkdir(parents=True)
+    schema = "uuid string, timestamp long, seq long, event_type string"
+    # u1 arms the bounce window and goes idle; zz1 advances the
+    # watermark in two later batches to fire u1's event-time timer
+    spark.createDataFrame(
+        [("u1", 1_000_100, 0, "view")], schema
+    ).coalesce(1).write.parquet(str(src / "a.parquet"))
+    _pin_mtime(src / "a.parquet", 1_700_000_000)
+    spark.createDataFrame(
+        [("zz1", 5_000_000, 0, "click")], schema
+    ).coalesce(1).write.parquet(str(src / "b.parquet"))
+    _pin_mtime(src / "b.parquet", 1_700_000_001)
+    spark.createDataFrame(
+        [("zz1", 9_000_000, 1, "click")], schema
+    ).coalesce(1).write.parquet(str(src / "c.parquet"))
+    _pin_mtime(src / "c.parquet", 1_700_000_002)
+
+    w_df = spark.createDataFrame(
+        [("u1", 0, 2_000_000_000, "R"), ("zz1", 0, 2_000_000_000, None)],
+        "uuid string, s long, e long, rid string",
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*.parquet"))
+    )
+    parts = streaming_partials(
+        stream, PROG_BOUNCE_STREAM, uuid_col="uuid", ts_col="timestamp",
+        seq_col="seq", window_df=w_df, finalize_idle_gap=60,
+    )
+    collected = []
+
+    def sink(batch_df, _bid):
+        collected.extend(batch_df.collect())
+
+    q = parts.writeStream.foreachBatch(sink).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(300)
+    got = {(r["uuid"], r["var"]): r["n"] for r in collected}
+    r_hex = cookie_to_bytes("R").hex()
+    assert got == {(r_hex, "$bounces"): 1}
