@@ -155,13 +155,16 @@ def _steady_state(run, max_runs: int = 12, plateau: float = 0.10,
     from instead of trusting a point estimate.
 
     `median` (VERDICT r05 item 2): after the plateau, `settle_runs`
-    additional timed runs are taken and the median of the last
-    (settle_runs + 2) runs — the two plateau-confirming runs plus the
-    settled tail, never the JIT ramp — is returned as the gate's
-    REPORTED STATISTIC.  Best-of-N on a ±30% JIT/page-cache-variance
-    query flips across a ratio bar between same-day reruns; a
-    steady-state median is run-stable, and `best` stays in the
-    artifact for cross-round comparability."""
+    additional timed runs are taken, and the median is computed over
+    the STEADY-STATE SUBSET — the last (settle_runs + 2) runs that lie
+    within 1.5x of the best.  The subset rule (not just "last N") is
+    what excludes the ramp even when the loop exits on the time budget
+    mid-descent: a 160M cold-page-cache first run can be 7x the steady
+    state, and a plain tail median would inherit it.  Best-of-N on a
+    ±30% JIT/page-cache-variance query flips across a ratio bar
+    between same-day reruns; the steady-state median is the gate's
+    REPORTED STATISTIC, and `best` stays in the artifact for
+    cross-round comparability."""
     import statistics
 
     run()  # untimed warm-up
@@ -188,7 +191,8 @@ def _steady_state(run, max_runs: int = 12, plateau: float = 0.10,
         spent += cur
         runs.append(round(cur, 3))
         best = min(best, cur)
-    tail = runs[-min(len(runs), settle_runs + 2):]
+    steady = [r for r in runs if r <= best * 1.5] or [best]
+    tail = steady[-min(len(steady), settle_runs + 2):]
     return best, runs, round(statistics.median(tail), 3)
 
 
