@@ -698,11 +698,18 @@ def run_gate_suite() -> dict:
 
     spark = get_spark("trck_spark_gate")
     spark.sparkContext.setLogLevel("ERROR")
+    # contention attribution: a loaded box (orphan JVMs, concurrent
+    # test runs) shows up here, so a slow artifact is inspectable
+    load0 = [round(x, 2) for x in os.getloadavg()]
     out: dict = {}
     try:
         out = run_baseline_gate(spark)
     except Exception as e:
         return {"error": f"{type(e).__name__}: {e}"}
+    out["loadavg_at_start"] = load0
+    out["loadavg_after_baseline"] = [
+        round(x, 2) for x in os.getloadavg()
+    ]
     for key, prog_name in (("b1_fsm_path", B1_PROG), ("b2_fsm_path", None)):
         try:
             if prog_name is None:
@@ -996,6 +1003,32 @@ def run_pair_scale_bench(spark, n_docs: int = 5_000_000) -> dict:
     return out
 
 
+def _run_child(cmd, env, timeout):
+    """subprocess.run with PROCESS-GROUP kill on timeout.  A plain
+    timeout= kills only the direct python child and orphans the py4j-
+    launched JVM, which keeps burning 32 threads on whatever 160M job
+    it was mid-flight in — round-6 calibration measured a later
+    gate run 40% slow from exactly such an orphan.  start_new_session
+    puts the child (and its JVM) in a fresh process group so the
+    whole tree dies together."""
+    import signal
+
+    proc = subprocess.Popen(
+        cmd, env=env, stdout=sys.stderr, start_new_session=True
+    )
+    try:
+        proc.wait(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        proc.wait()
+        print(f"# child timed out after {timeout}s (tree killed)",
+              file=sys.stderr)
+    return proc
+
+
 def _gate_subprocess() -> dict | None:
     """Run the gate suite in a child process with the 48g heap and
     return its parsed result (also persisted to BENCH_GATE.json — the
@@ -1012,22 +1045,20 @@ def _gate_subprocess() -> dict | None:
         pass
     env = dict(os.environ)
     env.setdefault("SPARK_DRIVER_MEM", "48g")
-    proc = subprocess.run(
+    proc = _run_child(
         [sys.executable, os.path.abspath(__file__), "--gate",
          "--out", out_path],
-        env=env,
-        stdout=sys.stderr,  # keep this process's stdout for the contract line
-        timeout=5400,
+        env=env, timeout=5400,
     )
     if proc.returncode != 0:
         print(f"# gate subprocess rc={proc.returncode}", file=sys.stderr)
         return {"error": f"gate subprocess exited rc={proc.returncode}"}
     # flat block in its OWN fresh 48g JVM (see run_gate_suite note):
     # reads the artifact, patches the flat columns, rewrites atomically
-    flat = subprocess.run(
+    flat = _run_child(
         [sys.executable, os.path.abspath(__file__), "--flat",
          "--out", out_path],
-        env=env, stdout=sys.stderr, timeout=2700,
+        env=env, timeout=2700,
     )
     if flat.returncode != 0:
         print(f"# flat subprocess rc={flat.returncode}", file=sys.stderr)
