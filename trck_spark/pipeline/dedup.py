@@ -114,15 +114,22 @@ def _cap_buckets(df, key_cols, cap, label, log_dropped=False):
     an eager count emits a warning with the dropped row mass (used by
     the stress tests and the scale bench, which report it).
 
-    Plan shape: ONE exchange.  Bucket sizes come from a window count
-    over the banding key on the same rows (round-5's groupBy +
-    anti-join form paid a second full exchange over the banded rows;
-    VERDICT r05 item 6) — and because the self-join that always
-    follows joins on the SAME key columns, Catalyst reuses the
-    window's hash partitioning for the join sides, so the guard adds
-    no exchange beyond what the join needs anyway.
+    Plan shape: the guard itself is ONE exchange.  Bucket sizes come
+    from a window count over the banding key on the same rows
+    (round-5's groupBy + anti-join form paid a second full exchange
+    over the banded rows; VERDICT r05 item 6), and ``kept`` is
+    PERSISTED: the self-join that always follows consumes it on both
+    sides, and the InMemoryTableScan preserves the window's hash
+    partitioning, so the join plans with ZERO further exchanges and
+    the explode/window lineage computes once instead of per side
+    (Catalyst's ReusedExchange does not fire across the two aliased
+    join branches).  The cache is fixed-width (key cols + doc id) and
+    MEMORY_AND_DISK, so a 100 TB corpus spills rather than OOMs;
+    callers own the release via their ``_own_caches`` list, which
+    :func:`release` walks.
 
-    ``cap=None`` disables the guard (exact parity mode)."""
+    ``cap=None`` disables the guard (exact parity mode); the returned
+    kept frame is then ``df`` itself, un-persisted."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -131,7 +138,7 @@ def _cap_buckets(df, key_cols, cap, label, log_dropped=False):
     sized = df.withColumn(
         "__bn", F.count(F.lit(1)).over(W.partitionBy(*key_cols))
     )
-    kept = sized.filter(F.col("__bn") <= cap).drop("__bn")
+    kept = sized.filter(F.col("__bn") <= cap).drop("__bn").persist()
     over = (
         sized.filter(F.col("__bn") > cap)
         .select(*key_cols, F.col("__bn").alias("bn"))
@@ -611,7 +618,10 @@ def minhash_lsh_pairs(spark, sf_dir: str, threshold: float = 0.2,
         .filter(jac >= threshold)
         .select("a", "b", F.floor(jac * 1000000).cast("long").alias("jaccard_e6"))
         .orderBy("a", "b"),
-        [hashes_df, banded_cache],
+        # `bands` is persisted by _cap_buckets when the cap is active
+        # (both self-join sides read it partition-preserving)
+        [hashes_df, banded_cache]
+        + ([bands] if dropped is not None else []),
     )
     out._trck_dropped_buckets = dropped
     # lazy band-collision candidate pairs (pre-verification): nothing
@@ -790,7 +800,9 @@ def simhash_pairs(spark, sf_dir: str, max_hamming: int = 3,
         .distinct()
         .orderBy("a", "b")
     )
-    out = _own_caches(out, [fps])
+    out = _own_caches(
+        out, [fps] + ([keys] if dropped is not None else [])
+    )
     out._trck_dropped_buckets = dropped
     # lazy pre-verification candidates (key collisions before the
     # hamming filter), same diagnostic handle as the minhash path —
@@ -939,7 +951,8 @@ def embedding_near_dup_pairs(
             F.floor(F.col("cos") * 1000000).cast("long").alias("cos_e6"),
         )
         .orderBy("a", "b"),
-        [emb, keys],
+        [emb, keys]
+        + ([keys_capped] if dropped is not None else []),
     )
     out._trck_dropped_buckets = dropped
     # lazy band-collision candidates (pre-verification), diagnostic
