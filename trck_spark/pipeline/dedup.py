@@ -213,6 +213,12 @@ def ngram_jaccard_pairs(
     would otherwise dominate the job (standard practice in web-scale
     dedup; near-universal shingles carry no similarity signal anyway).
     The surviving join is bounded by max_shingle_df^2 pairs per shingle.
+    The guard is :func:`_cap_buckets` with the shingle hash as the
+    bucket key: ONE exchange (window count over ``h``), with the kept
+    frame persisted so the per-doc counts and both self-join sides read
+    the same hash-partitioned cache — the self-join then plans with
+    zero further exchanges (round-5's groupBy + anti-join form re-ran
+    the filter once per aliased branch).
 
     No forced broadcasts anywhere: the hot set and the per-doc count
     table both scale with the corpus (counts is one row PER DOCUMENT —
@@ -221,17 +227,12 @@ def ngram_jaccard_pairs(
     AQE broadcasts a side at runtime iff it is actually small."""
     from pyspark.sql import functions as F
 
-    sh_cached = shingle_df(spark, sf_dir).select(
-        "doc_id", F.xxhash64("s").alias("h")
+    sh, _hot = _cap_buckets(
+        shingle_df(spark, sf_dir).select(
+            "doc_id", F.xxhash64("s").alias("h")
+        ),
+        ["h"], max_shingle_df, "ngram_jaccard_pairs",
     )
-    sh_cached.cache()
-    hot = (
-        sh_cached.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > max_shingle_df)
-        .select("h")
-    )
-    sh = sh_cached.join(hot, "h", "left_anti")
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -256,7 +257,7 @@ def ngram_jaccard_pairs(
         .filter(jac >= threshold)
         .select("a", "b", F.floor(jac * 1000000).cast("long").alias("jaccard_e6"))
         .orderBy("a", "b"),
-        [sh_cached],
+        [sh],
     )
 
 
@@ -274,24 +275,20 @@ def ngram_containment_pairs(
     near-dups, containment for subset duplication (Broder's original
     resemblance/containment pair).
 
-    Same inverted-index join, df-cap skew guard, fixed-width hashed
-    shuffle keys, and no-forced-broadcast rule as
-    :func:`ngram_jaccard_pairs`; only the final scoring expression
-    differs, so the 100 TB properties carry over unchanged.
+    Same inverted-index join, one-exchange :func:`_cap_buckets` df-cap
+    skew guard, fixed-width hashed shuffle keys, and
+    no-forced-broadcast rule as :func:`ngram_jaccard_pairs`; only the
+    final scoring expression differs, so the 100 TB properties carry
+    over unchanged.
     """
     from pyspark.sql import functions as F
 
-    sh_cached = shingle_df(spark, sf_dir).select(
-        "doc_id", F.xxhash64("s").alias("h")
+    sh, _hot = _cap_buckets(
+        shingle_df(spark, sf_dir).select(
+            "doc_id", F.xxhash64("s").alias("h")
+        ),
+        ["h"], max_shingle_df, "ngram_containment_pairs",
     )
-    sh_cached.cache()
-    hot = (
-        sh_cached.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > max_shingle_df)
-        .select("h")
-    )
-    sh = sh_cached.join(hot, "h", "left_anti")
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -319,7 +316,7 @@ def ngram_containment_pairs(
             F.floor(cont * 1000000).cast("long").alias("containment_e6"),
         )
         .orderBy("a", "b"),
-        [sh_cached],
+        [sh],
     )
 
 
