@@ -131,3 +131,156 @@ def _run(prog_name, trails, no_codegen):
 def test_codegen_equals_interpreter_on_random_trails(deltas, prog):
     trails = _trails(deltas)
     assert _run(prog, trails, True) == _run(prog, trails, False)
+
+
+# --- random PROGRAMS, not just random trails ------------------------
+#
+# The reference's trick tool (reference trick/trick.py) model-tests the
+# matcher by generating inputs against fixed programs; the six PROGRAMS
+# above do the same here.  This section closes the other half of the
+# space: the program TEXT itself is drawn — random state graphs, clause
+# conjunctions, yield combinations, timeout edges, foreach wrapping —
+# constrained to the documented grammar so every draw must parse and
+# evaluate identically on both execution paths.  Window blocks are
+# drawn too (never at `start`, which execution enters implicitly —
+# the reference's programs always arm a window via a transition):
+# inner transitions stay within the window (or repeat/quit/re-arm),
+# the window's `after` edge returns to the outer graph, and inner
+# yields may use `start_timestamp[window]`.
+
+_COUNTERS = ["$c0", "$c1"]
+_YIELD_ITEMS = ["t", "u", "ts", "cookie"]
+
+
+def _draw_actions(draw, targets, extra_items=()):
+    items = _YIELD_ITEMS + list(extra_items)
+    parts = []
+    for _ in range(draw(st.integers(min_value=0, max_value=2))):
+        kind = draw(st.sampled_from(["counter", "set", "mset", "hll"]))
+        if kind == "counter":
+            parts.append(f"yield {draw(st.sampled_from(_COUNTERS))}")
+        elif kind == "set":
+            picked = draw(
+                st.lists(
+                    st.sampled_from(items),
+                    min_size=1, max_size=2, unique=True,
+                )
+            )
+            parts.append(f"yield {', '.join(picked)} to #s0")
+        elif kind == "mset":
+            parts.append(
+                f"yield {draw(st.sampled_from(items))} to &m0"
+            )
+        else:
+            parts.append(
+                f"yield {draw(st.sampled_from(items))} to ^h0"
+            )
+    parts.append(draw(st.sampled_from(targets + ["repeat", "quit"])))
+    return ", ".join(parts)
+
+
+def _draw_receive_body(draw, lines, ind, targets, use_foreach,
+                       extra_items=()):
+    """Emit an exhaustive receive block (clauses + `*` fallback) and an
+    optional timeout edge, transitioning only into ``targets``."""
+    lines.append(f"{ind}receive")
+    for _ in range(draw(st.integers(min_value=0, max_value=2))):
+        t_kinds = ["t_lit"] + (["t_var"] if use_foreach else [])
+        preds = []
+        which = draw(
+            st.sampled_from(["t", "u", "tu"])  # fields, no repeats
+        )
+        if "t" in which:
+            k = draw(st.sampled_from(t_kinds))
+            preds.append(
+                "t = %v" if k == "t_var"
+                else f't = "{draw(st.sampled_from(["a", "b", "c", "z"]))}"'
+            )
+        if "u" in which:
+            k = draw(st.sampled_from(["u_lit", "u_set"]))
+            preds.append(
+                "u in #s0" if k == "u_set"
+                else f'u = "{draw(st.sampled_from(["x", "y"]))}"'
+            )
+        acts = _draw_actions(draw, targets, extra_items)
+        lines.append(f"{ind}    {', '.join(preds)} -> {acts}")
+    lines.append(
+        f"{ind}    * -> {_draw_actions(draw, targets, extra_items)}"
+    )
+    if draw(st.booleans()):
+        secs = draw(st.sampled_from([10, 30, 60, 100]))
+        lines.append(
+            f"{ind}after {secs}s -> "
+            f"{_draw_actions(draw, targets, extra_items)}"
+        )
+
+
+@st.composite
+def random_programs(draw):
+    """(program_text, params) — valid by construction: every receive is
+    exhaustive (`*` fallback), every transition targets an existing
+    state, conjunctions never repeat a field, foreach programs may use
+    `t = %v` and always get @arr/#s0 params.  Non-start states may be
+    window blocks whose inner receives transition only within the
+    window (or repeat/quit/re-arm) and whose required `after` edge
+    returns to the outer state graph."""
+    use_foreach = draw(st.booleans())
+    states = ["start"] + [
+        f"s{i}" for i in range(draw(st.integers(min_value=0, max_value=2)))
+    ]
+    is_window = {
+        s: s != "start" and draw(st.booleans()) and draw(st.booleans())
+        for s in states
+    }
+    ind = "    " if use_foreach else ""
+    lines = ["foreach %v in @arr"] if use_foreach else []
+    for s in states:
+        lines.append(f"{ind}{s} ->")
+        if is_window[s]:
+            inner = [f"{s}w{j}" for j in
+                     range(1 + draw(st.integers(min_value=0, max_value=1)))]
+            extra = (f"start_timestamp[{s}]",)
+            lines.append(f"{ind}    window")
+            for w in inner:
+                lines.append(f"{ind}        {w} ->")
+                _draw_receive_body(
+                    draw, lines, ind + " " * 12, inner + [s],
+                    use_foreach, extra,
+                )
+            secs = draw(st.sampled_from([60, 120]))
+            lines.append(
+                f"{ind}    after {secs}s -> "
+                f"{_draw_actions(draw, states)}"
+            )
+        else:
+            _draw_receive_body(draw, lines, ind + "    ", states,
+                               use_foreach)
+    params = (
+        {"@arr": [["a"], ["b"], ["q"]], "#s0": ["x", "y"]}
+        if use_foreach
+        else {"#s0": ["x", "y"]}
+    )
+    return "\n".join(lines) + "\n", params
+
+
+def _run_text(text, params, trails, no_codegen):
+    from trck_spark.runner import run_program
+
+    if no_codegen:
+        os.environ["TRCK_SPARK_NO_CODEGEN"] = "1"
+    else:
+        os.environ.pop("TRCK_SPARK_NO_CODEGEN", None)
+    try:
+        return run_program(text, trails, params=params)
+    finally:
+        os.environ.pop("TRCK_SPARK_NO_CODEGEN", None)
+
+
+@settings(max_examples=200, deadline=None)
+@given(deltas=events_strategy, prog=random_programs())
+def test_codegen_equals_interpreter_on_random_programs(deltas, prog):
+    text, params = prog
+    trails = _trails(deltas)
+    assert _run_text(text, params, trails, True) == _run_text(
+        text, params, trails, False
+    )
