@@ -1,0 +1,96 @@
+"""Property-based differential across execution paths: random programs
+and random trails through the FULL Spark engine — which auto-dispatches
+to the Catalyst-compiled forms (counter/funnel/sessions/bounce/
+attribution recognizers) or the distributed Arrow FSM path — must match
+the pure-Python local runner, itself differentially validated against
+the codegen path and the golden corpus (test_property_fsm.py,
+test_golden_fixtures.py).  This closes the execution triangle
+interpreter == codegen == Spark plan on the program space, not just the
+fixed fixtures, and draws trails SPLIT across two source dbs to
+exercise cross-db carried state through the shuffle/sort assembly.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.fixtures_util import compare_results
+from tests.test_engine_spark import _trails_to_df
+from tests.test_property_fsm import (
+    _run_text,
+    events_strategy,
+    random_programs,
+)
+
+
+def _events(deltas):
+    ts = 0
+    events = []
+    for delta, t, u in deltas:
+        ts += delta
+        e = {"timestamp": ts, "ts": str(ts)}
+        if t:
+            e["t"] = t
+        if u:
+            e["u"] = u
+        events.append(e)
+    return events
+
+
+@st.composite
+def multi_db_trails(draw):
+    """1-3 trails, each optionally split across two source dbs at a
+    drawn cut point (order preserved) — the multi-DB carried-state
+    shape.  Zero-event trails are never emitted: they have no row
+    representation, so neither side would see them."""
+    n = draw(st.integers(min_value=1, max_value=3))
+    dbs: list[dict] = [{}, {}]
+    for i in range(n):
+        deltas = draw(events_strategy)
+        events = _events(deltas)
+        if not events:
+            continue
+        cookie = f"{i:04x}"
+        if draw(st.booleans()):
+            cut = draw(st.integers(min_value=0, max_value=len(events)))
+            if events[:cut]:
+                dbs[0][cookie] = events[:cut]
+            if events[cut:]:
+                dbs[1][cookie] = events[cut:]
+        else:
+            dbs[0][cookie] = events
+    out = [db for db in dbs if db]
+    if not out:
+        out = [{"0000": _events([(1, "a", "x")])}]
+    return out
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(trails_dbs=multi_db_trails(), prog=random_programs())
+def test_spark_engine_equals_local_on_random_programs(
+    spark, trails_dbs, prog
+):
+    from trck_spark.engine import TrckSparkEngine
+
+    text, params = prog
+    expected = _run_text(text, params, trails_dbs, no_codegen=False)
+    df = _trails_to_df(spark, trails_dbs)
+    rs = TrckSparkEngine(spark).run(
+        df,
+        text,
+        params=params,
+        uuid_col="uuid",
+        ts_col="timestamp",
+        seq_col="seq",
+        db_col="db",
+    )
+    actual = rs.collect_json()
+    problems = compare_results(expected, actual)
+    assert not problems, "\n".join(
+        [f"program:\n{text}", f"trails: {trails_dbs!r}", *problems]
+    )
