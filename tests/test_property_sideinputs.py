@@ -1,0 +1,94 @@
+"""Property-based differential for side inputs: random window files and
+exclude lists, combined with random programs and db-split trails, must
+produce identical results through the Spark engine and the local
+runner.  The window file is the semantically trickiest side input —
+multi-entry per uuid (independent evaluations), [start, end) event
+filtering, replacement-id rebinding including MANY-TO-ONE replacement
+ids shared across uuids (the exact shape of a streaming bug fixed in
+a201123) — so it gets fuzzed rather than only fixture-tested.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.fixtures_util import compare_results
+from tests.test_engine_spark import _trails_to_df
+from tests.test_property_engine import multi_db_trails
+from tests.test_property_fsm import random_programs
+from trck_spark.runner import cookie_to_bytes, run_program
+
+# multi_db_trails draws cookies f"{i:04x}" for i < 3; "ffff" never
+# occurs in the data, so its entries must be ignored by both paths
+_HEX_POOL = [cookie_to_bytes(c).hex() for c in ["0000", "0001", "0002", "ffff"]]
+_REPL_POOL = ["ab" * 16, "cd" * 16]  # shared across uuids: many-to-one
+
+
+@st.composite
+def side_inputs(draw):
+    """(window_entries | None, exclude_set) in the parse_window_csv /
+    parse_exclude shapes."""
+    exclude = {
+        h
+        for h in _HEX_POOL
+        if draw(st.booleans()) and draw(st.booleans())
+    }
+    if not draw(st.booleans()):
+        return None, exclude
+    entries = []
+    for h in _HEX_POOL:
+        for _ in range(draw(st.integers(min_value=0, max_value=2))):
+            start = draw(st.integers(min_value=0, max_value=400))
+            end = start + draw(st.integers(min_value=0, max_value=400))
+            repl = draw(st.sampled_from([None, None] + _REPL_POOL))
+            entries.append((h, start, end, repl))
+    if not entries:
+        entries = [(_HEX_POOL[0], 0, 200, None)]
+    return entries, exclude
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    trails_dbs=multi_db_trails(),
+    prog=random_programs(),
+    sides=side_inputs(),
+)
+def test_spark_engine_equals_local_with_side_inputs(
+    spark, trails_dbs, prog, sides
+):
+    from trck_spark.engine import TrckSparkEngine
+
+    text, params = prog
+    windows, exclude = sides
+    expected = run_program(
+        text, trails_dbs, params=params,
+        window_set=windows, exclude=exclude,
+    )
+    df = _trails_to_df(spark, trails_dbs)
+    rs = TrckSparkEngine(spark).run(
+        df,
+        text,
+        params=params,
+        window_entries=windows,
+        exclude=sorted(exclude) if exclude else None,
+        uuid_col="uuid",
+        ts_col="timestamp",
+        seq_col="seq",
+        db_col="db",
+    )
+    actual = rs.collect_json()
+    problems = compare_results(expected, actual)
+    assert not problems, "\n".join(
+        [
+            f"program:\n{text}",
+            f"trails: {trails_dbs!r}",
+            f"windows: {windows!r}",
+            f"exclude: {sorted(exclude)!r}",
+            *problems,
+        ]
+    )
