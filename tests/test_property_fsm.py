@@ -233,7 +233,10 @@ def random_programs(draw):
         for s in states
     }
     ind = "    " if use_foreach else ""
-    lines = ["foreach %v in @arr"] if use_foreach else []
+    lines = []
+    if use_foreach:
+        merged = " merged results" if draw(st.booleans()) else ""
+        lines.append(f"foreach %v in @arr{merged}")
     for s in states:
         lines.append(f"{ind}{s} ->")
         if is_window[s]:

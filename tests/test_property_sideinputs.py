@@ -27,15 +27,37 @@ _REPL_POOL = ["ab" * 16, "cd" * 16]  # shared across uuids: many-to-one
 
 @st.composite
 def side_inputs(draw):
-    """(window_entries | None, exclude_set) in the parse_window_csv /
-    parse_exclude shapes."""
+    """(window_entries | None, exclude_set, cnf_filter | None) in the
+    parse_window_csv / parse_exclude / IR "filter" shapes."""
     exclude = {
         h
         for h in _HEX_POOL
         if draw(st.booleans()) and draw(st.booleans())
     }
+    cnf = None
+    if draw(st.booleans()):
+        # CNF pre-scan filter: it drops events BEFORE the consecutive-
+        # duplicate skip, so its ordering vs dedup is part of what's
+        # differentially fuzzed; "q" never occurs in the data
+        clauses = []
+        for _ in range(draw(st.integers(min_value=1, max_value=2))):
+            terms = []
+            for _ in range(draw(st.integers(min_value=1, max_value=2))):
+                field = draw(st.sampled_from(["t", "u"]))
+                value = draw(
+                    st.sampled_from(
+                        ["a", "b", "q", ""] if field == "t"
+                        else ["x", "y", "q", ""]
+                    )
+                )
+                term = {"field": field, "value": value}
+                if draw(st.booleans()):
+                    term["op"] = "notequal"
+                terms.append(term)
+            clauses.append(terms)
+        cnf = {"clauses": clauses}
     if not draw(st.booleans()):
-        return None, exclude
+        return None, exclude, cnf
     entries = []
     for h in _HEX_POOL:
         for _ in range(draw(st.integers(min_value=0, max_value=2))):
@@ -45,7 +67,7 @@ def side_inputs(draw):
             entries.append((h, start, end, repl))
     if not entries:
         entries = [(_HEX_POOL[0], 0, 200, None)]
-    return entries, exclude
+    return entries, exclude, cnf
 
 
 @settings(
@@ -64,16 +86,17 @@ def test_spark_engine_equals_local_with_side_inputs(
     from trck_spark.engine import TrckSparkEngine
 
     text, params = prog
-    windows, exclude = sides
+    windows, exclude, cnf = sides
     expected = run_program(
         text, trails_dbs, params=params,
-        window_set=windows, exclude=exclude,
+        window_set=windows, exclude=exclude, event_filter=cnf,
     )
     df = _trails_to_df(spark, trails_dbs)
     rs = TrckSparkEngine(spark).run(
         df,
         text,
         params=params,
+        event_filter=cnf,
         window_entries=windows,
         exclude=sorted(exclude) if exclude else None,
         uuid_col="uuid",
@@ -89,6 +112,7 @@ def test_spark_engine_equals_local_with_side_inputs(
             f"trails: {trails_dbs!r}",
             f"windows: {windows!r}",
             f"exclude: {sorted(exclude)!r}",
+            f"filter: {cnf!r}",
             *problems,
         ]
     )
