@@ -14,6 +14,7 @@ from __future__ import annotations
 import itertools
 
 from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from tests.fixtures_util import compare_results
 from tests.test_property_engine import multi_db_trails
@@ -21,6 +22,41 @@ from tests.test_property_fsm import _run_text, random_programs
 from tests.test_streaming import _rows_to_output, _stream_fixture
 
 _dir_seq = itertools.count()
+
+_COOKIES = ["0000", "0001", "0002"]
+_REPLS = ["R0", "R1"]
+
+
+def _flatten(trails_dbs):
+    """Merge the db split back into one db (concatenation preserves the
+    per-uuid event order): the streaming side-input harness splits files
+    by timestamp midpoint, not by source db."""
+    merged: dict = {}
+    for db in trails_dbs:
+        for c, evs in db.items():
+            merged.setdefault(c, []).extend(evs)
+    return [merged]
+
+
+@st.composite
+def stream_side_inputs(draw):
+    """(window_entries | None, exclude) with raw cookie strings for the
+    DataFrame side and the equivalent hex forms for the local runner."""
+    exclude = {
+        c for c in _COOKIES if draw(st.booleans()) and draw(st.booleans())
+    }
+    if not draw(st.booleans()):
+        return None, exclude
+    entries = []
+    for c in _COOKIES:
+        for _ in range(draw(st.integers(min_value=0, max_value=2))):
+            start = draw(st.integers(min_value=0, max_value=400))
+            end = start + draw(st.integers(min_value=0, max_value=400))
+            repl = draw(st.sampled_from([None, None] + _REPLS))
+            entries.append((c, start, end, repl))
+    if not entries:
+        entries = [(_COOKIES[0], 0, 200, None)]
+    return entries, exclude
 
 
 @settings(
@@ -43,4 +79,87 @@ def test_streaming_equals_local_on_random_programs(
     problems = compare_results(expected, actual)
     assert not problems, "\n".join(
         [f"program:\n{text}", f"trails: {trails_dbs!r}", *problems]
+    )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    trails_dbs=multi_db_trails(),
+    prog=random_programs(),
+    sides=stream_side_inputs(),
+)
+def test_streaming_side_inputs_equal_local_on_random_programs(
+    spark, tmp_path, trails_dbs, prog, sides
+):
+    """window_df / exclude_df stream-static joins (the a201123 fix area:
+    per-(original uuid, entry) state keys, replacement-id rebinding,
+    marker passthrough) fuzzed against the local runner's window_set /
+    exclude semantics."""
+    from trck_spark.io import trails_json_to_df
+    from trck_spark.runner import cookie_to_bytes, run_program
+    from tests.test_streaming import _run_stream_sideinput
+
+    text, params = prog
+    windows, exclude = sides
+    trails = _flatten(trails_dbs)
+    window_set = (
+        [
+            (
+                cookie_to_bytes(c).hex(),
+                s,
+                e,
+                cookie_to_bytes(r).hex() if r else None,
+            )
+            for c, s, e, r in windows
+        ]
+        if windows is not None
+        else None
+    )
+    expected = run_program(
+        text, trails, params=params,
+        window_set=window_set,
+        exclude={cookie_to_bytes(c).hex() for c in exclude},
+    )
+    all_fields = sorted(
+        {k for evs in trails[0].values() for e in evs for k in e}
+        - {"timestamp"}
+    )
+    ev = trails_json_to_df(spark, trails).select(
+        "uuid", "timestamp", "seq", *all_fields
+    )
+    w_df = (
+        spark.createDataFrame(
+            windows, "uuid string, s long, e long, rid string"
+        )
+        if windows is not None
+        else None
+    )
+    ex_df = (
+        spark.createDataFrame([(c,) for c in sorted(exclude)], "uuid string")
+        if exclude
+        else None
+    )
+    rows = _run_stream_sideinput(
+        spark,
+        tmp_path / f"sx{next(_dir_seq)}",
+        ev,
+        text,
+        exclude_df=ex_df,
+        window_df=w_df,
+        params=params,
+    )
+    actual = _rows_to_output(text, params, rows)
+    problems = compare_results(expected, actual)
+    assert not problems, "\n".join(
+        [
+            f"program:\n{text}",
+            f"trails: {trails!r}",
+            f"windows: {windows!r}",
+            f"exclude: {sorted(exclude)!r}",
+            *problems,
+        ]
     )

@@ -317,7 +317,7 @@ def test_streaming_split_fixture_watermark(spark, tmp_path):
 
 
 def _run_stream_sideinput(spark, src_dir, events_df, program,
-                          exclude_df=None, window_df=None):
+                          exclude_df=None, window_df=None, params=None):
     """Stream events_df file-by-file through streaming_partials with the
     given side inputs (markers finalization), return partial rows."""
     from pyspark.sql import functions as F
@@ -345,7 +345,10 @@ def _run_stream_sideinput(spark, src_dir, events_df, program,
         str(src_dir / "b.parquet")
     )
     _pin_mtime(src_dir / "b.parquet", 1_700_000_001)
-    end_rows = [(u, STREAM_END_TS, 0, None) for u in cookies]
+    end_rows = [
+        (u, STREAM_END_TS, 0) + (None,) * (len(schema.fields) - 3)
+        for u in cookies
+    ]
     spark.createDataFrame(end_rows, schema).coalesce(1).write.parquet(
         str(src_dir / "zzz_end.parquet")
     )
@@ -356,8 +359,9 @@ def _run_stream_sideinput(spark, src_dir, events_df, program,
         .parquet(str(src_dir / "*.parquet"))
     )
     parts = streaming_partials(
-        stream, program, uuid_col="uuid", ts_col="timestamp",
-        seq_col="seq", exclude_df=exclude_df, window_df=window_df,
+        stream, program, params=params, uuid_col="uuid",
+        ts_col="timestamp", seq_col="seq", exclude_df=exclude_df,
+        window_df=window_df,
     )
     collected = []
 
