@@ -18,6 +18,7 @@ from hypothesis import strategies as st
 from tests.fixtures_util import compare_results
 from tests.test_engine_spark import _trails_to_df
 from tests.test_property_fsm import (
+    FFI_REGISTRY,
     _run_text,
     events_strategy,
     random_programs,
@@ -88,6 +89,8 @@ def test_spark_engine_equals_local_on_random_programs(
         ts_col="timestamp",
         seq_col="seq",
         db_col="db",
+        fn_registry=FFI_REGISTRY,
+        dedup_cols="all",
     )
     actual = rs.collect_json()
     problems = compare_results(expected, actual)

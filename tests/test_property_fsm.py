@@ -149,7 +149,23 @@ def test_codegen_equals_interpreter_on_random_trails(deltas, prog):
 # yields may use `start_timestamp[window]`.
 
 _COUNTERS = ["$c0", "$c1"]
-_YIELD_ITEMS = ["t", "u", "ts", "cookie"]
+_YIELD_ITEMS = [
+    "t", "u", "ts", "cookie",
+    # FFI terms (reference §2.8): plain, two-arg, and nested calls —
+    # every leg passes FFI_REGISTRY so these evaluate on all paths
+    "f1(t)", "f2(u, cookie)", "f1(f2(t, ts))",
+]
+
+
+def _ffi_f1(b: bytes) -> bytes:
+    return b[::-1]
+
+
+def _ffi_f2(a: bytes, b: bytes) -> bytes:
+    return a + b"_" + b
+
+
+FFI_REGISTRY = {"f1": _ffi_f1, "f2": _ffi_f2}
 
 
 def _draw_actions(draw, targets, extra_items=()):
@@ -274,7 +290,9 @@ def _run_text(text, params, trails, no_codegen):
     else:
         os.environ.pop("TRCK_SPARK_NO_CODEGEN", None)
     try:
-        return run_program(text, trails, params=params)
+        return run_program(
+            text, trails, params=params, fn_registry=FFI_REGISTRY
+        )
     finally:
         os.environ.pop("TRCK_SPARK_NO_CODEGEN", None)
 

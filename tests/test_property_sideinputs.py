@@ -16,7 +16,7 @@ from hypothesis import strategies as st
 from tests.fixtures_util import compare_results
 from tests.test_engine_spark import _trails_to_df
 from tests.test_property_engine import multi_db_trails
-from tests.test_property_fsm import random_programs
+from tests.test_property_fsm import FFI_REGISTRY, random_programs
 from trck_spark.runner import cookie_to_bytes, run_program
 
 # multi_db_trails draws cookies f"{i:04x}" for i < 3; "ffff" never
@@ -90,6 +90,7 @@ def test_spark_engine_equals_local_with_side_inputs(
     expected = run_program(
         text, trails_dbs, params=params,
         window_set=windows, exclude=exclude, event_filter=cnf,
+        fn_registry=FFI_REGISTRY,
     )
     df = _trails_to_df(spark, trails_dbs)
     rs = TrckSparkEngine(spark).run(
@@ -103,6 +104,8 @@ def test_spark_engine_equals_local_with_side_inputs(
         ts_col="timestamp",
         seq_col="seq",
         db_col="db",
+        fn_registry=FFI_REGISTRY,
+        dedup_cols="all",
     )
     actual = rs.collect_json()
     problems = compare_results(expected, actual)

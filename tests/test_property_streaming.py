@@ -18,7 +18,11 @@ from hypothesis import strategies as st
 
 from tests.fixtures_util import compare_results
 from tests.test_property_engine import multi_db_trails
-from tests.test_property_fsm import _run_text, random_programs
+from tests.test_property_fsm import (
+    FFI_REGISTRY,
+    _run_text,
+    random_programs,
+)
 from tests.test_streaming import _rows_to_output, _stream_fixture
 
 _dir_seq = itertools.count()
@@ -73,9 +77,10 @@ def test_streaming_equals_local_on_random_programs(
     # hypothesis reuses the function-scoped tmp_path across examples;
     # _stream_fixture mkdirs its source dir, so give each example its own
     rows = _stream_fixture(
-        spark, tmp_path / f"ex{next(_dir_seq)}", trails_dbs, text, params
+        spark, tmp_path / f"ex{next(_dir_seq)}", trails_dbs, text, params,
+        fn_registry=FFI_REGISTRY, dedup_cols="all",
     )
-    actual = _rows_to_output(text, params, rows)
+    actual = _rows_to_output(text, params, rows, FFI_REGISTRY)
     problems = compare_results(expected, actual)
     assert not problems, "\n".join(
         [f"program:\n{text}", f"trails: {trails_dbs!r}", *problems]
@@ -123,6 +128,7 @@ def test_streaming_side_inputs_equal_local_on_random_programs(
         text, trails, params=params,
         window_set=window_set,
         exclude={cookie_to_bytes(c).hex() for c in exclude},
+        fn_registry=FFI_REGISTRY,
     )
     all_fields = sorted(
         {k for evs in trails[0].values() for e in evs for k in e}
@@ -151,8 +157,10 @@ def test_streaming_side_inputs_equal_local_on_random_programs(
         exclude_df=ex_df,
         window_df=w_df,
         params=params,
+        fn_registry=FFI_REGISTRY,
+        dedup_cols="all",
     )
-    actual = _rows_to_output(text, params, rows)
+    actual = _rows_to_output(text, params, rows, FFI_REGISTRY)
     problems = compare_results(expected, actual)
     assert not problems, "\n".join(
         [

@@ -30,7 +30,8 @@ def _pin_mtime(path, t: int) -> None:
 
 
 def _stream_fixture(spark, tmp_path, trails_dbs, program, params,
-                    finalize="markers"):
+                    finalize="markers", fn_registry=None,
+                    dedup_cols=None):
     """Write one parquet file per source DB, stream them one per trigger
     through the stateful FSM, and collect the partial rows.
 
@@ -119,6 +120,8 @@ def _stream_fixture(spark, tmp_path, trails_dbs, program, params,
         ts_col="timestamp",
         seq_col="seq",
         finalize_idle_gap=1 if finalize == "watermark" else None,
+        fn_registry=fn_registry,
+        dedup_cols=dedup_cols,
     )
     collected = []
 
@@ -132,11 +135,11 @@ def _stream_fixture(spark, tmp_path, trails_dbs, program, params,
     return collected
 
 
-def _rows_to_output(program_ir, params, rows):
+def _rows_to_output(program_ir, params, rows, fn_registry=None):
     from trck_spark.params import foreach_tuples
     from trck_spark.runner import TrckQuery
 
-    q = TrckQuery(program_ir, params=params)
+    q = TrckQuery(program_ir, params=params, fn_registry=fn_registry)
     tuples = foreach_tuples(q.program, params) if q.program.groupby else None
     per_tuple: dict[int, Results] = {}
     for r in rows:
@@ -317,7 +320,8 @@ def test_streaming_split_fixture_watermark(spark, tmp_path):
 
 
 def _run_stream_sideinput(spark, src_dir, events_df, program,
-                          exclude_df=None, window_df=None, params=None):
+                          exclude_df=None, window_df=None, params=None,
+                          fn_registry=None, dedup_cols=None):
     """Stream events_df file-by-file through streaming_partials with the
     given side inputs (markers finalization), return partial rows."""
     from pyspark.sql import functions as F
@@ -361,7 +365,8 @@ def _run_stream_sideinput(spark, src_dir, events_df, program,
     parts = streaming_partials(
         stream, program, params=params, uuid_col="uuid",
         ts_col="timestamp", seq_col="seq", exclude_df=exclude_df,
-        window_df=window_df,
+        window_df=window_df, fn_registry=fn_registry,
+        dedup_cols=dedup_cols,
     )
     collected = []
 
@@ -563,3 +568,37 @@ def test_streaming_window_df_timeout_reports_replacement_id(
     got = {(r["uuid"], r["var"]): r["n"] for r in collected}
     r_hex = cookie_to_bytes("R").hex()
     assert got == {(r_hex, "$bounces"): 1}
+
+
+def test_streaming_ffi_matches_batch(spark, tmp_path):
+    """fn_registry on the stream == the batch engine's FFI yields (the
+    registry ships in the state-step closure like the batch UDF's)."""
+    from trck_spark.engine import TrckSparkEngine
+    from trck_spark.io import trails_json_to_df
+
+    trails = [{
+        "u1": [{"timestamp": 100, "event_type": "cli", "domain": "x.com"},
+               {"timestamp": 200, "event_type": "imp", "domain": "y.com"}],
+        "u2": [{"timestamp": 150, "event_type": "cli", "domain": "z.com"}],
+    }]
+    ev = trails_json_to_df(spark, trails).select(
+        "uuid", "timestamp", "seq", "event_type", "domain"
+    )
+    reg = {"tag": lambda d: b"tag_" + d}
+    prog = """
+start ->
+    receive
+        event_type = "cli" -> yield tag(domain) to #tagged, repeat
+        * -> repeat
+"""
+    batch = TrckSparkEngine(spark).run(
+        ev, prog, uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+        fn_registry=reg,
+    ).collect_json()
+    rows = _run_stream_sideinput(
+        spark, tmp_path / "ffi", ev, prog, fn_registry=reg
+    )
+    out = _rows_to_output(prog, None, rows, reg)
+    assert sorted(out["#tagged"]) == sorted(batch["#tagged"]) == [
+        "tag_x.com", "tag_z.com"
+    ]

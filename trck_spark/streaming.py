@@ -76,11 +76,25 @@ def streaming_partials(
     watermark_delay: str = "0 seconds",
     exclude_df=None,
     window_df=None,
+    fn_registry: dict | None = None,
+    dedup_cols: list | str | None = None,
 ):
     """streaming events DataFrame -> streaming partial-monoid rows.
 
     foreach_values: for implicit-foreach programs the lexicon cannot be
     computed from an unbounded stream; pass the value list explicitly.
+
+    fn_registry: FFI functions for ``yield fn(...)`` terms, shipped to
+    executors in the state-step closure exactly like the batch engine's
+    UDF closure (engine._worker_query; the reserved ``initialize`` hook
+    runs once per worker there) — batch and streaming accept the same
+    registry.
+
+    dedup_cols: extra columns for the consecutive-duplicate identity
+    beyond the program's referenced fields, or "all" for every stored
+    column (the reference's exact identity) — the batch engine's
+    dedup_cols contract, applied per micro-batch the way the batch
+    path applies it per source db.
 
     exclude_df / window_df: the batch engine's side inputs, streaming
     form — both are STATIC DataFrames (the reference's exclude/window
@@ -127,7 +141,9 @@ def streaming_partials(
     from trck_spark.params import env_for_tuple, foreach_tuples
     from trck_spark.runner import TrckQuery
 
-    probe = TrckQuery(program_text_or_ir, params=params)
+    probe = TrckQuery(
+        program_text_or_ir, params=params, fn_registry=fn_registry
+    )
     program = probe.program
     if program.implicit_foreach and foreach_values is None:
         raise ValueError(
@@ -236,6 +252,20 @@ def streaming_partials(
         else:
             df = df.withColumn("__f_" + f, F.lit(""))
         proj.append("__f_" + f)
+    # extra consecutive-duplicate identity columns, same contract as the
+    # batch engine's dedup_cols (engine.py run(): "all" = every stored
+    # column — the reference's exact identity, src/ctx.c:106-134)
+    if dedup_cols == "all":
+        skip = {uuid_col, ts_col, seq_col}
+        dedup_cols = [c for c in in_cols if c not in skip]
+    extra_dedup = [
+        c for c in (dedup_cols or []) if c in in_cols and c not in fields
+    ]
+    for c in extra_dedup:
+        df = df.withColumn(
+            "__d_" + c, F.coalesce(F.col(c).cast("string"), F.lit(""))
+        )
+        proj.append("__d_" + c)
     use_event_time = finalize_idle_gap is not None
     if use_event_time:
         df = df.withColumn(
@@ -251,7 +281,7 @@ def streaming_partials(
     def step(key, pdf_iter, state: "GroupState") -> Iterator[Any]:
         import pandas as pd
 
-        q, tuples_w = _worker_query(spec_json)
+        q, tuples_w = _worker_query(spec_json, fn_registry)
         entrypoint = q.compiled.entrypoint
 
         if state.exists:
@@ -314,10 +344,15 @@ def streaming_partials(
                 vals = list(zip(*fcols))
             else:
                 vals = [()] * len(pdf)
-            rows_in.extend(zip(tss, seqs, vals))
+            dcols = [pdf["__d_" + c].tolist() for c in extra_dedup]
+            if dcols:
+                dks = list(zip(*dcols))
+            else:
+                dks = [()] * len(pdf)
+            rows_in.extend(zip(tss, seqs, vals, dks))
         rows_in.sort(key=lambda r: (r[0], r[1]))
         batch_max = max(
-            (ts for ts, _s, _v in rows_in if ts < STREAM_END_TS),
+            (ts for ts, _s, _v, _d in rows_in if ts < STREAM_END_TS),
             default=None,
         )
         if batch_max is not None:
@@ -327,10 +362,17 @@ def streaming_partials(
         # events at ts >= STREAM_END_TS are explicit end-of-trail markers:
         # they trigger finalization (pending `after` edges fire), mirroring
         # the reference's end-of-run sentinel (match_traildb.c:902-944)
-        finalize = any(ts >= STREAM_END_TS for ts, _s, _v in rows_in)
-        events = dedup_consecutive(
-            [(ts, v) for ts, _s, v in rows_in if ts < STREAM_END_TS]
-        )
+        finalize = any(ts >= STREAM_END_TS for ts, _s, _v, _d in rows_in)
+        events = [
+            (ts, v)
+            for ts, v, _d in dedup_consecutive(
+                [
+                    (ts, v, d)
+                    for ts, _s, v, d in rows_in
+                    if ts < STREAM_END_TS
+                ]
+            )
+        ]
 
         for ti in range(n_tuples):
             st = machine_states.get(ti)
