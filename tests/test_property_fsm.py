@@ -168,7 +168,11 @@ def _ffi_f2(a: bytes, b: bytes) -> bytes:
 FFI_REGISTRY = {"f1": _ffi_f1, "f2": _ffi_f2}
 
 
-def _draw_actions(draw, targets, extra_items=()):
+def _draw_actions(draw, targets, extra_items=(), allow_bare=False):
+    """allow_bare: the transition may be omitted — legal on `after`
+    edges (implicit restart-from-here) and on rule-0 clauses (implicit
+    repeat); requires at least one yield so the action list is not
+    empty."""
     items = _YIELD_ITEMS + list(extra_items)
     parts = []
     for _ in range(draw(st.integers(min_value=0, max_value=2))):
@@ -191,14 +195,16 @@ def _draw_actions(draw, targets, extra_items=()):
             parts.append(
                 f"yield {draw(st.sampled_from(items))} to ^h0"
             )
-    parts.append(draw(st.sampled_from(targets + ["repeat", "quit"])))
+    if not (allow_bare and parts and draw(st.booleans())):
+        parts.append(draw(st.sampled_from(targets + ["repeat", "quit"])))
     return ", ".join(parts)
 
 
 def _draw_receive_body(draw, lines, ind, targets, use_foreach,
-                       extra_items=()):
+                       extra_items=(), bare_clauses=False):
     """Emit an exhaustive receive block (clauses + `*` fallback) and an
-    optional timeout edge, transitioning only into ``targets``."""
+    optional timeout edge, transitioning only into ``targets``.
+    bare_clauses: clauses may omit the transition (rule 0 only)."""
     lines.append(f"{ind}receive")
     for _ in range(draw(st.integers(min_value=0, max_value=2))):
         t_kinds = ["t_lit"] + (["t_var"] if use_foreach else [])
@@ -218,16 +224,17 @@ def _draw_receive_body(draw, lines, ind, targets, use_foreach,
                 "u in #s0" if k == "u_set"
                 else f'u = "{draw(st.sampled_from(["x", "y"]))}"'
             )
-        acts = _draw_actions(draw, targets, extra_items)
+        acts = _draw_actions(draw, targets, extra_items, bare_clauses)
         lines.append(f"{ind}    {', '.join(preds)} -> {acts}")
     lines.append(
-        f"{ind}    * -> {_draw_actions(draw, targets, extra_items)}"
+        f"{ind}    * -> "
+        f"{_draw_actions(draw, targets, extra_items, bare_clauses)}"
     )
     if draw(st.booleans()):
         secs = draw(st.sampled_from([10, 30, 60, 100]))
         lines.append(
             f"{ind}after {secs}s -> "
-            f"{_draw_actions(draw, targets, extra_items)}"
+            f"{_draw_actions(draw, targets, extra_items, allow_bare=True)}"
         )
 
 
@@ -269,11 +276,12 @@ def random_programs(draw):
             secs = draw(st.sampled_from([60, 120]))
             lines.append(
                 f"{ind}    after {secs}s -> "
-                f"{_draw_actions(draw, states)}"
+                f"{_draw_actions(draw, states, allow_bare=True)}"
             )
         else:
             _draw_receive_body(draw, lines, ind + "    ", states,
-                               use_foreach)
+                               use_foreach,
+                               bare_clauses=(s == "start"))
     params = (
         {"@arr": [["a"], ["b"], ["q"]], "#s0": ["x", "y"]}
         if use_foreach
