@@ -210,7 +210,11 @@ def _draw_receive_body(draw, lines, ind, targets, use_foreach,
         t_kinds = ["t_lit"] + (["t_var"] if use_foreach else [])
         preds = []
         which = draw(
-            st.sampled_from(["t", "u", "tu"])  # fields, no repeats
+            st.sampled_from(
+                # conjunction members, no repeated field; "s" adds a
+                # timestamp relop term (§2.2)
+                ["t", "u", "tu", "s", "ts", "us"]
+            )
         )
         if "t" in which:
             k = draw(st.sampled_from(t_kinds))
@@ -224,6 +228,10 @@ def _draw_receive_body(draw, lines, ind, targets, use_foreach,
                 "u in #s0" if k == "u_set"
                 else f'u = "{draw(st.sampled_from(["x", "y"]))}"'
             )
+        if "s" in which:
+            op = draw(st.sampled_from([">", "<", ">=", "<="]))
+            n = draw(st.integers(min_value=0, max_value=300))
+            preds.append(f"timestamp {op} {n}")
         acts = _draw_actions(draw, targets, extra_items, bare_clauses)
         lines.append(f"{ind}    {', '.join(preds)} -> {acts}")
     lines.append(
