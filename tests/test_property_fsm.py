@@ -230,8 +230,11 @@ def _draw_receive_body(draw, lines, ind, targets, use_foreach,
             )
         if "s" in which:
             op = draw(st.sampled_from([">", "<", ">=", "<="]))
-            n = draw(st.integers(min_value=0, max_value=300))
-            preds.append(f"timestamp {op} {n}")
+            if draw(st.booleans()):
+                preds.append(f"timestamp {op} %since")
+            else:
+                n = draw(st.integers(min_value=0, max_value=300))
+                preds.append(f"timestamp {op} {n}")
         acts = _draw_actions(draw, targets, extra_items, bare_clauses)
         lines.append(f"{ind}    {', '.join(preds)} -> {acts}")
     lines.append(
@@ -295,6 +298,7 @@ def random_programs(draw):
         if use_foreach
         else {"#s0": ["x", "y"]}
     )
+    params["%since"] = str(draw(st.integers(min_value=0, max_value=300)))
     return "\n".join(lines) + "\n", params
 
 
