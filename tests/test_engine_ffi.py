@@ -97,3 +97,37 @@ def test_hooks_through_spark(spark):
     out = rs.collect_json()
     assert sorted(out["#tagged"]) == ["init_x.com", "init_z.com"]
     assert state.get("finalized") is True  # driver-side finalize ran
+
+
+def test_worker_query_cache_keyed_on_registry_identity():
+    """Two queries with IDENTICAL spec_json but DIFFERENT fn_registry
+    dicts must not share a cached compiled query — a long-lived executor
+    serving a stream plus a batch run (or two streams) would otherwise
+    call the wrong external functions (ADVICE r06: engine.py:284)."""
+    import json
+
+    from trck_spark.engine import _worker_query
+    from trck_spark.runner import run_program
+
+    prog = """
+start ->
+    receive
+        event_type = "cli" -> yield tag(domain) to #tagged, repeat
+        * -> repeat
+"""
+    spec = json.dumps({"ir": prog, "params": None, "tuples": None})
+    reg_a = {"tag": lambda d: b"A_" + d}
+    reg_b = {"tag": lambda d: b"B_" + d}
+    trails = [{"u1": [
+        {"timestamp": 1, "event_type": "cli", "domain": "x"},
+    ]}]
+    qa, _ = _worker_query(spec, reg_a)
+    qb, _ = _worker_query(spec, reg_b)
+    assert qa is not qb
+    out_a = run_program(prog, trails, fn_registry=reg_a)
+    out_b = run_program(prog, trails, fn_registry=reg_b)
+    assert out_a["#tagged"] == ["A_x"]
+    assert out_b["#tagged"] == ["B_x"]
+    # same registry object still hits the cache
+    qa2, _ = _worker_query(spec, reg_a)
+    assert qa2 is qa

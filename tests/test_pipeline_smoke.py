@@ -924,3 +924,23 @@ def test_dedup_clusters_minhash_method(spark):
         assert len(ng_labels) == 1, (
             f"minhash cluster {c} spans ngram clusters {ng_labels}"
         )
+
+
+def test_table_rows_memo_invalidates_on_rewrite(spark, tmp_path):
+    """_table_rows memoizes parquet footer counts for the auto bucket-cap
+    gate; a same-path rewrite at a different scale (benchdata's ensure_*
+    regenerating mid-session) must invalidate the memo via the directory
+    mtime key, not silently mis-gate the cap (ADVICE r06: dedup.py:94)."""
+    import os
+
+    from trck_spark.pipeline.dedup import _table_rows
+
+    path = str(tmp_path / "docs.parquet")
+    spark.range(10).write.mode("overwrite").parquet(path)
+    assert _table_rows(spark, path) == 10
+    spark.range(25).write.mode("overwrite").parquet(path)
+    # parquet overwrite replaces part files; force a distinct mtime even
+    # on coarse-mtime filesystems
+    t = os.path.getmtime(path) + 2
+    os.utime(path, (t, t))
+    assert _table_rows(spark, path) == 25

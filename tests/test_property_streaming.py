@@ -171,3 +171,33 @@ def test_streaming_side_inputs_equal_local_on_random_programs(
             *problems,
         ]
     )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(trails_dbs=multi_db_trails(), prog=random_programs())
+def test_streaming_dedup_carry_equals_single_db_local(
+    spark, tmp_path, trails_dbs, prog
+):
+    """dedup_carry=True makes micro-batch boundaries invisible to the
+    consecutive-duplicate skip: streaming the dbs as separate triggers
+    must equal the local runner on the SAME events as ONE db — including
+    when multi_db_trails cut a trail mid-stream right at a duplicate
+    (the ADVICE r06 boundary-straddling divergence, now a switchable
+    semantic pinned here over random programs)."""
+    text, params = prog
+    expected = _run_text(
+        text, params, _flatten(trails_dbs), no_codegen=False
+    )
+    rows = _stream_fixture(
+        spark, tmp_path / f"dc{next(_dir_seq)}", trails_dbs, text, params,
+        fn_registry=FFI_REGISTRY, dedup_cols="all", dedup_carry=True,
+    )
+    actual = _rows_to_output(text, params, rows, FFI_REGISTRY)
+    problems = compare_results(expected, actual)
+    assert not problems, "\n".join(
+        [f"program:\n{text}", f"trails: {trails_dbs!r}", *problems]
+    )

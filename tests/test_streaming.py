@@ -31,7 +31,7 @@ def _pin_mtime(path, t: int) -> None:
 
 def _stream_fixture(spark, tmp_path, trails_dbs, program, params,
                     finalize="markers", fn_registry=None,
-                    dedup_cols=None):
+                    dedup_cols=None, dedup_carry=False):
     """Write one parquet file per source DB, stream them one per trigger
     through the stateful FSM, and collect the partial rows.
 
@@ -122,6 +122,7 @@ def _stream_fixture(spark, tmp_path, trails_dbs, program, params,
         finalize_idle_gap=1 if finalize == "watermark" else None,
         fn_registry=fn_registry,
         dedup_cols=dedup_cols,
+        dedup_carry=dedup_carry,
     )
     collected = []
 
@@ -602,3 +603,74 @@ start ->
     assert sorted(out["#tagged"]) == sorted(batch["#tagged"]) == [
         "tag_x.com", "tag_z.com"
     ]
+
+
+def test_state_blob_migration_and_versioning():
+    """Checkpoint state blobs from pre-versioning builds (bare 2- and
+    3-tuples) must load with defaulted fields instead of crashing the
+    executor with an unpack ValueError; unknown layouts must fail with
+    a clear message (ADVICE r06: streaming.py state pickle versioning)."""
+    import pickle
+
+    import pytest
+
+    from trck_spark.streaming import _dump_state, _load_state
+
+    ms = {0: (1, [], [])}
+    # oldest layout: (machine_states, last_ts)
+    assert _load_state(pickle.dumps((ms, 42))) == (ms, 42, None, None)
+    # round-6 layout: (machine_states, last_ts, eff)
+    assert _load_state(pickle.dumps((ms, 42, "effid"))) == (
+        ms, 42, "effid", None,
+    )
+    # current layout round-trips (bytearray, as applyInPandasWithState
+    # hands the blob back)
+    blob = bytearray(_dump_state(ms, 42, "effid", (42, ("v",), ())))
+    assert _load_state(blob) == (ms, 42, "effid", (42, ("v",), ()))
+    # a FUTURE version and a foreign blob both fail loudly
+    with pytest.raises(ValueError, match="version"):
+        _load_state(pickle.dumps({"v": 99}))
+    with pytest.raises(ValueError, match="unrecognized"):
+        _load_state(pickle.dumps(["not", "a", "state"]))
+
+
+def test_dedup_carry_across_batch_boundary(spark, tmp_path):
+    """A consecutive duplicate straddling a micro-batch boundary: by
+    default (micro-batch == source-db analogy) it survives like the
+    reference's cross-file behavior; with dedup_carry=True the trail
+    carries its last event in state and drops it, matching the batch
+    engine on the same data as a single db (ADVICE r06:
+    streaming.py:368)."""
+    from trck_spark.engine import TrckSparkEngine
+    from trck_spark.io import trails_json_to_df
+
+    prog = """
+start ->
+    receive
+        event_type = "click" -> yield $clicks, repeat
+        * -> repeat
+"""
+    db0 = {"u1": [{"timestamp": 100, "event_type": "view"},
+                  {"timestamp": 200, "event_type": "click"}]}
+    db1 = {"u1": [{"timestamp": 200, "event_type": "click"},
+                  {"timestamp": 300, "event_type": "click"}]}
+    merged = {"u1": db0["u1"] + db1["u1"]}
+
+    ev = trails_json_to_df(spark, [merged]).select(
+        "uuid", "timestamp", "seq", "event_type"
+    )
+    batch_single_db = TrckSparkEngine(spark).run(
+        ev, prog, uuid_col="uuid", ts_col="timestamp", seq_col="seq"
+    ).collect_json()
+    assert batch_single_db == {"$clicks": 2}  # within-db dup dropped
+
+    rows_default = _stream_fixture(
+        spark, tmp_path / "nocarry", [db0, db1], prog, None
+    )
+    assert _counters_from_rows(prog, rows_default) == {"$clicks": 3}
+
+    rows_carry = _stream_fixture(
+        spark, tmp_path / "carry", [db0, db1], prog, None,
+        dedup_carry=True,
+    )
+    assert _counters_from_rows(prog, rows_carry) == batch_single_db

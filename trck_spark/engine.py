@@ -63,8 +63,22 @@ def _worker_query(
     The reserved ``initialize`` fn_registry hook runs here once per
     worker process before the first trail is evaluated — the distributed
     analog of the reference's per-process user hook
-    (match_traildb.c:1226-1229, called once in main before run_query)."""
-    hit = _QUERY_CACHE.get(spec_json)
+    (match_traildb.c:1226-1229, called once in main before run_query).
+
+    The cache key includes the fn_registry identity (object id + sorted
+    function names): a long-lived executor can serve two queries with
+    identical program/params but DIFFERENT FFI registries (a stream plus
+    a batch run, or two streams), and keying on spec_json alone would
+    reuse the wrong functions.  The cached TrckQuery holds a reference
+    to its registry, so the id() in a live cache entry cannot be
+    recycled; ``initialize`` correctly re-runs per distinct registry."""
+    key = (
+        spec_json,
+        None
+        if fn_registry is None
+        else (id(fn_registry), tuple(sorted(fn_registry))),
+    )
+    hit = _QUERY_CACHE.get(key)
     if hit is not None:
         return hit
     spec = json.loads(spec_json)
@@ -79,7 +93,7 @@ def _worker_query(
             tuple(tuple(x) if isinstance(x, list) else x for x in row)
             for row in spec["tuples"]
         ]
-    _QUERY_CACHE[spec_json] = (q, tuples)
+    _QUERY_CACHE[key] = (q, tuples)
     return q, tuples
 
 

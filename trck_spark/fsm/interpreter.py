@@ -527,12 +527,16 @@ def run_machine(
             break
 
 
-def dedup_consecutive(events: list) -> list:
+def dedup_consecutive(events: list, prev=None) -> list:
     """Drop events identical (same timestamp AND same field values) to their
     immediate predecessor (reference: src/ctx.c:106-134).  Caller is
-    responsible for applying this per source file / db_index."""
+    responsible for applying this per source file / db_index.
+
+    ``prev`` seeds the predecessor (default None = no predecessor): the
+    streaming path's cross-micro-batch dedup carry passes the previous
+    batch's last event so a duplicate straddling the batch boundary is
+    dropped exactly like the batch engine's within-db dedup."""
     out = []
-    prev = None
     for e in events:
         if e != prev:
             out.append(e)

@@ -86,16 +86,28 @@ _CAP_GATE_MIN_BAND_ROWS = 1_000_000
 # memoized parquet footer row counts: the gate is a scale
 # classification (small corpus vs cap-needing corpus), not a live
 # count, and the ~0.3 s count-job overhead would otherwise recur per
-# invocation at small scale (re-ingesting a path mid-session at a
-# different scale needs a new path or _TABLE_ROWS.clear())
-_TABLE_ROWS: dict[str, int] = {}
+# invocation at small scale.  Keyed on (path, directory mtime) so a
+# same-path rewrite at a different scale (e.g. benchdata's ensure_*
+# generators regenerating mid-session) invalidates naturally — an
+# overwrite replaces the part files, which bumps the dir mtime.  For
+# non-local paths where mtime is unreadable (s3://, hdfs://) the key
+# degrades to path-only; rewriting such a path mid-session needs a new
+# path or _TABLE_ROWS.clear().
+_TABLE_ROWS: dict[tuple, int] = {}
 
 
 def _table_rows(spark, path: str) -> int:
-    n = _TABLE_ROWS.get(path)
+    import os
+
+    try:
+        stamp = os.path.getmtime(path)
+    except OSError:
+        stamp = None
+    key = (path, stamp)
+    n = _TABLE_ROWS.get(key)
     if n is None:
         n = spark.read.parquet(path).count()
-        _TABLE_ROWS[path] = n
+        _TABLE_ROWS[key] = n
     return n
 
 

@@ -48,6 +48,49 @@ STATE_SCHEMA = "blob binary"
 # at or beyond this value triggers finalization instead of being matched).
 STREAM_END_TS = (1 << 63) - 1
 
+# Versioned per-trail state blob.  v2 = dict layout {"v", "ms", "ts",
+# "eff", "prev"}; pre-versioning checkpoints pickled bare tuples
+# ((machine_states, last_ts) then (machine_states, last_ts, eff)) —
+# _load_state migrates both instead of crashing the executor with an
+# opaque unpack ValueError on resume-from-old-checkpoint.
+_STATE_VERSION = 2
+
+
+def _load_state(blob) -> tuple[dict, Any, Any, Any]:
+    """state blob -> (machine_states, last_ts, eff, prev_event),
+    migrating pre-versioning tuple layouts (prev_event/eff default None)."""
+    data = pickle.loads(bytes(blob))
+    if isinstance(data, dict):
+        v = data.get("v")
+        if v != _STATE_VERSION:
+            raise ValueError(
+                f"streaming state version {v!r} is newer than this build "
+                f"supports ({_STATE_VERSION}); upgrade trck_spark or "
+                "restart the query from a fresh checkpoint"
+            )
+        return data["ms"], data["ts"], data["eff"], data["prev"]
+    if isinstance(data, tuple) and len(data) == 2:
+        return data[0], data[1], None, None
+    if isinstance(data, tuple) and len(data) == 3:
+        return data[0], data[1], data[2], None
+    raise ValueError(
+        "unrecognized streaming state blob (not a v2 dict or a known "
+        "legacy tuple layout); the checkpoint was not written by "
+        "trck_spark.streaming"
+    )
+
+
+def _dump_state(machine_states, last_ts, eff, prev_event) -> bytes:
+    return pickle.dumps(
+        {
+            "v": _STATE_VERSION,
+            "ms": machine_states,
+            "ts": last_ts,
+            "eff": eff,
+            "prev": prev_event,
+        }
+    )
+
 
 def _results_rows(uuid: str, agg: dict[int, Results]) -> list[tuple]:
     rows = []
@@ -78,6 +121,7 @@ def streaming_partials(
     window_df=None,
     fn_registry: dict | None = None,
     dedup_cols: list | str | None = None,
+    dedup_carry: bool = False,
 ):
     """streaming events DataFrame -> streaming partial-monoid rows.
 
@@ -95,6 +139,17 @@ def streaming_partials(
     column (the reference's exact identity) — the batch engine's
     dedup_cols contract, applied per micro-batch the way the batch
     path applies it per source db.
+
+    dedup_carry: by default (False) the consecutive-duplicate skip is
+    scoped to each micro-batch — the micro-batch == source-db analogy,
+    matching the reference's duplicate check which never spans file
+    boundaries (src/ctx.c:106-134).  With True, each trail carries its
+    last event in state and dedups against it at batch start, so a
+    duplicate straddling an ARBITRARY micro-batch boundary is dropped —
+    the right semantics when the stream is one continuous event source
+    whose trigger boundaries are incidental (then streaming == the
+    batch engine on the same data as a single db, regardless of how
+    the triggers slice it).
 
     exclude_df / window_df: the batch engine's side inputs, streaming
     form — both are STATIC DataFrames (the reference's exclude/window
@@ -285,11 +340,11 @@ def streaming_partials(
         entrypoint = q.compiled.entrypoint
 
         if state.exists:
-            machine_states, last_ts, eff = pickle.loads(
-                bytes(state.get[0])
+            machine_states, last_ts, eff, prev_event = _load_state(
+                state.get[0]
             )
         else:
-            machine_states, last_ts, eff = {}, None, None
+            machine_states, last_ts, eff, prev_event = {}, None, None, None
         # reporting id: the (possibly rebound) effective uuid for window
         # entries — constant per (uuid, entry) group, read from the rows
         # (or, on a row-less timeout call, from the carried state) —
@@ -363,16 +418,17 @@ def streaming_partials(
         # they trigger finalization (pending `after` edges fire), mirroring
         # the reference's end-of-run sentinel (match_traildb.c:902-944)
         finalize = any(ts >= STREAM_END_TS for ts, _s, _v, _d in rows_in)
+        raw = [
+            (ts, v, d) for ts, _s, v, d in rows_in if ts < STREAM_END_TS
+        ]
         events = [
             (ts, v)
             for ts, v, _d in dedup_consecutive(
-                [
-                    (ts, v, d)
-                    for ts, _s, v, d in rows_in
-                    if ts < STREAM_END_TS
-                ]
+                raw, prev=prev_event if dedup_carry else None
             )
         ]
+        if dedup_carry and raw:
+            prev_event = raw[-1]
 
         for ti in range(n_tuples):
             st = machine_states.get(ti)
@@ -409,7 +465,16 @@ def streaming_partials(
             state.remove()
         else:
             state.update(
-                (bytearray(pickle.dumps((machine_states, last_ts, eff))),)
+                (
+                    bytearray(
+                        _dump_state(
+                            machine_states,
+                            last_ts,
+                            eff,
+                            prev_event if dedup_carry else None,
+                        )
+                    ),
+                )
             )
         if finalize_after_ms > 0:
             state.setTimeoutDuration(finalize_after_ms)
