@@ -173,7 +173,14 @@ def _steady_state(run, max_runs: int = 12, plateau: float = 0.10,
     / 1.56x / 2.07x across three same-day full runs on exactly that
     estimator.  The tail mean is the variance-minimizing combination
     for that subtraction; the gate queries also pass settle_runs=4 so
-    the tail holds 6 samples instead of 4."""
+    the tail holds 6 samples instead of 4, and the B1 marginal inputs
+    pass settle_runs=10 (12-sample tails — VERDICT r06 item 3: the
+    6-sample B1 marginal swung 0.91x -> 1.39x between same-day runs;
+    the inputs are sub-second, so doubling the tail costs seconds).
+
+    The tail itself is returned so callers can attach a confidence
+    interval to statistics DERIVED from the means (the marginal
+    ratio's delta-method CI)."""
     import statistics
 
     run()  # untimed warm-up
@@ -203,7 +210,7 @@ def _steady_state(run, max_runs: int = 12, plateau: float = 0.10,
     steady = [r for r in runs if r <= best * 1.5] or [best]
     tail = steady[-min(len(steady), settle_runs + 2):]
     return (best, runs, round(statistics.median(tail), 3),
-            round(statistics.fmean(tail), 3))
+            round(statistics.fmean(tail), 3), tail)
 
 
 def run_baseline_gate(spark, n_events: int = None,
@@ -255,7 +262,7 @@ def run_baseline_gate(spark, n_events: int = None,
         for name, (p, _sql) in BASELINE_DEFS.items()
     }
 
-    def time_spark(src, prog):
+    def time_spark(src, prog, settle_runs=4):
         rows = []
 
         def one():
@@ -268,8 +275,16 @@ def run_baseline_gate(spark, n_events: int = None,
             )
             return time.time() - t0
 
-        best, runs, med, mean = _steady_state(one, settle_runs=4)
-        return rows, best, runs, med, mean
+        best, runs, med, mean, tail = _steady_state(
+            one, settle_runs=settle_runs
+        )
+        return rows, best, runs, med, mean, tail
+
+    # B1's marginal is the one bar-carrying statistic built from
+    # sub-second means; give its four inputs 12-sample tails (VERDICT
+    # r06 item 3) — the other queries keep 6-sample tails
+    def _settle_runs_for(name):
+        return 10 if name == "b1_count_foreach" else 4
 
     # session-level warm-up: the first-ever Spark job in a session pays
     # executor spin-up + codegen-infrastructure costs beyond what the
@@ -281,13 +296,19 @@ def run_baseline_gate(spark, n_events: int = None,
     # --- store block: headline layout + both marginal inputs ---
     st: dict = {}
     for name, prog in progs.items():
-        srows, hi_s, hi_runs, hi_med, hi_mean = time_spark(store, prog)
-        _r, lo_s, lo_runs, lo_med, lo_mean = time_spark(store_lo, prog)
+        sr = _settle_runs_for(name)
+        srows, hi_s, hi_runs, hi_med, hi_mean, hi_tail = time_spark(
+            store, prog, settle_runs=sr
+        )
+        _r, lo_s, lo_runs, lo_med, lo_mean, lo_tail = time_spark(
+            store_lo, prog, settle_runs=sr
+        )
         st[name] = {
             "rows": srows, "hi_s": hi_s, "hi_runs": hi_runs,
             "lo_s": lo_s, "lo_runs": lo_runs,
             "hi_med": hi_med, "lo_med": lo_med,
             "hi_mean": hi_mean, "lo_mean": lo_mean,
+            "hi_tail": hi_tail, "lo_tail": lo_tail,
         }
         print(f"# store {name}: hi {hi_s:.3f}s med {hi_med:.3f}s "
               f"{hi_runs} / lo {lo_s:.3f}s {lo_runs}", file=sys.stderr)
@@ -319,17 +340,19 @@ def run_baseline_gate(spark, n_events: int = None,
             con.execute(lo_sql).fetchall()
             return time.time() - t0
 
-        ohi_s, ohi_runs, ohi_med, ohi_mean = _steady_state(
-            one_oracle, settle_runs=4
+        sr = _settle_runs_for(name)
+        ohi_s, ohi_runs, ohi_med, ohi_mean, ohi_tail = _steady_state(
+            one_oracle, settle_runs=sr
         )
-        olo_s, olo_runs, olo_med, olo_mean = _steady_state(
-            one_oracle_lo, settle_runs=4
+        olo_s, olo_runs, olo_med, olo_mean, olo_tail = _steady_state(
+            one_oracle_lo, settle_runs=sr
         )
         oc[name] = {
             "rows": list(orows), "hi_s": ohi_s, "hi_runs": ohi_runs,
             "lo_s": olo_s, "lo_runs": olo_runs,
             "hi_med": ohi_med, "lo_med": olo_med,
             "hi_mean": ohi_mean, "lo_mean": olo_mean,
+            "hi_tail": ohi_tail, "lo_tail": olo_tail,
             "one_lo": one_oracle_lo,
         }
         print(f"# oracle {name}: hi {ohi_s:.3f}s med {ohi_med:.3f}s "
@@ -348,9 +371,10 @@ def run_baseline_gate(spark, n_events: int = None,
         # cross-round comparability.  Full run lists per timing below.
         "statistic": "median of post-plateau runs (see _steady_state); "
                      "best retained for comparability; marginal bar "
-                     "declared on the steady-tail MEAN (settle_runs=4, "
-                     "6-sample tails) — differences of best-of-N are "
-                     "biased and ~2x noisier",
+                     "declared on the steady-tail MEAN (6-sample tails; "
+                     "B1 uses 12-sample tails) with a delta-method 95% "
+                     "CI committed next to it — differences of "
+                     "best-of-N are biased and ~2x noisier",
     }
     tot = {"spark_store_s": 0.0, "oracle_s": 0.0,
            "spark_store_med": 0.0, "oracle_med": 0.0}
@@ -394,12 +418,14 @@ def run_baseline_gate(spark, n_events: int = None,
         lo_s, olo_s = st[name]["lo_s"], oc[name]["lo_s"]
         lo_med, olo_med = st[name]["lo_med"], oc[name]["lo_med"]
         lo_mean, olo_mean = st[name]["lo_mean"], oc[name]["lo_mean"]
+        olo_tail = oc[name]["lo_tail"]
         if oracle_s - olo_s <= 0:  # re-measure the cheap side once
-            re_best, _rr, re_med, re_mean = _steady_state(
-                oc[name]["one_lo"], settle_runs=4
+            re_best, _rr, re_med, re_mean, re_tail = _steady_state(
+                oc[name]["one_lo"], settle_runs=_settle_runs_for(name)
             )
             if re_best < olo_s:
                 olo_s, olo_med, olo_mean = re_best, re_med, re_mean
+                olo_tail = re_tail
         mrow: dict = {
             "spark_store_lo_s": round(lo_s, 3),
             "spark_store_hi_s": round(store_s, 3),
@@ -452,6 +478,39 @@ def run_baseline_gate(spark, n_events: int = None,
             mrow["marginal_ratio_mean"] = round(
                 (store_mean - lo_mean) / (oracle_mean - olo_mean), 2
             )
+            # delta-method 95% CI on the ratio of mean-differences
+            # (VERDICT r06 item 3: a point statistic that swung 50%
+            # between same-day runs cannot certify a 0.1x margin — the
+            # interval is now committed next to the bar).  Each input
+            # mean carries se = stdev/sqrt(n) over its steady tail;
+            # Var(num) = se_hi^2 + se_lo^2 per engine, and
+            # se_r ~= |r| * sqrt(Var_num/num^2 + Var_den/den^2).
+            import statistics as _stats
+
+            def _se(tail):
+                if len(tail) < 2:
+                    return 0.0
+                return _stats.stdev(tail) / len(tail) ** 0.5
+
+            num = store_mean - lo_mean
+            den = oracle_mean - olo_mean
+            var_num = _se(st[name]["hi_tail"]) ** 2 + _se(
+                st[name]["lo_tail"]
+            ) ** 2
+            var_den = _se(oc[name]["hi_tail"]) ** 2 + _se(olo_tail) ** 2
+            r = num / den
+            se_r = abs(r) * (
+                var_num / num ** 2 + var_den / den ** 2
+            ) ** 0.5
+            mrow["marginal_ratio_mean_ci95"] = [
+                round(r - 1.96 * se_r, 2), round(r + 1.96 * se_r, 2)
+            ]
+            mrow["marginal_tail_n"] = {
+                "spark_hi": len(st[name]["hi_tail"]),
+                "spark_lo": len(st[name]["lo_tail"]),
+                "oracle_hi": len(oc[name]["hi_tail"]),
+                "oracle_lo": len(olo_tail),
+            }
         marginal[name] = mrow
         print(f"# marginal {name}: spark {mrow['spark_marginal_meps']}"
               f" Mev/s vs duckdb {mrow['oracle_marginal_meps']}"
@@ -504,7 +563,7 @@ def run_flat_block(spark, gate_out: dict) -> None:
             ).counters_df().collect()
             return time.time() - t0
 
-        f_s, f_runs, f_med, _f_mean = _steady_state(one)
+        f_s, f_runs, f_med, _f_mean, _f_tail = _steady_state(one)
         _gc()
         row = gate_out[name]
         row["spark_s"] = round(f_s, 3)
@@ -603,34 +662,54 @@ def run_streaming_bench(spark, n_events: int = 20_000_000) -> dict:
     def sink(batch_df, _bid):
         counts["sessions"] += batch_df.count()
 
-    t0 = time.time()
     # the perf files are uuid-partitioned, not time-ordered: each
     # micro-batch covers the FULL time range for a uuid slice, so the
     # watermark delay must exceed the dataset's ~27h event-time span or
     # every batch after the first is dropped as late
-    q = (
-        streaming_session_features(sdf, delay="48 hours")
-        .writeStream.foreachBatch(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(1200)
-    dt = time.time() - t0
-    if not finished:
-        # timed out: events processed is NOT n_events — report the
-        # failure instead of a fabricated throughput (round-3 ADVICE)
-        q.stop()
-        return {
-            "events": n_events,
-            "seconds": round(dt, 3),
-            "error": "timeout after 1200s (partial run, no throughput)",
-            "sessions_emitted": counts["sessions"],
-        }
+    def one():
+        counts["sessions"] = 0
+        t0 = time.time()
+        q = (
+            streaming_session_features(sdf, delay="48 hours")
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(1200)
+        dt = time.time() - t0
+        if not finished:
+            q.stop()
+        return dt, finished
+
+    # same settle + median treatment as the gate queries (VERDICT r06
+    # item 8: a single-run streaming number had no steady-state
+    # protocol, so a ~15% drift was unattributable)
+    runs: list[float] = []
+    for i in range(3):
+        dt, finished = one()
+        if not finished:
+            # timed out: events processed is NOT n_events — report the
+            # failure instead of a fabricated throughput (round-3 ADVICE)
+            return {
+                "events": n_events,
+                "seconds": round(dt, 3),
+                "error": "timeout after 1200s (partial run, no throughput)",
+                "sessions_emitted": counts["sessions"],
+            }
+        runs.append(round(dt, 3))
+        if i < 2:
+            _settle("between streaming runs", max_wait=60)
+    import statistics
+
+    med = round(statistics.median(runs), 3)
     return {
         "events": n_events,
-        "seconds": round(dt, 3),
-        "events_per_sec": round(n_events / dt, 1),
+        "seconds": min(runs),
+        "seconds_median": med,
+        "runs": runs,
+        "events_per_sec": round(n_events / min(runs), 1),
+        "events_per_sec_median": round(n_events / med, 1),
         "sessions_emitted": counts["sessions"],
     }
 
@@ -693,21 +772,33 @@ start ->
         got["clicks"] += int(row["s"])
         got["rows"] += int(row["c"])
 
-    t0 = time.time()
-    q = (
-        parts.writeStream.foreachBatch(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(1200)
-    dt = time.time() - t0
-    if not finished:
-        q.stop()
-        return {
-            "events": n_events, "seconds": round(dt, 3),
-            "error": "timeout after 1200s (partial run, no throughput)",
-        }
+    def one():
+        got["clicks"] = 0
+        got["rows"] = 0
+        t0 = time.time()
+        q = (
+            parts.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(1200)
+        dt = time.time() - t0
+        if not finished:
+            q.stop()
+        return dt, finished
+
+    runs: list[float] = []
+    for i in range(3):
+        dt, finished = one()
+        if not finished:
+            return {
+                "events": n_events, "seconds": round(dt, 3),
+                "error": "timeout after 1200s (partial run, no throughput)",
+            }
+        runs.append(round(dt, 3))
+        if i < 2:
+            _settle("between streaming-window runs", max_wait=60)
     ev = spark.read.parquet(path)
     expected = ev.filter(F.col("event_type") == "click").count()
     expected += (
@@ -718,11 +809,17 @@ start ->
             & (F.expr("CAST(substring(uuid, 2) AS LONG)") % 10 == 0)
         ).count()
     )
+    import statistics
+
+    med = round(statistics.median(runs), 3)
     return {
         "events": n_events,
         "window_entries": n_cookies + n_cookies // 10,
-        "seconds": round(dt, 3),
-        "events_per_sec": round(n_events / dt, 1),
+        "seconds": min(runs),
+        "seconds_median": med,
+        "runs": runs,
+        "events_per_sec": round(n_events / min(runs), 1),
+        "events_per_sec_median": round(n_events / med, 1),
         "clicks": got["clicks"],
         "expected_clicks": expected,
         "clicks_match": got["clicks"] == expected,
@@ -1043,29 +1140,97 @@ def run_pair_scale_bench(spark, n_docs: int = 5_000_000) -> dict:
 
 
 def _run_child(cmd, env, timeout):
-    """subprocess.run with PROCESS-GROUP kill on timeout.  A plain
-    timeout= kills only the direct python child and orphans the py4j-
-    launched JVM, which keeps burning 32 threads on whatever 160M job
-    it was mid-flight in — round-6 calibration measured a later
+    """Run a child with PROCESS-GROUP cleanup and a captured output
+    tail; returns (proc, tail_text).
+
+    A plain timeout= kills only the direct python child and orphans the
+    py4j-launched JVM, which keeps burning 32 threads on whatever 160M
+    job it was mid-flight in — round-6 calibration measured a later
     gate run 40% slow from exactly such an orphan.  start_new_session
-    puts the child (and its JVM) in a fresh process group so the
-    whole tree dies together."""
+    puts the child (and its JVM) in a fresh process group; the group is
+    killed on timeout AND after any exit — a child that CRASHES (the
+    round-6 flat rc=1) also orphans its JVM, and that orphan is what
+    blew through the 180 s settle-wait and contaminated the sf0.1 block
+    that followed (VERDICT r06 item 2).
+
+    Output: the child's stdout/stderr are teed live to our stderr (the
+    driver log) while the last ~80 lines are retained, so a nonzero rc
+    carries its traceback into the artifact instead of a bare return
+    code."""
+    import collections
     import signal
+    import threading
 
     proc = subprocess.Popen(
-        cmd, env=env, stdout=sys.stderr, start_new_session=True
+        cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        start_new_session=True, text=True, errors="replace",
     )
+    tail: "collections.deque[str]" = collections.deque(maxlen=80)
+
+    def _tee():
+        for line in proc.stdout:
+            sys.stderr.write(line)
+            tail.append(line)
+        proc.stdout.close()
+
+    t = threading.Thread(target=_tee, daemon=True)
+    t.start()
     try:
         proc.wait(timeout=timeout)
     except subprocess.TimeoutExpired:
+        print(f"# child timed out after {timeout}s (tree killed)",
+              file=sys.stderr)
+    finally:
+        # reap the WHOLE group unconditionally: on clean exit the group
+        # is already empty and this is a no-op; on crash it kills the
+        # orphaned JVM before it can contaminate the next timed block
         try:
             os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
         except (ProcessLookupError, PermissionError):
             pass
         proc.wait()
-        print(f"# child timed out after {timeout}s (tree killed)",
-              file=sys.stderr)
-    return proc
+        t.join(timeout=10)
+    return proc, "".join(tail)[-2048:]
+
+
+def _settle(label: str, max_wait: float = 300.0) -> None:
+    """Wait for the 1-min load average to drop below half the CPU
+    budget before the next timed block.  A finished (or crashed) 160M
+    child leaves the run queue draining for minutes; starting the next
+    block into that tail inflated sub-second queries 2-4x (round-6
+    final run: trck family 0.5-0.8 s on settled runs vs 1.3-2.8 s on
+    the one that started hot).  Bounded, and the outcome is logged so
+    a slow artifact is attributable."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    t0 = time.time()
+    while os.getloadavg()[0] > cpus / 2 and time.time() - t0 < max_wait:
+        time.sleep(5)
+    print(
+        f"# settle ({label}): {time.time() - t0:.0f}s, "
+        f"loadavg {os.getloadavg()[0]:.1f}",
+        file=sys.stderr,
+    )
+
+
+def _log_peak_rss(label: str) -> None:
+    """Log this process's and its reaped children's peak RSS — a child
+    that dies rc=1 with no output is most plausibly memory pressure,
+    and this one line distinguishes OOM from a bug (VERDICT r06
+    item 2)."""
+    try:
+        import resource
+
+        self_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+        kids_mb = (
+            resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss // 1024
+        )
+        print(
+            f"# peak rss ({label}): self {self_mb} MB, "
+            f"children {kids_mb} MB",
+            file=sys.stderr,
+        )
+    except Exception:
+        pass
 
 
 def _gate_subprocess() -> dict | None:
@@ -1084,17 +1249,21 @@ def _gate_subprocess() -> dict | None:
         pass
     env = dict(os.environ)
     env.setdefault("SPARK_DRIVER_MEM", "48g")
-    proc = _run_child(
+    proc, gate_tail = _run_child(
         [sys.executable, os.path.abspath(__file__), "--gate",
          "--out", out_path],
         env=env, timeout=5400,
     )
     if proc.returncode != 0:
         print(f"# gate subprocess rc={proc.returncode}", file=sys.stderr)
-        return {"error": f"gate subprocess exited rc={proc.returncode}"}
+        return {"error": f"gate subprocess exited rc={proc.returncode}",
+                "error_detail": gate_tail}
     # flat block in its OWN fresh 48g JVM (see run_gate_suite note):
-    # reads the artifact, patches the flat columns, rewrites atomically
-    flat = _run_child(
+    # reads the artifact, patches the flat columns, rewrites atomically.
+    # Settle first so the flat timings don't start into the gate
+    # child's drain-down.
+    _settle("before flat child")
+    flat, flat_tail = _run_child(
         [sys.executable, os.path.abspath(__file__), "--flat",
          "--out", out_path],
         env=env, timeout=2700,
@@ -1105,6 +1274,9 @@ def _gate_subprocess() -> dict | None:
             with open(out_path) as f:
                 gate = json.load(f)
             gate["flat_error"] = f"flat subprocess exited rc={flat.returncode}"
+            # the attributable failure, not a bare return code (VERDICT
+            # r06 item 2): last ~2 kB of the child's combined output
+            gate["flat_error_detail"] = flat_tail
             with open(out_path, "w") as f:
                 f.write(json.dumps(gate, indent=1) + "\n")
         except (OSError, ValueError):
@@ -1136,6 +1308,7 @@ def _gate_summary(gate: dict | None) -> dict | None:
             "marginal_ratio": m.get("marginal_ratio"),
             "marginal_ratio_median": m.get("marginal_ratio_median"),
             "marginal_ratio_mean": m.get("marginal_ratio_mean"),
+            "marginal_ratio_mean_ci95": m.get("marginal_ratio_mean_ci95"),
             "match": g.get("match"),
         }
     tot = gate.get("total") or {}
@@ -1145,6 +1318,8 @@ def _gate_summary(gate: dict | None) -> dict | None:
               "streaming_window"):
         sub = gate.get(k) or {}
         s[k + "_eps"] = sub.get("events_per_sec")
+        if "events_per_sec_median" in sub:
+            s[k + "_eps_median"] = sub["events_per_sec_median"]
     sw = gate.get("streaming_window") or {}
     if "clicks_match" in sw:
         s["streaming_window_match"] = sw["clicks_match"]
@@ -1190,6 +1365,49 @@ def _gate_summary(gate: dict | None) -> dict | None:
     return s
 
 
+def _gate_bars(gate: dict | None) -> dict:
+    """The four declared pass/fail bars as booleans — the ONLY gate
+    content allowed on the stdout contract line.  Round 6's line
+    embedded the full ~2.5 kB gate summary and outgrew the driver's
+    tail capture (BENCH_r06 `parsed: null`, second occurrence after
+    round 3); the full numbers live in BENCH_GATE.json and the
+    per-query sf map in BENCH_SF.json, both committed.
+
+    Bars (declared in COVERAGE.md): B1 = marginal tail-mean <= 1.5x
+    (the wallclock letter is report-only per the round-5 criterion);
+    B2/sessions/attribution = steady-state-median wallclock <= 2x."""
+    if not gate:
+        return {"error": "gate did not run"}
+    if "error" in gate:
+        return {"error": gate["error"]}
+    marg = gate.get("marginal") or {}
+
+    def _le(x, bar):
+        return x is not None and x <= bar
+
+    b1m = (marg.get("b1_count_foreach") or {}).get("marginal_ratio_mean")
+    bars = {
+        "b1_marginal": _le(b1m, 1.5),
+        "b2": _le(
+            (gate.get("b2_funnel") or {}).get("ratio_store_median"), 2.0
+        ),
+        "sessions": _le(
+            (gate.get("sessions") or {}).get("ratio_store_median"), 2.0
+        ),
+        "attribution": _le(
+            (gate.get("attribution") or {}).get("ratio_store_median"), 2.0
+        ),
+    }
+    matches = [
+        (gate.get(n) or {}).get("match") for n in BASELINE_DEFS
+    ]
+    return {
+        "detail": "BENCH_GATE.json",
+        "bars": bars,
+        "match_all": all(m is True for m in matches),
+    }
+
+
 def check_ts_dtype(sf_dir: str) -> str:
     """Pin the events.ts dtype contract: the driver regenerates testdata
     between rounds and the parquet encoding has drifted before
@@ -1221,23 +1439,36 @@ def main() -> None:
                 f.write(payload + "\n")
         else:
             print(payload)
+        _log_peak_rss("gate child")
         return
 
     if "--flat" in sys.argv:
-        # flat-layout block in a fresh JVM: patch the gate artifact
+        # flat-layout block in a fresh JVM: patch the gate artifact.
+        # Any failure must leave a traceback on stderr (the parent tees
+        # it into flat_error_detail) plus the peak-RSS line — round 6's
+        # flat child died rc=1 with zero diagnostics.
         out_path = sys.argv[sys.argv.index("--out") + 1]
-        with open(out_path) as f:
-            gate = json.load(f)
-        from trck_spark.session import get_spark
+        try:
+            with open(out_path) as f:
+                gate = json.load(f)
+            from trck_spark.session import get_spark
 
-        spark = get_spark("trck_spark_flat")
-        spark.sparkContext.setLogLevel("ERROR")
-        gate.pop("flat_error", None)
-        run_flat_block(spark, gate)
-        tmp = out_path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(json.dumps(gate, indent=1) + "\n")
-        os.replace(tmp, out_path)
+            spark = get_spark("trck_spark_flat")
+            spark.sparkContext.setLogLevel("ERROR")
+            gate.pop("flat_error", None)
+            gate.pop("flat_error_detail", None)
+            run_flat_block(spark, gate)
+            tmp = out_path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(json.dumps(gate, indent=1) + "\n")
+            os.replace(tmp, out_path)
+        except BaseException:
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            _log_peak_rss("flat child (failed)")
+            raise
+        _log_peak_rss("flat child")
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -1253,25 +1484,10 @@ def main() -> None:
         except Exception as e:
             baseline = {"error": f"{type(e).__name__}: {e}"}
             print(f"# baseline gate failed: {e}", file=sys.stderr)
-        # the flat child's 160M-row window sorts leave the box's run
-        # queue draining for minutes; starting the sf block into that
-        # tail inflated its sub-second queries 2-4x on an otherwise
-        # idle box (round-6 final run: trck family 0.5-0.8 s in three
-        # same-day runs vs 1.3-2.8 s in the one that started hot).
-        # Wait for the 1-min load average to drop below half the CPU
-        # budget before timing, bounded at 3 minutes.
-        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-        settle_t0 = time.time()
-        while (
-            os.getloadavg()[0] > cpus / 2
-            and time.time() - settle_t0 < 180
-        ):
-            time.sleep(5)
-        print(
-            f"# settle: {time.time() - settle_t0:.0f}s, "
-            f"loadavg {os.getloadavg()[0]:.1f}",
-            file=sys.stderr,
-        )
+        # runs even when a child failed: a crashed child's drain-down
+        # (now also group-killed in _run_child) contaminated the sf
+        # block in round 6
+        _settle("before sf block")
 
     from trck_spark.session import get_spark
 
@@ -1392,10 +1608,27 @@ def main() -> None:
         "events_per_sec": round(n_events / b1, 1),
         "ts_dtype": ts_dtype,
     }
+    # full per-query map + detailed gate summary -> their own committed
+    # artifact; the stdout contract line carries only the timings dict
+    # and the four boolean bars, staying well inside the driver's tail
+    # capture (round 3 and round 6 both lost the per-query history to
+    # an overgrown line — VERDICT r06 item 1)
+    detail = dict(result)
     gate_summary = _gate_summary(baseline)
     if gate_summary is not None:
-        result["gate"] = gate_summary
-    print(json.dumps(result))
+        detail["gate"] = gate_summary
+    sf_path = os.path.join(_REPO, "BENCH_SF.json")
+    try:
+        with open(sf_path, "w") as f:
+            f.write(json.dumps(detail, indent=1) + "\n")
+        result["detail"] = "BENCH_SF.json"
+    except OSError as e:
+        print(f"# BENCH_SF.json write failed: {e}", file=sys.stderr)
+    if baseline is not None:
+        result["gate"] = _gate_bars(baseline)
+    line = json.dumps(result)
+    print(line)
+    print(f"# contract line: {len(line)} bytes", file=sys.stderr)
 
 
 if __name__ == "__main__":
