@@ -22,11 +22,12 @@ from tests.test_property_fsm import (
     _run_text,
     events_strategy,
     random_programs,
+    ts_base_strategy,
 )
 
 
-def _events(deltas):
-    ts = 0
+def _events(deltas, base=0):
+    ts = base
     events = []
     for delta, t, u in deltas:
         ts += delta
@@ -46,10 +47,14 @@ def multi_db_trails(draw):
     shape.  Zero-event trails are never emitted: they have no row
     representation, so neither side would see them."""
     n = draw(st.integers(min_value=1, max_value=3))
+    # one 64-bit base per example (weighted toward 0 — see
+    # test_property_fsm.TS_BASES): trails share it so cross-trail
+    # side-input windows stay meaningful on the small-base draws
+    base = draw(ts_base_strategy)
     dbs: list[dict] = [{}, {}]
     for i in range(n):
         deltas = draw(events_strategy)
-        events = _events(deltas)
+        events = _events(deltas, base)
         if not events:
             continue
         cookie = f"{i:04x}"

@@ -86,19 +86,37 @@ PARAMS = {
     "foreach": {"@arr": [["a"], ["b"], ["q"]], "#s": ["x", "y"]},
 }
 
+# Hostile VALUES (VERDICT r06 item 5) — the encoding hazards the
+# reference golden-tests (SURVEY §2.9): a comma collides with the
+# tuple framing byte, NUL with its escape, multi-byte utf-8 crosses
+# the 255-byte truncation boundary mid-codepoint, and a 300-byte
+# string forces the truncation itself (reference: src/utils.c:59-166).
+# They appear only as event VALUES (predicates keep clean literals);
+# `*`-clause yields of t/u route them through the tuple encoding on
+# every leg, and "x\x00" is additionally a #s0 member so set-membership
+# compares them too.
+_HOSTILE_T = ["a,b", "a\x00b", "ÿ€", "L" * 300]
+_HOSTILE_U = ["x\x00", "€"]
+
+# 64-bit timestamp bases (reference: test/tr/test_64bit_ts.tr:14-16) —
+# weighted so most draws keep small timestamps (side-input windows are
+# drawn in [0, 800) and should usually overlap the events)
+TS_BASES = [0, 0, 0, 0, 2**33, 2**61]
+ts_base_strategy = st.sampled_from(TS_BASES)
+
 events_strategy = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=30),   # ts delta
-        st.sampled_from(["a", "b", "c", "z", ""]),  # t
-        st.sampled_from(["x", "y", ""]),            # u
+        st.sampled_from(["a", "b", "c", "z", ""] + _HOSTILE_T),  # t
+        st.sampled_from(["x", "y", ""] + _HOSTILE_U),            # u
     ),
     min_size=0,
     max_size=40,
 )
 
 
-def _trails(deltas):
-    ts = 0
+def _trails(deltas, base=0):
+    ts = base
     events = []
     for delta, t, u in deltas:
         ts += delta
@@ -152,8 +170,13 @@ _COUNTERS = ["$c0", "$c1"]
 _YIELD_ITEMS = [
     "t", "u", "ts", "cookie",
     # FFI terms (reference §2.8): plain, two-arg, and nested calls —
-    # every leg passes FFI_REGISTRY so these evaluate on all paths
+    # every leg passes FFI_REGISTRY so these evaluate on all paths.
+    # f3/f4 return HOSTILE bytes (raw 0xff/0x00/comma/invalid-utf8 and
+    # >255-byte items): the reference's values are bytes, so the
+    # escape/truncation hazards unreachable through valid-utf-8 string
+    # columns are reachable here on every leg (VERDICT r06 item 5)
     "f1(t)", "f2(u, cookie)", "f1(f2(t, ts))",
+    "f3(u)", "f4(t)",
 ]
 
 
@@ -165,7 +188,21 @@ def _ffi_f2(a: bytes, b: bytes) -> bytes:
     return a + b"_" + b
 
 
-FFI_REGISTRY = {"f1": _ffi_f1, "f2": _ffi_f2}
+def _ffi_f3(b: bytes) -> bytes:
+    # raw 0xff (escape lead byte), NUL, framing comma, and an
+    # invalid-utf8 tail — all must round-trip the tuple encoding
+    return b"\xff\x00," + b + b"\xfe\xff"
+
+
+def _ffi_f4(b: bytes) -> bytes:
+    # > 255 bytes: forces the 256-byte item clamp and the buffer
+    # truncation rules (including the len == cap-5 skip quirk)
+    return (b + b"Lq") * 96
+
+
+FFI_REGISTRY = {
+    "f1": _ffi_f1, "f2": _ffi_f2, "f3": _ffi_f3, "f4": _ffi_f4,
+}
 
 
 def _draw_actions(draw, targets, extra_items=(), allow_bare=False):
@@ -293,10 +330,12 @@ def random_programs(draw):
             _draw_receive_body(draw, lines, ind + "    ", states,
                                use_foreach,
                                bare_clauses=(s == "start"))
+    # "x\x00" in #s0: set membership must compare hostile values
+    # identically on the interpreter and the Spark IN-set form
     params = (
-        {"@arr": [["a"], ["b"], ["q"]], "#s0": ["x", "y"]}
+        {"@arr": [["a"], ["b"], ["q"]], "#s0": ["x", "y", "x\x00"]}
         if use_foreach
-        else {"#s0": ["x", "y"]}
+        else {"#s0": ["x", "y", "x\x00"]}
     )
     params["%since"] = str(draw(st.integers(min_value=0, max_value=300)))
     return "\n".join(lines) + "\n", params
@@ -318,10 +357,13 @@ def _run_text(text, params, trails, no_codegen):
 
 
 @settings(max_examples=200, deadline=None)
-@given(deltas=events_strategy, prog=random_programs())
-def test_codegen_equals_interpreter_on_random_programs(deltas, prog):
+@given(deltas=events_strategy, prog=random_programs(),
+       base=ts_base_strategy)
+def test_codegen_equals_interpreter_on_random_programs(
+    deltas, prog, base
+):
     text, params = prog
-    trails = _trails(deltas)
+    trails = _trails(deltas, base)
     assert _run_text(text, params, trails, True) == _run_text(
         text, params, trails, False
     )
