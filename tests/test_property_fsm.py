@@ -367,3 +367,27 @@ def test_codegen_equals_interpreter_on_random_programs(
     assert _run_text(text, params, trails, True) == _run_text(
         text, params, trails, False
     )
+
+
+@settings(max_examples=200, deadline=None)
+@given(deltas=events_strategy, prog=random_programs(),
+       base=ts_base_strategy)
+def test_grid_pruning_is_result_invariant(deltas, prog, base):
+    """The occurring/non-occurring projection-key cache and the
+    param-independence early-break (runner.trail_results; reference
+    match_traildb.c:596-744) are correctness-relevant optimizations:
+    every drawn program must produce IDENTICAL results with pruning
+    forcibly disabled (VERDICT r06 item 6).  Non-foreach draws are
+    trivially invariant and serve as the control."""
+    text, params = prog
+    trails = _trails(deltas, base)
+    pruned = _run_text(text, params, trails, False)
+    os.environ["TRCK_SPARK_NO_GRID_PRUNE"] = "1"
+    try:
+        unpruned = _run_text(text, params, trails, False)
+    finally:
+        os.environ.pop("TRCK_SPARK_NO_GRID_PRUNE", None)
+    assert pruned == unpruned, (
+        f"pruning changed results\nprogram:\n{text}\ntrails: {trails!r}"
+        f"\npruned:   {pruned!r}\nunpruned: {unpruned!r}"
+    )

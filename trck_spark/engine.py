@@ -85,6 +85,10 @@ def _worker_query(
     q = TrckQuery(
         spec["ir"], params=spec.get("params"), fn_registry=fn_registry
     )
+    # driver-side pruning toggle, shipped in the spec (the worker's own
+    # env doesn't see driver changes made after session start)
+    if spec.get("no_grid_prune"):
+        q.no_grid_prune = True
     if fn_registry and "initialize" in fn_registry:
         fn_registry["initialize"]()
     tuples = None
@@ -877,6 +881,12 @@ class TrckSparkEngine:
                 ]
                 if tuples is not None
                 else None,
+                # the grid-pruning kill switch rides in the spec:
+                # executor Python workers don't see driver env changes
+                # made after session start (fuzz toggles it per run)
+                "no_grid_prune": _os.environ.get(
+                    "TRCK_SPARK_NO_GRID_PRUNE"
+                ) == "1",
             },
             default=str,
         )

@@ -64,6 +64,14 @@ class TrckQuery:
         self.compiled = CompiledProgram(self.program, fn_registry)
         self.fn_registry = fn_registry
         self.params = params or {}
+        # TRCK_SPARK_NO_GRID_PRUNE is read at CONSTRUCTION time (driver
+        # side); the Spark engine ships it to executors inside spec_json
+        # because executor worker processes don't see driver env changes
+        import os as _os
+
+        self.no_grid_prune = (
+            _os.environ.get("TRCK_SPARK_NO_GRID_PRUNE") == "1"
+        )
         self.base_env = base_env(params)
         self.event_filter = event_filter
         self.window_set = window_set  # uuid_hex -> (start, end, id_hex|None)
@@ -90,10 +98,19 @@ class TrckQuery:
         ``fsm_runs`` = eval_trail invocations ("match calls" in the
         reference's per-DB log, match_traildb.c:854-870), ``grid_shared``
         = trails where one param-independent run served the whole grid
-        (the early-break counter)."""
+        (the early-break counter).
+
+        TRCK_SPARK_NO_GRID_PRUNE=1 (read when the query is constructed)
+        disables BOTH pruning optimizations (the projection-key run
+        cache and the param-independence early-break) and evaluates
+        every grid tuple with its own FSM run — they are
+        correctness-relevant optimizations, and the differential fuzz
+        runs each drawn foreach program both ways and asserts identical
+        results (VERDICT r06 item 6)."""
         program = self.program
         if stats is None:
             stats = {}
+        prune = not self.no_grid_prune
         if tuples is None:
             stats["fsm_runs"] = stats.get("fsm_runs", 0) + 1
             res = eval_trail(
@@ -124,10 +141,10 @@ class TrckQuery:
         # param-dependent predicate, every tuple takes identical branches
         # — one run serves the entire grid.  Param-yield terms disqualify
         # (their output depends on the binding even without predicates).
-        can_share = not program.param_yield_vars
+        can_share = prune and not program.param_yield_vars
         for ti, tup in enumerate(tuples):
             pkey = projection_key(program, tup, trail_distinct)
-            res = cache.get(pkey)
+            res = cache.get(pkey) if prune else None
             if res is None:
                 env = env_for_tuple(program, self.base_env, tup)
                 env["__used"] = False
