@@ -1,0 +1,153 @@
+"""TrailStore write-time rollup answering implicit-foreach counters
+(VERDICT r06 item 4): the store aggregates (dictionary code, count) per
+field at WRITE time (store.py _field_rollups), and engine.run answers
+the B1-shaped query from the manifest with ZERO scan — gated on
+ts_unique (dedup provably a no-op) and on rollup_weights (the program
+counts every matching event exactly once).  Every test cross-checks the
+rollup answer against the FSM path and the scan-based compiled path on
+the same store.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+PROG = """
+foreach %v
+    start ->
+        receive
+            t = %v -> yield $r
+            * -> repeat
+"""
+
+
+def _store(spark, tmp_path, rows, name="s"):
+    from trck_spark.store import write_trail_store
+
+    df = spark.createDataFrame(
+        rows, "uuid string, timestamp long, seq long, t string, u string"
+    )
+    return write_trail_store(df, str(tmp_path / name))
+
+
+def _rows(dup_ts=False):
+    rows = []
+    for i in range(6):
+        for j in range(8):
+            ts = 100 + j * 10
+            rows.append((f"u{i}", ts, j, "abc"[j % 3], "xy"[j % 2]))
+            if dup_ts and j == 2:
+                # exact consecutive duplicate (same ts, same fields):
+                # the dedup skip drops it, so a rollup answer would
+                # overcount — the ts_unique gate must reject the store
+                rows.append((f"u{i}", ts, j, "abc"[j % 3], "xy"[j % 2]))
+    return rows
+
+
+def _run(spark, store, prog, env=None):
+    from trck_spark.engine import TrckSparkEngine
+
+    env = env or {}
+    for k, v in env.items():
+        os.environ[k] = v
+    try:
+        rs = TrckSparkEngine(spark).run(
+            store, prog, uuid_col="uuid", ts_col="timestamp",
+            seq_col="seq",
+        )
+        out = rs.collect_json()
+        plan = rs.counters_df()._jdf.queryExecution().executedPlan().toString()
+        return out, plan
+    finally:
+        for k in env:
+            del os.environ[k]
+
+
+def test_rollup_manifest_counts(spark, tmp_path):
+    store = _store(spark, tmp_path, _rows())
+    m = store._trailstore_manifest
+    assert set(m["rollups"]) == {"t", "u"}
+    # 6 trails x 8 events: t cycles a,b,c,a,b,c,a,b -> a:3 b:3 c:2 each
+    t_values = m["dicts"]["t"]
+    counts = dict(zip([""] + t_values, m["rollups"]["t"]))
+    assert counts == {"": 0, "a": 18, "b": 18, "c": 12}
+
+
+def test_rollup_answers_without_scan(spark, tmp_path):
+    store = _store(spark, tmp_path, _rows())
+    out, plan = _run(spark, store, PROG)
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+    by_v = {r["%v"]: r["$r"] for r in out}
+    assert by_v == {"": 0, "a": 18, "b": 18, "c": 12}
+    # same answer from the scan-based compiled path and the FSM path
+    out_scan, plan_scan = _run(
+        spark, store, PROG, {"TRCK_SPARK_NO_ROLLUP": "1"}
+    )
+    assert "FileScan" in plan_scan or "Scan parquet" in plan_scan
+    out_fsm, _ = _run(spark, store, PROG, {"TRCK_SPARK_NO_FASTPATH": "1"})
+    assert out == out_scan == out_fsm
+
+
+def test_rollup_multiplicity(spark, tmp_path):
+    prog2 = PROG.replace("yield $r", "yield $r, yield $r, yield $k")
+    store = _store(spark, tmp_path, _rows())
+    out, plan = _run(spark, store, prog2)
+    assert "FileScan" not in plan
+    out_fsm, _ = _run(
+        spark, store, prog2, {"TRCK_SPARK_NO_FASTPATH": "1"}
+    )
+    assert out == out_fsm
+    by_v = {r["%v"]: (r["$r"], r["$k"]) for r in out}
+    assert by_v["a"] == (36, 18)
+
+
+def test_rollup_gated_off_on_duplicate_timestamps(spark, tmp_path):
+    store = _store(spark, tmp_path, _rows(dup_ts=True))
+    assert store._trailstore_manifest["ts_unique"] is False
+    out, plan = _run(spark, store, PROG)
+    # must scan (the dedup window is live) and must agree with the FSM
+    assert "FileScan" in plan or "Scan parquet" in plan
+    out_fsm, _ = _run(spark, store, PROG, {"TRCK_SPARK_NO_FASTPATH": "1"})
+    assert out == out_fsm
+    # the duplicate was dropped: counts match the dup-free corpus
+    assert {r["%v"]: r["$r"] for r in out} == {
+        "": 0, "a": 18, "b": 18, "c": 12
+    }
+
+
+def test_rollup_gated_off_on_unsafe_shapes(spark, tmp_path):
+    store = _store(spark, tmp_path, _rows())
+    # extra conjunct filters below the rollup's raw counts
+    conj = PROG.replace('t = %v ->', 't = %v, u = "x" ->')
+    out, plan = _run(spark, store, conj)
+    assert "FileScan" in plan or "Scan parquet" in plan
+    out_fsm, _ = _run(spark, store, conj, {"TRCK_SPARK_NO_FASTPATH": "1"})
+    assert out == out_fsm
+    # an earlier clause steals events from the counting clause
+    steal = PROG.replace(
+        't = %v -> yield $r',
+        'u = "x" -> repeat\n            t = %v -> yield $r',
+    )
+    out2, plan2 = _run(spark, store, steal)
+    assert "FileScan" in plan2 or "Scan parquet" in plan2
+    out2_fsm, _ = _run(
+        spark, store, steal, {"TRCK_SPARK_NO_FASTPATH": "1"}
+    )
+    assert out2 == out2_fsm
+    assert out2 != out  # the steal clause really changes counts
+
+
+def test_ensure_rollups_upgrades_old_manifest(spark, tmp_path):
+    from trck_spark.store import MANIFEST, ensure_rollups, read_manifest
+
+    store = _store(spark, tmp_path, _rows())
+    path = str(tmp_path / "s")
+    m = read_manifest(path)
+    want = m.pop("rollups")
+    m["version"] = 2
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(m, f)
+    upgraded = ensure_rollups(spark, path)
+    assert upgraded["rollups"] == want
+    assert read_manifest(path)["rollups"] == want

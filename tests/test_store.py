@@ -245,13 +245,22 @@ def test_dict_reopen_preserves_codes(spark, dict_store):
 def test_dict_code_plan_prunes_string_column(spark, dict_store):
     """The code-keyed B1 plan must read ONLY the int code column —
     string hash-agg replaced by dictionary-id agg, the scan never
-    touching the (wider) string bytes."""
+    touching the (wider) string bytes.  TRCK_SPARK_NO_ROLLUP pins the
+    SCAN form: with the manifest rollup eligible, the engine would
+    otherwise answer without any scan at all (tests/test_rollup.py
+    covers that tier)."""
+    import os
+
     path, df, store = dict_store
     eng = TrckSparkEngine(spark)
-    frame = eng.run(
-        store, B1_DICT_PROG, uuid_col="uuid", ts_col="timestamp",
-        seq_col="seq",
-    ).counters_df()
+    os.environ["TRCK_SPARK_NO_ROLLUP"] = "1"
+    try:
+        frame = eng.run(
+            store, B1_DICT_PROG, uuid_col="uuid", ts_col="timestamp",
+            seq_col="seq",
+        ).counters_df()
+    finally:
+        del os.environ["TRCK_SPARK_NO_ROLLUP"]
     plan = frame._jdf.queryExecution().executedPlan().toString()
     assert "__c_aeid" in plan
     scan_schema = [

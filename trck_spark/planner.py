@@ -377,6 +377,37 @@ def _clause_shape(c):
     )
 
 
+def rollup_weights(program: Program, var: str, field: str) -> dict | None:
+    """{counter var -> per-event multiplicity} when an implicit-foreach
+    counter can be answered from the TrailStore's write-time rollup
+    (store.py _field_rollups), else None.
+
+    The rollup is raw event counts per field value, so the program must
+    count every matching event exactly once per yield: clause 0 must be
+    the ONLY yielding clause (first-match resolution means any EARLIER
+    clause could steal events from the counting clause) and its
+    predicate must be exactly ``field = %var`` with no other conjunct
+    (an extra field or timestamp term filters below the rollup's
+    counts).  Caller has already established is_simple_counter_program
+    (single rule, repeat-only, catch-all present) and the equi-join
+    shape."""
+    clauses = program.rules[0].get("clauses", [])
+    if not clauses:
+        return None
+    c0 = clauses[0]
+    if c0.get("op") == "not" or c0.get("attrs") != {field: [var]}:
+        return None
+    ys = c0.get("yield") or []
+    if not ys or any(y["dst"][0] != "$" for y in ys):
+        return None
+    if any(c.get("yield") for c in clauses[1:]):
+        return None
+    w: dict[str, int] = {}
+    for y in ys:
+        w[y["dst"]] = w.get(y["dst"], 0) + 1
+    return w
+
+
 def _equi_join_fields(program: Program) -> dict | None:
     """{groupby var -> field} when the grid can equi-join instead of
     cross-join, else None.

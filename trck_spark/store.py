@@ -182,13 +182,14 @@ def write_trail_store(df, path: str, uuid_col: str = "uuid",
         == 0
     )
     manifest = {
-        "version": 2,
+        "version": 3,
         "uuid_col": uuid_col,
         "ts_col": ts_col,
         "seq_col": seq_col,
         "n_buckets": n_buckets,
         "ts_unique": ts_unique,
         "dicts": dicts,
+        "rollups": _field_rollups(spark.table(table), dicts),
         "schema_ddl": _schema_ddl(df),
     }
     with open(os.path.join(path, MANIFEST), "w") as f:
@@ -196,6 +197,69 @@ def write_trail_store(df, path: str, uuid_col: str = "uuid",
     out = spark.table(table)
     out._trailstore_manifest = manifest
     return out
+
+
+def _field_rollups(table_df, dicts: dict) -> dict:
+    """Per-field event counts by dictionary code, computed in ONE pass —
+    the write-time materialized aggregate a native column store keeps.
+
+    A counter over 100 TB should not rescan events: the simple-program
+    recognizer (engine.run) answers implicit-foreach count queries
+    straight from this rollup when the store proves the scan would be an
+    identity (ts_unique => the consecutive-duplicate skip is a no-op,
+    and the rollup-safe program shape counts every matching event
+    exactly once).  Monoid (plain sums), so a future append path merges
+    rollups without rescanning history.
+
+    Shape: {field: [count_code0, count_code1, ...]} indexed by the
+    dictionary code (0 = ""/absent, 1..n = lexicon order) — bounded by
+    the dict_max lexicon cap, so the manifest stays small.  The explode
+    widens rows x n_fields before the partial aggregation, but the
+    group cardinality is tiny (fields x codes), so map-side combine
+    collapses it to one short shuffle per write."""
+    from pyspark.sql import functions as F
+
+    if not dicts:
+        return {}
+    pairs = (
+        table_df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f).alias("f"),
+                            F.coalesce(
+                                F.col("__c_" + f), F.lit(0)
+                            ).alias("c"),
+                        )
+                        for f in dicts
+                    ]
+                )
+            ).alias("p")
+        )
+        .groupBy("p.f", "p.c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    rollups = {f: [0] * (len(values) + 1) for f, values in dicts.items()}
+    for r in pairs:
+        rollups[r["f"]][r["c"]] = r["n"]
+    return rollups
+
+
+def ensure_rollups(spark, path: str) -> dict:
+    """Upgrade a pre-v3 store manifest in place with the per-field
+    rollups (one scan; no data rewrite) and return the manifest."""
+    m = read_manifest(path)
+    if "rollups" in m:
+        return m
+    table_df = open_trail_store(spark, path)
+    m["rollups"] = _field_rollups(table_df, m.get("dicts") or {})
+    m["version"] = 3
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(m, f)
+    table_df._trailstore_manifest = m
+    return m
 
 
 def _schema_ddl(df) -> str:
