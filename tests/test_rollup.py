@@ -151,3 +151,51 @@ def test_ensure_rollups_upgrades_old_manifest(spark, tmp_path):
     upgraded = ensure_rollups(spark, path)
     assert upgraded["rollups"] == want
     assert read_manifest(path)["rollups"] == want
+
+
+PROG_EXPLICIT = """
+foreach %v in @arr
+    start ->
+        receive
+            t = %v -> yield $r
+            * -> repeat
+"""
+
+
+def test_rollup_answers_explicit_grid(spark, tmp_path):
+    """The `*_by_type` family: an EXPLICIT foreach grid over a
+    rollup-safe program answers from the manifest too — including grid
+    values absent from the store lexicon (zero occurrences by the
+    lexicon's construction) and the empty binding (code 0)."""
+    store = _store(spark, tmp_path, _rows())
+    params = {"@arr": [["a"], ["c"], ["zz"], [""]]}
+
+    from trck_spark.engine import TrckSparkEngine
+
+    rs = TrckSparkEngine(spark).run(
+        store, PROG_EXPLICIT, params=params, uuid_col="uuid",
+        ts_col="timestamp", seq_col="seq",
+    )
+    out = rs.collect_json()
+    plan = rs.counters_df()._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+    by_v = {r["%v"]: r["$r"] for r in out}
+    assert by_v == {"a": 18, "c": 12, "zz": 0, "": 0}
+    # identical through the scan path and the FSM path
+    os.environ["TRCK_SPARK_NO_ROLLUP"] = "1"
+    try:
+        out_scan = TrckSparkEngine(spark).run(
+            store, PROG_EXPLICIT, params=params, uuid_col="uuid",
+            ts_col="timestamp", seq_col="seq",
+        ).collect_json()
+    finally:
+        del os.environ["TRCK_SPARK_NO_ROLLUP"]
+    os.environ["TRCK_SPARK_NO_FASTPATH"] = "1"
+    try:
+        out_fsm = TrckSparkEngine(spark).run(
+            store, PROG_EXPLICIT, params=params, uuid_col="uuid",
+            ts_col="timestamp", seq_col="seq",
+        ).collect_json()
+    finally:
+        del os.environ["TRCK_SPARK_NO_FASTPATH"]
+    assert out == out_scan == out_fsm

@@ -411,6 +411,33 @@ class TrckSparkEngine:
             )
         return self.spark.range(0, len(vals), 1, 1).select(*sel)
 
+    def _rollup_partials(self, tuples: list, code_values: list,
+                         rollup: list, weights: dict):
+        """EXPLICIT-grid rollup answer: aggregated-partials frame
+        (tuple_id, var, key, reg, sum_n, max_n — compile_relational's
+        output shape) built from the manifest rollup.  A grid value
+        absent from the store lexicon has zero occurrences by the
+        lexicon's construction (store.py _dict_lexicons collects every
+        distinct value) and densifies to its zero row downstream.
+        Returns None when a grid binding is not a plain string (caller
+        falls back to the scan path)."""
+        index = {v: i + 1 for i, v in enumerate(code_values)}
+        rows = []
+        for ti, tup in enumerate(tuples):
+            val = tup[0]
+            if not isinstance(val, str):
+                return None
+            code = 0 if val == "" else index.get(val)
+            n = int(rollup[code]) if code is not None else 0
+            for var, w in weights.items():
+                if n * w:
+                    rows.append((ti, var, None, None, n * w, n * w))
+        return self.spark.createDataFrame(
+            rows,
+            "tuple_id long, var string, key binary, reg long, "
+            "sum_n long, max_n long",
+        )
+
     def run(
         self,
         events_df,
@@ -858,10 +885,43 @@ class TrckSparkEngine:
         # --- fast path: simple counter programs compile to pure Catalyst
         # (no Python workers, whole-stage codegen; see planner.py) ---
         if fastpath_on and is_simple_counter_program(program):
-            agg_df = compile_relational(
-                self, df, program, tuples, params, extra_dedup,
-                no_dedup=no_dedup, pred_codes=pred_codes,
-            )
+            # EXPLICIT-grid rollup (the `*_by_type` family): same gates
+            # as the implicit form — ts_unique store, rollup-safe shape
+            # — with the grid's values looked up in the lexicon (a grid
+            # value absent from the store's lexicon has, by the lexicon
+            # construction, zero occurrences)
+            agg_df = None
+            if (
+                tuples is not None
+                and len(program.groupby_vars) == 1
+                and not program.merge_results
+                and window_entries is None
+                and event_filter is None
+                and not exclude_on
+                and no_dedup
+                and not _os.environ.get("TRCK_SPARK_NO_ROLLUP")
+            ):
+                from trck_spark.planner import rollup_weights
+
+                gvar = program.groupby_vars[0]
+                gfield = program.var_fields.get(gvar)
+                grollup = (manifest.get("rollups") or {}).get(gfield)
+                gweights = rollup_weights(program, gvar, gfield)
+                if (
+                    grollup is not None
+                    and gweights is not None
+                    and gfield in dicts
+                    and len(grollup) == len(dicts[gfield]) + 1
+                    and _equi_join_fields(program) == {gvar: gfield}
+                ):
+                    agg_df = self._rollup_partials(
+                        tuples, dicts[gfield], grollup, gweights
+                    )
+            if agg_df is None:
+                agg_df = compile_relational(
+                    self, df, program, tuples, params, extra_dedup,
+                    no_dedup=no_dedup, pred_codes=pred_codes,
+                )
             return self._cache_put(
                 cache_key,
                 events_df,
