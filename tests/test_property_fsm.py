@@ -255,15 +255,27 @@ def _draw_receive_body(draw, lines, ind, targets, use_foreach,
         )
         if "t" in which:
             k = draw(st.sampled_from(t_kinds))
+            # hostile LITERALS too (not just hostile values): the
+            # grammar allows commas and NULs inside quoted strings, and
+            # "a,b"/"a\x00b" are drawn event values, so these predicates
+            # really match on every leg
             preds.append(
                 "t = %v" if k == "t_var"
-                else f't = "{draw(st.sampled_from(["a", "b", "c", "z"]))}"'
+                else 't = "{}"'.format(
+                    draw(
+                        st.sampled_from(
+                            ["a", "b", "c", "z", "a,b", "a\x00b"]
+                        )
+                    )
+                )
             )
         if "u" in which:
             k = draw(st.sampled_from(["u_lit", "u_set"]))
             preds.append(
                 "u in #s0" if k == "u_set"
-                else f'u = "{draw(st.sampled_from(["x", "y"]))}"'
+                else 'u = "{}"'.format(
+                    draw(st.sampled_from(["x", "y", "x\x00"]))
+                )
             )
         if "s" in which:
             op = draw(st.sampled_from([">", "<", ">=", "<="]))
