@@ -674,3 +674,88 @@ start ->
         dedup_carry=True,
     )
     assert _counters_from_rows(prog, rows_carry) == batch_single_db
+
+
+def test_checkpoint_restart_resumes_state(spark, tmp_path):
+    """The versioned state blob survives a REAL checkpoint round-trip:
+    run a query over the first file with a checkpointLocation, stop it,
+    add more files, restart the same query — the trail's FSM state AND
+    the dedup_carry prev-event must come back from the state store (a
+    duplicate straddling the RESTART boundary is dropped), and the
+    totals must match the batch engine on all events as one db."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from trck_spark.engine import TrckSparkEngine
+    from trck_spark.io import trails_json_to_df
+    from trck_spark.streaming import STREAM_END_TS, streaming_partials
+
+    src = tmp_path / "ck_src"
+    src.mkdir(parents=True)
+    ckpt = str(tmp_path / "ckpt")
+    schema = "uuid string, timestamp long, seq long, event_type string"
+    prog = """
+start ->
+    receive
+        event_type = "click" -> yield $clicks, repeat
+        * -> repeat
+"""
+
+    collected: list = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*.parquet"))
+        )
+        parts = streaming_partials(
+            stream, prog, uuid_col="uuid", ts_col="timestamp",
+            seq_col="seq", dedup_carry=True,
+        )
+        q = (
+            parts.writeStream.foreachBatch(
+                lambda b, _i: collected.extend(b.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # run 1: view@100, click@200 — trail state (incl. prev event)
+    # persists into the checkpoint
+    spark.createDataFrame(
+        [("u1", 100, 0, "view"), ("u1", 200, 1, "click")], schema
+    ).coalesce(1).write.parquet(str(src / "a.parquet"))
+    _pin_mtime(src / "a.parquet", 1_700_000_000)
+    run_once()
+    mid = sum(int(r["n"]) for r in collected if r["var"] == "$clicks")
+    assert mid == 1
+
+    # run 2 (restart from the checkpoint): the first event duplicates
+    # run 1's last (click@200) and must be dropped via the carried
+    # prev-event; then click@300 counts; the marker finalizes
+    spark.createDataFrame(
+        [("u1", 200, 0, "click"), ("u1", 300, 1, "click")], schema
+    ).coalesce(1).write.parquet(str(src / "b.parquet"))
+    _pin_mtime(src / "b.parquet", 1_700_000_100)
+    spark.createDataFrame(
+        [("u1", STREAM_END_TS, 0, None)], schema
+    ).coalesce(1).write.parquet(str(src / "z.parquet"))
+    _pin_mtime(src / "z.parquet", 1_700_000_200)
+    run_once()
+
+    total = sum(int(r["n"]) for r in collected if r["var"] == "$clicks")
+    merged = [{"u1": [
+        {"timestamp": 100, "event_type": "view"},
+        {"timestamp": 200, "event_type": "click"},
+        {"timestamp": 200, "event_type": "click"},
+        {"timestamp": 300, "event_type": "click"},
+    ]}]
+    ev = trails_json_to_df(spark, merged).select(
+        "uuid", "timestamp", "seq", "event_type"
+    )
+    batch = TrckSparkEngine(spark).run(
+        ev, prog, uuid_col="uuid", ts_col="timestamp", seq_col="seq"
+    ).collect_json()
+    assert total == batch["$clicks"] == 2
