@@ -199,3 +199,40 @@ def test_rollup_answers_explicit_grid(spark, tmp_path):
     finally:
         del os.environ["TRCK_SPARK_NO_FASTPATH"]
     assert out == out_scan == out_fsm
+
+
+PROG_LITERAL = """
+start ->
+    receive
+        t = "b" -> yield $n, repeat
+        * -> repeat
+"""
+
+
+def test_rollup_answers_literal_counter(spark, tmp_path):
+    """The count-matching-events shape (literal predicate, no foreach)
+    answers from the rollup too; a literal absent from the lexicon
+    counts zero; parity with the scan and FSM paths throughout."""
+    from trck_spark.engine import TrckSparkEngine
+
+    store = _store(spark, tmp_path, _rows())
+    out, plan = _run(spark, store, PROG_LITERAL)
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+    assert out == {"$n": 18}
+    out_scan, _ = _run(spark, store, PROG_LITERAL,
+                       {"TRCK_SPARK_NO_ROLLUP": "1"})
+    out_fsm, _ = _run(spark, store, PROG_LITERAL,
+                      {"TRCK_SPARK_NO_FASTPATH": "1"})
+    assert out == out_scan == out_fsm
+    # absent literal -> zero, still no scan
+    miss = PROG_LITERAL.replace('"b"', '"nope"')
+    out2, plan2 = _run(spark, store, miss)
+    assert "FileScan" not in plan2
+    out2_fsm, _ = _run(spark, store, miss, {"TRCK_SPARK_NO_FASTPATH": "1"})
+    assert out2 == out2_fsm == {"$n": 0}
+    # extra conjunct falls back to the scan path
+    conj = PROG_LITERAL.replace('t = "b" ->', 't = "b", u = "x" ->')
+    out3, plan3 = _run(spark, store, conj)
+    assert "FileScan" in plan3 or "Scan parquet" in plan3
+    out3_fsm, _ = _run(spark, store, conj, {"TRCK_SPARK_NO_FASTPATH": "1"})
+    assert out3 == out3_fsm

@@ -891,15 +891,16 @@ class TrckSparkEngine:
             # value absent from the store's lexicon has, by the lexicon
             # construction, zero occurrences)
             agg_df = None
-            if (
-                tuples is not None
-                and len(program.groupby_vars) == 1
-                and not program.merge_results
+            rollup_ok = (
+                not program.merge_results
                 and window_entries is None
                 and event_filter is None
                 and not exclude_on
                 and no_dedup
                 and not _os.environ.get("TRCK_SPARK_NO_ROLLUP")
+            )
+            if rollup_ok and (
+                tuples is not None and len(program.groupby_vars) == 1
             ):
                 from trck_spark.planner import rollup_weights
 
@@ -917,6 +918,49 @@ class TrckSparkEngine:
                     agg_df = self._rollup_partials(
                         tuples, dicts[gfield], grollup, gweights
                     )
+            elif rollup_ok and tuples is None and not program.groupby:
+                # LITERAL-predicate counter (`field = "lit" -> yield $c`
+                # — the count-matching-events shape): same gates, the
+                # literal looked up in the lexicon directly
+                from trck_spark.planner import rollup_weights
+
+                c0s = program.rules[0].get("clauses", [])
+                attrs = c0s[0].get("attrs") if c0s else None
+                if attrs and len(attrs) == 1:
+                    ((lfield, conds),) = attrs.items()
+                    lit = conds[0] if len(conds) == 1 else None
+                    if (
+                        isinstance(lit, str)
+                        and lit[:1] not in ("%", "#", "@")
+                        and lfield != "timestamp"
+                        and lfield in dicts
+                    ):
+                        lrollup = (manifest.get("rollups") or {}).get(
+                            lfield
+                        )
+                        lweights = rollup_weights(program, lit, lfield)
+                        if (
+                            lrollup is not None
+                            and lweights is not None
+                            and len(lrollup) == len(dicts[lfield]) + 1
+                        ):
+                            lindex = {
+                                v: i + 1
+                                for i, v in enumerate(dicts[lfield])
+                            }
+                            lindex[""] = 0
+                            code = lindex.get(lit)
+                            n = int(lrollup[code]) if code is not None else 0
+                            rows = [
+                                (0, var, None, None, n * w, n * w)
+                                for var, w in lweights.items()
+                                if n * w
+                            ]
+                            agg_df = self.spark.createDataFrame(
+                                rows,
+                                "tuple_id long, var string, key binary, "
+                                "reg long, sum_n long, max_n long",
+                            )
             if agg_df is None:
                 agg_df = compile_relational(
                     self, df, program, tuples, params, extra_dedup,
