@@ -12,6 +12,7 @@ exercise cross-db carried state through the shuffle/sort assembly.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -101,4 +102,64 @@ def test_spark_engine_equals_local_on_random_programs(
     problems = compare_results(expected, actual)
     assert not problems, "\n".join(
         [f"program:\n{text}", f"trails: {trails_dbs!r}", *problems]
+    )
+
+
+# --- random programs over a FIXED TrailStore ------------------------
+#
+# The store-only dispatch tiers (dictionary-code aggregation, manifest
+# rollups — engine.run's code_field / rollup blocks) never see the
+# flat-DataFrame fuzz above.  One ts-unique store, written once per
+# session, run under every drawn program: rollup-safe draws answer from
+# the manifest, code-eligible draws take the dict-code scan, the rest
+# fall through to compiled/FSM forms — all must equal the local runner.
+
+_STORE_TRAILS = [{
+    f"{i:04x}": [
+        {
+            "timestamp": 50 * i + 7 * j,  # strictly increasing per trail
+            "ts": str(50 * i + 7 * j),
+            "t": ["a", "b", "c", "z"][(i + j) % 4],
+            "u": ["x", "y", "x\x00"][(2 * i + j) % 3],
+        }
+        for j in range(10)
+    ]
+    for i in range(4)
+}]
+
+
+@pytest.fixture(scope="module")
+def trail_store(spark, tmp_path_factory):
+    from trck_spark.store import write_trail_store
+
+    df = _trails_to_df(spark, _STORE_TRAILS).drop("db")
+    store = write_trail_store(
+        df, str(tmp_path_factory.mktemp("fuzz_store") / "st")
+    )
+    assert store._trailstore_manifest["ts_unique"] is True
+    assert "t" in store._trailstore_manifest["rollups"]
+    return store
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(prog=random_programs())
+def test_store_dispatch_equals_local_on_random_programs(
+    spark, trail_store, prog
+):
+    from trck_spark.engine import TrckSparkEngine
+
+    text, params = prog
+    expected = _run_text(text, params, _STORE_TRAILS, no_codegen=False)
+    actual = TrckSparkEngine(spark).run(
+        trail_store, text, params=params,
+        uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+        fn_registry=FFI_REGISTRY, dedup_cols="all",
+    ).collect_json()
+    problems = compare_results(expected, actual)
+    assert not problems, "\n".join(
+        [f"program:\n{text}", *problems]
     )

@@ -759,3 +759,59 @@ start ->
         ev, prog, uuid_col="uuid", ts_col="timestamp", seq_col="seq"
     ).collect_json()
     assert total == batch["$clicks"] == 2
+
+
+def test_dedup_carry_with_window_df(spark, tmp_path):
+    """dedup_carry composes with window_df: the carried prev-event lives
+    per (original uuid, entry) state, so a duplicate straddling a
+    micro-batch boundary INSIDE a window entry is dropped while the
+    same event remains countable in a different entry whose bounds
+    exclude the first copy."""
+    from pyspark.sql import functions as F
+
+    from trck_spark.streaming import streaming_partials, STREAM_END_TS
+
+    src = tmp_path / "cw_src"
+    src.mkdir(parents=True)
+    schema = "uuid string, timestamp long, seq long, event_type string"
+    # batch a: click@200; batch b: click@200 (dup) + click@300; marker
+    spark.createDataFrame(
+        [("u1", 200, 0, "click")], schema
+    ).coalesce(1).write.parquet(str(src / "a.parquet"))
+    spark.createDataFrame(
+        [("u1", 200, 0, "click"), ("u1", 300, 1, "click")], schema
+    ).coalesce(1).write.parquet(str(src / "b.parquet"))
+    spark.createDataFrame(
+        [("u1", STREAM_END_TS, 0, None)], schema
+    ).coalesce(1).write.parquet(str(src / "z.parquet"))
+    for i, d in enumerate(["a.parquet", "b.parquet", "z.parquet"]):
+        _pin_mtime(src / d, 1_700_000_000 + i)
+    # entry 1 covers both clicks; entry 2 covers only ts >= 250 (sees
+    # the second copy of click@200? no — only click@300)
+    w_df = spark.createDataFrame(
+        [("u1", 0, 1000), ("u1", 250, 1000)], "uuid string, s long, e long"
+    )
+    prog = """
+start ->
+    receive
+        event_type = "click" -> yield $clicks, repeat
+        * -> repeat
+"""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*.parquet"))
+    )
+    parts = streaming_partials(
+        stream, prog, uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+        window_df=w_df, dedup_carry=True,
+    )
+    got: list = []
+    q = parts.writeStream.foreachBatch(
+        lambda b, _i: got.extend(b.collect())
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    total = sum(int(r["n"]) for r in got if r["var"] == "$clicks")
+    # entry 1: click@200 (dup dropped via carry) + click@300 = 2;
+    # entry 2: click@300 only = 1
+    assert total == 3
