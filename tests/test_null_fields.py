@@ -195,16 +195,26 @@ def test_store_code_predicates_match_flat(spark, tmp_path):
         )
         assert flat_rs.collect_json() == store_rs.collect_json()
 
-    # the plan's scan must read the int code column, not the string
-    plan = (
-        TrckSparkEngine(spark)
-        .run(store, PROG_LIT, uuid_col="uuid", ts_col="timestamp",
-             seq_col="seq")
-        .counters_df()
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    # the plan's scan must read the int code column, not the string.
+    # TRCK_SPARK_NO_ROLLUP pins the SCAN form: PROG_LIT is rollup-safe
+    # and the loop above already value-checked the default (rollup)
+    # answer against flat — on a null-containing store, code 0
+    # conflation included
+    import os
+
+    os.environ["TRCK_SPARK_NO_ROLLUP"] = "1"
+    try:
+        plan = (
+            TrckSparkEngine(spark)
+            .run(store, PROG_LIT, uuid_col="uuid", ts_col="timestamp",
+                 seq_col="seq")
+            .counters_df()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        del os.environ["TRCK_SPARK_NO_ROLLUP"]
     assert "__c_event_type" in plan
     import re
 
