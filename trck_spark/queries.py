@@ -185,6 +185,49 @@ def q_trck_count_by_type(spark, sf_dir):
     return _run_trck(spark, sf_dir, PROG_COUNT_BY_TYPE).counters_df()
 
 
+def q_trck_count_by_type_store(spark, sf_dir):
+    """PROG_COUNT_BY_TYPE through a TrailStore: same program, same
+    oracle, but the input is the bucketed store — so the ZERO-SCAN
+    manifest-rollup tier (store.py _field_rollups; engine._rollup_frame)
+    is what the oracle hash-checks when the store proves
+    ts-uniqueness, and the dictionary-code scan otherwise.  The store
+    is written once per (sf_dir, events mtime) under /tmp and reopened
+    thereafter; a regenerated events.parquet gets a fresh store."""
+    import os
+    import re as _re
+
+    from trck_spark.store import (
+        is_trail_store,
+        open_trail_store,
+        write_trail_store,
+    )
+
+    src = f"{sf_dir}/events.parquet"
+    try:
+        stamp = int(os.path.getmtime(src))
+    except OSError:
+        stamp = 0
+    slug = _re.sub(r"[^A-Za-z0-9_]", "_", sf_dir).strip("_")
+    path = f"/tmp/trck_spark_store_{slug}_{stamp}"
+    if is_trail_store(path):
+        store = open_trail_store(spark, path)
+    else:
+        events = load_events(spark, sf_dir).select(
+            "uuid", "timestamp", "event_id", "event_type"
+        )
+        store = write_trail_store(
+            events, path, uuid_col="uuid", ts_col="timestamp",
+            seq_col="event_id",
+        )
+    engine = _ENGINES.get(id(spark))
+    if engine is None:
+        engine = _ENGINES[id(spark)] = TrckSparkEngine(spark)
+    return engine.run(
+        store, PROG_COUNT_BY_TYPE, uuid_col="uuid", ts_col="timestamp",
+        seq_col="event_id",
+    ).counters_df()
+
+
 def q_trck_funnel(spark, sf_dir):
     return _run_trck(spark, sf_dir, PROG_FUNNEL).counters_df()
 
@@ -522,6 +565,13 @@ FROM grid g LEFT JOIN c ON c.tt = g.t
         "WHERE event_type = 'click'"
     ),
     "trck_count_by_type": (
+        "SELECT '' AS t, 0::BIGINT AS n UNION ALL "
+        "SELECT event_type AS t, count(*)::BIGINT AS n "
+        "FROM events GROUP BY event_type"
+    ),
+    # same oracle, TrailStore input: hash-checks the zero-scan manifest
+    # rollup tier (or the dict-code scan when ts-uniqueness fails)
+    "trck_count_by_type_store": (
         "SELECT '' AS t, 0::BIGINT AS n UNION ALL "
         "SELECT event_type AS t, count(*)::BIGINT AS n "
         "FROM events GROUP BY event_type"
@@ -881,6 +931,7 @@ def spark_queries() -> dict:
     out = {
         "trck_count_clicks": q_trck_count_clicks,
         "trck_count_by_type": q_trck_count_by_type,
+        "trck_count_by_type_store": q_trck_count_by_type_store,
         "trck_clicks_by_user": q_trck_clicks_by_user,
         "trck_timestamp_params": q_trck_timestamp_params,
         "trck_first_click": q_trck_first_click,
