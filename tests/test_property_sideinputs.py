@@ -87,6 +87,24 @@ def test_spark_engine_equals_local_with_side_inputs(
 
     text, params = prog
     windows, exclude, cnf = sides
+    # window draws live in [0, 800]; trails may draw a 64-bit ts base
+    # (test_property_fsm.TS_BASES, 1024-aligned), which would make every
+    # window miss every event — shift the windows by the recovered base
+    # (tmin - tmin % 1024 == the base exactly, deltas sum < 1024 per
+    # first event) so the [start, end) semantics stay exercised at any
+    # base; both paths receive the SAME shifted windows
+    if windows is not None:
+        tmin = min(
+            (
+                e["timestamp"]
+                for db in trails_dbs
+                for evs in db.values()
+                for e in evs
+            ),
+            default=0,
+        )
+        off = tmin - tmin % 1024 if tmin > 10**6 else 0
+        windows = [(h, s + off, e + off, r) for h, s, e, r in windows]
     expected = run_program(
         text, trails_dbs, params=params,
         window_set=windows, exclude=exclude, event_filter=cnf,

@@ -111,6 +111,20 @@ def test_streaming_side_inputs_equal_local_on_random_programs(
     text, params = prog
     windows, exclude = sides
     trails = _flatten(trails_dbs)
+    # shift window draws by the trails' 64-bit ts base (see
+    # test_property_sideinputs) so [start, end) filtering stays live
+    # under the 2^33/2^61 base draws
+    if windows is not None:
+        tmin = min(
+            (
+                e["timestamp"]
+                for evs in trails[0].values()
+                for e in evs
+            ),
+            default=0,
+        )
+        off = tmin - tmin % 1024 if tmin > 10**6 else 0
+        windows = [(c, s + off, e + off, r) for c, s, e, r in windows]
     window_set = (
         [
             (
