@@ -217,10 +217,14 @@ def _field_rollups(table_df, dicts: dict) -> dict:
     widens rows x n_fields before the partial aggregation, but the
     group cardinality is tiny (fields x codes), so map-side combine
     collapses it to one short shuffle per write."""
+    import sys
+    import time
+
     from pyspark.sql import functions as F
 
     if not dicts:
         return {}
+    t0 = time.time()
     pairs = (
         table_df.select(
             F.explode(
@@ -244,6 +248,12 @@ def _field_rollups(table_df, dicts: dict) -> dict:
     rollups = {f: [0] * (len(values) + 1) for f, values in dicts.items()}
     for r in pairs:
         rollups[r["f"]][r["c"]] = r["n"]
+    # write-time cost transparency: the one-scan price the store pays so
+    # counters never rescan (bench logs show it amortized per write)
+    print(
+        f"# store rollups: {len(dicts)} fields in {time.time() - t0:.1f}s",
+        file=sys.stderr,
+    )
     return rollups
 
 
