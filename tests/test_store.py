@@ -348,3 +348,77 @@ def test_dict_fields_opt_out(spark, tmp_path):
     )
     m = read_manifest(path)
     assert m["dicts"] == {}
+
+
+def test_append_trail_store_segments(spark, tmp_path):
+    """append_trail_store: segments are the reference's one-tdb-per-
+    period workflow — a trail continues across segments with carried
+    FSM state, the consecutive-duplicate skip stays scoped per segment
+    (a dup straddling the segment boundary SURVIVES, per-file reference
+    semantics), and the whole store equals the local runner on the same
+    dbs."""
+    from trck_spark.runner import run_program
+    from trck_spark.store import append_trail_store, read_manifest
+
+    schema = "uuid string, timestamp long, seq long, event_type string"
+    base = spark.createDataFrame(
+        [("u1", 100, 0, "view"), ("u1", 200, 1, "click")], schema
+    )
+    seg1 = spark.createDataFrame(
+        # first event duplicates base's last (ts AND fields): per-segment
+        # dedup keeps it; u2 appears only in the segment
+        [("u1", 200, 0, "click"), ("u1", 300, 1, "click"),
+         ("u2", 150, 0, "click")], schema
+    )
+    path = str(tmp_path / "segstore")
+    append_trail_store(base, path, seq_col="seq")   # fresh -> plain write
+    store = append_trail_store(seg1, path)
+    assert read_manifest(path)["segments"] == ["segment_0000"]
+    assert "__segment" in store.columns
+
+    prog = """
+start ->
+    receive
+        event_type = "click" -> yield $clicks, repeat
+        * -> repeat
+"""
+    got = TrckSparkEngine(spark).run(
+        store, prog, uuid_col="uuid", ts_col="timestamp",
+        seq_col="seq", db_col="__segment",
+    ).collect_json()
+    expected = run_program(prog, [
+        {"u1": [{"timestamp": 100, "event_type": "view"},
+                {"timestamp": 200, "event_type": "click"}]},
+        {"u1": [{"timestamp": 200, "event_type": "click"},
+                {"timestamp": 300, "event_type": "click"}],
+         "u2": [{"timestamp": 150, "event_type": "click"}]},
+    ])
+    # boundary dup survives (cross-file semantics): base 1 + segment
+    # u1's 2 (the dup AND click@300) + u2's 1; cross-segment dedup
+    # would have merged the dup and given 3
+    assert got == expected == {"$clicks": 4}
+
+    # a second append keeps order; a funnel arms in the base and
+    # converts in segment 2 (cross-segment carried state)
+    seg2 = spark.createDataFrame([("u3", 500, 0, "view")], schema)
+    store = append_trail_store(seg2, path)
+    assert read_manifest(path)["segments"] == [
+        "segment_0000", "segment_0001"
+    ]
+    funnel = """
+start ->
+    receive
+        event_type = "view" -> wait
+        * -> repeat
+wait ->
+    receive
+        event_type = "click" -> yield $conv, quit
+        * -> repeat
+"""
+    got2 = TrckSparkEngine(spark).run(
+        store, funnel, uuid_col="uuid", ts_col="timestamp",
+        seq_col="seq", db_col="__segment",
+    ).collect_json()
+    # u1: view@100 (base) -> click@200 (segment 1) converts across the
+    # segment boundary; u3's view never converts
+    assert got2 == {"$conv": 1}

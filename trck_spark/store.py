@@ -257,6 +257,66 @@ def _field_rollups(table_df, dicts: dict) -> dict:
     return rollups
 
 
+def append_trail_store(df, path: str, **kw):
+    """Append ``df`` to the store at ``path`` as a new immutable SEGMENT
+    and return the re-opened (now segmented) DataFrame.
+
+    This is the reference's actual ingestion workflow: TrailDBs are
+    immutable, so a continuously-fed pipeline produces one tdb per
+    period and the engine iterates them in order (match_traildb.c
+    multi-DB loop) — a trail continues across segments with carried
+    state, and the consecutive-duplicate skip stays scoped per segment
+    exactly like the reference's per-file check.  Each segment is a
+    full mini-TrailStore (own bucketed layout, own lexicons, own
+    rollups — history is NEVER rescanned or rewritten); the parent
+    manifest lists segments in append order and :func:`open_trail_store`
+    unions them with a ``__segment`` db column for the engine's
+    multi-db semantics.
+
+    On a fresh path this is exactly :func:`write_trail_store`."""
+    if not is_trail_store(path):
+        return write_trail_store(df, path, **kw)
+    m = read_manifest(path)
+    segs = list(m.get("segments", []))
+    name = f"segment_{len(segs):04d}"
+    write_trail_store(
+        df, os.path.join(path, name), uuid_col=m["uuid_col"],
+        ts_col=m["ts_col"], seq_col=m["seq_col"],
+        n_buckets=m["n_buckets"],
+    )
+    m["segments"] = segs + [name]
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(m, f)
+    return open_trail_store(df.sparkSession, path)
+
+
+def _open_segmented(spark, path: str, m: dict):
+    """Base + segments -> one DataFrame with a ``__segment`` db column.
+
+    Per-segment dictionary codes are NOT comparable across segments
+    (each segment built its own lexicon), so the ``__c_*`` columns are
+    dropped and no store manifest is attached: the engine runs its
+    plain multi-db path — correct by the same semantics as multiple
+    parquet paths on the CLI — while each segment keeps its clustered
+    layout on disk for single-segment access and compaction."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    names = [None] + list(m["segments"])
+    for i, seg in enumerate(names):
+        if seg is None:
+            d = spark.table(_table_name(path))
+        else:
+            d = open_trail_store(spark, os.path.join(path, seg))
+        d = d.drop(*[c for c in d.columns if c.startswith("__c_")])
+        parts.append(d.withColumn("__segment", F.lit(i)))
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    out._trailstore_segments = len(names)
+    return out
+
+
 def ensure_rollups(spark, path: str) -> dict:
     """Upgrade a pre-v3 store manifest in place with the per-field
     rollups (one scan; no data rewrite) and return the manifest."""
@@ -308,6 +368,8 @@ def open_trail_store(spark, path: str):
             f"INTO {m['n_buckets']} BUCKETS "
             f"LOCATION '{os.path.abspath(path)}'"
         )
+    if m.get("segments"):
+        return _open_segmented(spark, path, m)
     out = spark.table(table)
     out._trailstore_manifest = m
     return out
@@ -333,6 +395,13 @@ def main(argv=None) -> int:
     p.add_argument("--ts-col", default="timestamp")
     p.add_argument("--seq-col", default=None)
     p.add_argument("--buckets", type=int, default=32)
+    p.add_argument(
+        "--append",
+        action="store_true",
+        help="add the source as a new immutable SEGMENT of an existing "
+        "store (the reference's one-tdb-per-period ingestion: history "
+        "is never rewritten; queries see segments as ordered DBs)",
+    )
     args = p.parse_args(argv)
 
     from trck_spark.session import get_spark
@@ -340,10 +409,16 @@ def main(argv=None) -> int:
     spark = get_spark("trailstore_build")
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(*args.src)
-    write_trail_store(
-        df, args.dest, uuid_col=args.uuid_col, ts_col=args.ts_col,
-        seq_col=args.seq_col, n_buckets=args.buckets,
-    )
+    if args.append:
+        append_trail_store(
+            df, args.dest, uuid_col=args.uuid_col, ts_col=args.ts_col,
+            seq_col=args.seq_col, n_buckets=args.buckets,
+        )
+    else:
+        write_trail_store(
+            df, args.dest, uuid_col=args.uuid_col, ts_col=args.ts_col,
+            seq_col=args.seq_col, n_buckets=args.buckets,
+        )
     m = read_manifest(args.dest)
     print(json.dumps(m))
     return 0
