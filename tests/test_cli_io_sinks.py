@@ -180,3 +180,49 @@ def test_cli_json_event_input(spark, tmp_path):
     )
     assert res.returncode == 0, res.stderr.decode()[-1500:]
     assert json.loads(out.read_text()) == {"$n": 2}
+
+
+def test_cli_segmented_store_plus_plain_input_db_disjoint(spark, tmp_path):
+    """ADVICE r07 (high): a segmented store at position 0 used to give
+    its segments __db_index 0,1,2... while a plain input at position 1
+    got bare index 1 — colliding with segment 1 and merging two sources
+    into one timestamp-interleaved dedup scope.  With disjoint 100k
+    ranges the identical click in segment 1 and in the plain input are
+    DIFFERENT DBs, so both count (a collision dedup-merges them to 1)."""
+    from trck_spark.store import append_trail_store
+
+    schema = "uuid string, timestamp long, seq long, event_type string"
+    store_path = str(tmp_path / "segstore")
+    base = spark.createDataFrame([("u1", 100, 0, "view")], schema)
+    seg = spark.createDataFrame([("u1", 200, 0, "click")], schema)
+    append_trail_store(base, store_path, seq_col="seq")
+    append_trail_store(seg, store_path)
+
+    plain_pq = str(tmp_path / "plain.parquet")
+    spark.createDataFrame(
+        [("u1", 200, 0, "click")], schema
+    ).write.parquet(plain_pq)
+
+    prog = tmp_path / "prog.tr"
+    prog.write_text(
+        """
+start ->
+    receive
+        event_type = "click" -> yield $clicks, repeat
+        * -> repeat
+"""
+    )
+    out = tmp_path / "out.json"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "trck_spark", str(prog), store_path,
+            plain_pq, "--seq-col", "seq", "--output", str(out),
+        ],
+        cwd="/root/repo",
+        env=env,
+        capture_output=True,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr.decode()[-2000:]
+    assert json.loads(out.read_text()) == {"$clicks": 2}

@@ -236,3 +236,152 @@ def test_rollup_answers_literal_counter(spark, tmp_path):
     assert "FileScan" in plan3 or "Scan parquet" in plan3
     out3_fsm, _ = _run(spark, store, conj, {"TRCK_SPARK_NO_FASTPATH": "1"})
     assert out3 == out3_fsm
+
+
+def _seg_store(spark, tmp_path, name="segs"):
+    """3-segment store (base + 2 appends) over disjoint-ish lexicons so
+    the union remap is a real permutation, not an identity."""
+    from trck_spark.store import append_trail_store
+
+    schema = "uuid string, timestamp long, seq long, t string, u string"
+    path = str(tmp_path / name)
+    base = spark.createDataFrame(
+        [("u1", 100, 0, "a", "x"), ("u1", 200, 1, "b", "y"),
+         ("u2", 150, 0, "a", "x")], schema,
+    )
+    seg1 = spark.createDataFrame(
+        # 'c' is new: seg1's local lexicon ['a','c'] codes differ from
+        # the union ['a','b','c','d'] codes
+        [("u1", 300, 0, "c", "x"), ("u2", 250, 0, "a", "y")], schema,
+    )
+    seg2 = spark.createDataFrame(
+        [("u3", 500, 0, "b", "x"), ("u3", 600, 1, "d", "y")], schema,
+    )
+    append_trail_store(base, path, seq_col="seq")
+    append_trail_store(seg1, path)
+    return path, append_trail_store(seg2, path)
+
+
+def test_segmented_rollup_zero_scan(spark, tmp_path):
+    """VERDICT r07 item 1: a >=3-segment store keeps the ZERO-SCAN
+    rollup tier — merged union lexicon + value-keyed summed rollups —
+    value-identical to the dictionary-scan and FSM paths."""
+    path, store = _seg_store(spark, tmp_path)
+    m = store._trailstore_manifest
+    assert m["dicts"]["t"] == ["a", "b", "c", "d"]
+    assert m["rollups"]["t"] == [0, 3, 2, 1, 1]
+    assert m["ts_unique"] is True and m["clustered"] is False
+
+    out, plan = _run(spark, store, PROG)
+    assert "FileScan" not in plan and "Scan parquet" not in plan, plan
+    assert out == [
+        {"%v": "", "$r": 0}, {"%v": "a", "$r": 3}, {"%v": "b", "$r": 2},
+        {"%v": "c", "$r": 1}, {"%v": "d", "$r": 1},
+    ]
+    out_scan, plan_scan = _run(
+        spark, store, PROG, {"TRCK_SPARK_NO_ROLLUP": "1"}
+    )
+    # the dictionary-scan tier survives appends too (remapped codes)
+    assert "__c_t" in plan_scan or "element_at" in plan_scan
+    out_fsm, _ = _run(
+        spark, store, PROG,
+        {"TRCK_SPARK_NO_ROLLUP": "1", "TRCK_SPARK_NO_FASTPATH": "1"},
+    )
+    assert out == out_scan == out_fsm
+
+
+def test_segmented_dict_codes_are_union_codes(spark, tmp_path):
+    """Per-segment codes are remapped to the union lexicon: every
+    (string, code) pair across the whole union obeys the merged dict."""
+    path, store = _seg_store(spark, tmp_path, "segs2")
+    union = store._trailstore_manifest["dicts"]["t"]
+    index = {v: i + 1 for i, v in enumerate(union)}
+    for r in store.select("t", "__c_t").collect():
+        assert r["__c_t"] == index[r["t"]], (r, union)
+
+
+def test_segmented_dup_segment_disables_rollup(spark, tmp_path):
+    """One segment with an internal same-(uuid,ts) duplicate flips the
+    merged ts_unique off: the rollup tier must NOT answer (it would
+    overcount the dedup-skipped event) and results still match the FSM
+    path, with the dup skipped inside its segment only."""
+    from trck_spark.store import append_trail_store
+
+    schema = "uuid string, timestamp long, seq long, t string, u string"
+    path = str(tmp_path / "segdup")
+    base = spark.createDataFrame(
+        [("u1", 100, 0, "a", "x"), ("u1", 200, 1, "b", "x")], schema,
+    )
+    segdup = spark.createDataFrame(
+        # internal true duplicate (same ts, same fields): dedup-skipped
+        [("u1", 300, 0, "a", "x"), ("u1", 300, 1, "a", "x")], schema,
+    )
+    append_trail_store(base, path, seq_col="seq")
+    store = append_trail_store(segdup, path)
+    assert store._trailstore_manifest["ts_unique"] is False
+
+    out, plan = _run(spark, store, PROG)
+    assert "FileScan" in plan or "Scan parquet" in plan, plan
+    out_fsm, _ = _run(spark, store, PROG, {"TRCK_SPARK_NO_FASTPATH": "1"})
+    assert out == out_fsm
+    by_v = {r["%v"]: r["$r"] for r in out}
+    assert by_v["a"] == 2  # base's a + ONE of the seg dups
+    assert by_v["b"] == 1
+
+
+def test_engine_auto_db_col_on_segmented(spark, tmp_path):
+    """engine.run on a segmented frame defaults db_col to __segment:
+    a boundary-straddling duplicate must survive (per-segment dedup
+    scope) even when the caller forgets db_col."""
+    from trck_spark.engine import TrckSparkEngine
+    from trck_spark.store import append_trail_store
+
+    schema = "uuid string, timestamp long, seq long, t string, u string"
+    path = str(tmp_path / "segauto")
+    base = spark.createDataFrame(
+        [("u1", 100, 0, "a", "x"), ("u1", 100, 1, "a", "x")], schema,
+    )
+    seg = spark.createDataFrame(  # same event again at the boundary
+        [("u1", 100, 0, "a", "x")], schema,
+    )
+    append_trail_store(base, path, seq_col="seq")
+    store = append_trail_store(seg, path)
+    prog = (
+        'start ->\n    receive\n        t = "a" -> yield $n, repeat\n'
+        "        * -> repeat\n"
+    )
+    out = TrckSparkEngine(spark).run(
+        store, prog, uuid_col="uuid", ts_col="timestamp", seq_col="seq"
+    ).collect_json()
+    # base's dup pair collapses to 1 (in-segment dedup); the boundary
+    # copy is a NEW db and survives -> 2.  A merged dedup scope (no db
+    # col) would give 1.
+    assert out == {"$n": 2}
+
+
+def test_ensure_rollups_on_segmented_store(spark, tmp_path):
+    """ADVICE r07: ensure_rollups on a store WITH segments must not
+    crash on the code-stripped union; it upgrades base + every segment
+    in place so the merged manifest regains the rollups."""
+    from trck_spark.store import (
+        MANIFEST, ensure_rollups, open_trail_store, read_manifest,
+    )
+
+    path, store = _seg_store(spark, tmp_path, "segsroll")
+    # simulate pre-v3 parts: strip rollups everywhere
+    for sub in [path] + [
+        os.path.join(path, s) for s in read_manifest(path)["segments"]
+    ]:
+        m = read_manifest(sub)
+        m.pop("rollups", None)
+        m["version"] = 2
+        with open(os.path.join(sub, MANIFEST), "w") as f:
+            json.dump(m, f)
+    assert open_trail_store(spark, path)._trailstore_manifest[
+        "rollups"
+    ] == {}
+    ensure_rollups(spark, path)  # must not raise AnalysisException
+    reopened = open_trail_store(spark, path)
+    assert reopened._trailstore_manifest["rollups"]["t"] == [0, 3, 2, 1, 1]
+    out, plan = _run(spark, reopened, PROG)
+    assert "FileScan" not in plan and "Scan parquet" not in plan

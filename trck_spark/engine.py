@@ -41,6 +41,11 @@ PARTIAL_SCHEMA = (
 )
 
 _QUERY_CACHE: dict = {}
+# a long-lived executor can see many distinct fn_registry objects
+# (repeated stream restarts each construct a fresh registry), and every
+# cached entry pins its registry alive — bound the cache pop-oldest
+# like the engine's _plan_cache so worker memory stays flat
+_QUERY_CACHE_MAX = 64
 
 
 def _uuid_hex_col(col):
@@ -80,6 +85,9 @@ def _worker_query(
     )
     hit = _QUERY_CACHE.get(key)
     if hit is not None:
+        # LRU touch: re-insert so the hot query stays resident
+        _QUERY_CACHE.pop(key, None)
+        _QUERY_CACHE[key] = hit
         return hit
     spec = json.loads(spec_json)
     q = TrckQuery(
@@ -98,6 +106,8 @@ def _worker_query(
             for row in spec["tuples"]
         ]
     _QUERY_CACHE[key] = (q, tuples)
+    while len(_QUERY_CACHE) > _QUERY_CACHE_MAX:
+        _QUERY_CACHE.pop(next(iter(_QUERY_CACHE)))
     return q, tuples
 
 
@@ -533,13 +543,27 @@ class TrckSparkEngine:
                     return refreshed
 
         manifest = getattr(events_df, "_trailstore_manifest", None) or {}
-        if manifest.get("uuid_col") == uuid_col:
+        # a SEGMENTED store's manifest carries clustered=False: the
+        # union of per-part bucketed scans concatenates partitions, so
+        # a uuid's rows are NOT co-located and the repartition must stay
+        if manifest.get("uuid_col") == uuid_col and manifest.get(
+            "clustered", True
+        ):
             assume_clustered = True
         no_dedup = bool(
             manifest.get("ts_unique")
             and manifest.get("uuid_col") == uuid_col
             and manifest.get("ts_col") == ts_col
         )
+        # a segmented store IS a multi-DB input (one DB per segment,
+        # reference one-tdb-per-period): default the db column so a
+        # caller can't silently merge per-segment dedup scopes
+        if (
+            db_col is None
+            and manifest.get("segments")
+            and "__segment" in events_df.columns
+        ):
+            db_col = "__segment"
 
         q = TrckQuery(
             program_text_or_ir, params=params, fn_registry=fn_registry
@@ -612,7 +636,6 @@ class TrckSparkEngine:
                 and _equi_join_fields(program)
                 == {program.groupby_vars[0]: f0}
             ):
-                code_field = f0
                 # --- rollup answer (VERDICT r06 item 4): the store
                 # already aggregated (code, count) at WRITE time
                 # (store.py _field_rollups), so when the scan would be
@@ -622,7 +645,11 @@ class TrckSparkEngine:
                 # frame is built straight from the manifest: ZERO scan.
                 # A counter over 100 TB should not rescan events; this
                 # is the TrailStore owning its write path the way a
-                # native column store owns its zone maps. ---
+                # native column store owns its zone maps.  The tier
+                # needs no columns at all, so it also serves SEGMENTED
+                # stores (merged union rollup — store.py
+                # _merge_segment_manifests) whose __c_* columns may
+                # have been dropped. ---
                 from trck_spark.planner import rollup_weights
 
                 rollup = (manifest.get("rollups") or {}).get(f0)
@@ -646,6 +673,10 @@ class TrckSparkEngine:
                             self, frame, program, params, fn_registry
                         ),
                     )
+                # dictionary-scan tier needs the code column (a
+                # segmented open may have dropped an over-budget field)
+                if "__c_" + f0 in cols:
+                    code_field = f0
 
         # --- canonical + program columns in ONE projection (each
         # withColumn is a py4j round-trip + an analysis pass; on

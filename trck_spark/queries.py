@@ -185,14 +185,61 @@ def q_trck_count_by_type(spark, sf_dir):
     return _run_trck(spark, sf_dir, PROG_COUNT_BY_TYPE).counters_df()
 
 
+def _store_cache_path(src: str, sf_dir: str) -> str:
+    """User-scoped cache path for the bench/registry TrailStore, keyed
+    on a CONTENT stamp of the source parquet (per-file size + mtime_ns,
+    hashed): a whole-second mtime key both reused stale stores after a
+    same-second regeneration and, under the shared /tmp prefix, opened
+    and trusted another user's directory.  Older stamps for the same
+    sf_dir slug are removed so at most one store per source survives."""
+    import getpass
+    import glob as _glob
+    import hashlib
+    import os
+    import re as _re
+    import shutil
+    import tempfile
+
+    parts = []
+    paths = (
+        sorted(_glob.glob(os.path.join(src, "*")))
+        if os.path.isdir(src)
+        else [src]
+    )
+    for p in paths:
+        try:
+            st = os.stat(p)
+            parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{os.path.basename(p)}:missing")
+    stamp = hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+    try:
+        user = getpass.getuser()
+    except Exception:
+        user = f"uid{os.getuid()}"
+    base = os.path.join(
+        tempfile.gettempdir(), f"trck_spark_cache_{user}"
+    )
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    slug = _re.sub(r"[^A-Za-z0-9_]", "_", sf_dir).strip("_")
+    path = os.path.join(base, f"store_{slug}_{stamp}")
+    for old in _glob.glob(os.path.join(base, f"store_{slug}_*")):
+        if old != path:
+            shutil.rmtree(old, ignore_errors=True)
+    return path
+
+
 def q_trck_count_by_type_store(spark, sf_dir):
     """PROG_COUNT_BY_TYPE through a TrailStore: same program, same
     oracle, but the input is the bucketed store — so the ZERO-SCAN
     manifest-rollup tier (store.py _field_rollups; engine._rollup_frame)
     is what the oracle hash-checks when the store proves
     ts-uniqueness, and the dictionary-code scan otherwise.  The store
-    is written once per (sf_dir, events mtime) under /tmp and reopened
-    thereafter; a regenerated events.parquet gets a fresh store."""
+    is written once per source-content stamp under a user-scoped cache
+    dir and reopened thereafter; a regenerated events.parquet gets a
+    fresh store (stamp = size + mtime_ns of every file, so same-second
+    rewrites still miss) and older stamps for the same sf_dir are
+    removed so at most one store per source survives."""
     import os
     import re as _re
 
@@ -203,12 +250,7 @@ def q_trck_count_by_type_store(spark, sf_dir):
     )
 
     src = f"{sf_dir}/events.parquet"
-    try:
-        stamp = int(os.path.getmtime(src))
-    except OSError:
-        stamp = 0
-    slug = _re.sub(r"[^A-Za-z0-9_]", "_", sf_dir).strip("_")
-    path = f"/tmp/trck_spark_store_{slug}_{stamp}"
+    path = _store_cache_path(src, sf_dir)
     if is_trail_store(path):
         store = open_trail_store(spark, path)
     else:

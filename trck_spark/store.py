@@ -290,38 +290,167 @@ def append_trail_store(df, path: str, **kw):
     return open_trail_store(df.sparkSession, path)
 
 
-def _open_segmented(spark, path: str, m: dict):
-    """Base + segments -> one DataFrame with a ``__segment`` db column.
+# per-open cap on the literal remap expressions a field may cost when
+# re-coding segment-local dictionary codes to the union lexicon: a field
+# whose remaps exceed this drops its __c_* columns (the merged ROLLUP
+# still answers counters; only the dictionary-scan tier degrades)
+REMAP_LITERAL_MAX = 20_000
 
-    Per-segment dictionary codes are NOT comparable across segments
-    (each segment built its own lexicon), so the ``__c_*`` columns are
-    dropped and no store manifest is attached: the engine runs its
-    plain multi-db path — correct by the same semantics as multiple
-    parquet paths on the CLI — while each segment keeps its clustered
-    layout on disk for single-segment access and compaction."""
+
+def _merge_segment_manifests(all_ms: list[dict], m: dict) -> dict:
+    """Value-keyed merge of base + segment manifests into ONE synthetic
+    manifest for the segmented union (VERDICT r07 item 1).
+
+    Per-part rollups are monoids over lexicon VALUES (not codes), so the
+    union lexicon + summed counts is exact without rescanning anything:
+    ``merged_rollup[union_code(v)] = sum_part rollup_part[code_part(v)]``.
+    ts_unique ANDs across parts — the consecutive-duplicate skip is
+    scoped per segment (per DB, reference per-file semantics), so every
+    part being ts-unique proves the skip a no-op for the whole union; a
+    boundary-straddling duplicate is correctly counted twice by both the
+    scan and the rollup.  ``clustered: False`` marks that the union of
+    per-part bucketed scans does NOT co-locate a uuid's rows (Spark
+    concatenates scan partitions), so the engine must keep its
+    repartition."""
+    ts_unique = all(x.get("ts_unique") for x in all_ms)
+    common = set(all_ms[0].get("dicts") or {})
+    for x in all_ms[1:]:
+        common &= set(x.get("dicts") or {})
+    dicts: dict = {}
+    rollups: dict = {}
+    for f in sorted(common):
+        union = sorted(set().union(*[set(x["dicts"][f]) for x in all_ms]))
+        if len(union) > DICT_MAX:
+            continue
+        dicts[f] = union
+        counts = dict.fromkeys(union, 0)
+        zero = 0
+        ok = True
+        for x in all_ms:
+            r = (x.get("rollups") or {}).get(f)
+            lex = x["dicts"][f]
+            if r is None or len(r) != len(lex) + 1:
+                ok = False
+                break
+            zero += int(r[0])
+            for i, v in enumerate(lex):
+                counts[v] += int(r[i + 1])
+        if ok:
+            rollups[f] = [zero] + [counts[v] for v in union]
+    return {
+        "version": 3,
+        "uuid_col": m["uuid_col"],
+        "ts_col": m["ts_col"],
+        "seq_col": m["seq_col"],
+        "n_buckets": m["n_buckets"],
+        "ts_unique": ts_unique,
+        "dicts": dicts,
+        "rollups": rollups,
+        "segments": list(m.get("segments", [])),
+        "clustered": False,
+    }
+
+
+def _open_segmented(spark, path: str, m: dict):
+    """Base + segments -> one DataFrame with a ``__segment`` db column
+    and a MERGED store manifest attached.
+
+    Per-segment dictionary codes are not comparable across segments
+    (each segment built its own lexicon), so each part's ``__c_*``
+    columns are REMAPPED to the union lexicon's codes (identity when
+    the part's lexicon already equals the union; a literal-array
+    ``element_at`` lookup otherwise, bounded by REMAP_LITERAL_MAX) —
+    the dictionary-scan tier survives appends.  The merged manifest
+    also carries union rollups, so rollup-safe counters stay ZERO-SCAN
+    through a continuously-ingested store; ``clustered: False`` keeps
+    the engine's repartition (the union does not co-locate trails)."""
     from pyspark.sql import functions as F
 
-    parts = []
     names = [None] + list(m["segments"])
+    all_ms = [m] + [
+        read_manifest(os.path.join(path, s)) for s in m["segments"]
+    ]
+    merged = _merge_segment_manifests(all_ms, m)
+
+    # per-field remap cost across parts; over-budget fields keep their
+    # merged rollup but lose the code columns (dictionary-scan tier)
+    remap_cost: dict[str, int] = {}
+    for f, union in merged["dicts"].items():
+        remap_cost[f] = sum(
+            len(x["dicts"][f]) + 1
+            for x in all_ms
+            if x["dicts"][f] != union
+        )
+    dropped_cols = {
+        f for f, cost in remap_cost.items() if cost > REMAP_LITERAL_MAX
+    }
+
+    parts = []
     for i, seg in enumerate(names):
         if seg is None:
             d = spark.table(_table_name(path))
         else:
-            d = open_trail_store(spark, os.path.join(path, seg))
-        d = d.drop(*[c for c in d.columns if c.startswith("__c_")])
+            seg_path = os.path.join(path, seg)
+            seg_table = _table_name(seg_path)
+            if not spark.catalog.tableExists(seg_table):
+                open_trail_store(spark, seg_path)
+            d = spark.table(seg_table)
+        pm = all_ms[i]
+        drop = []
+        remapped = {}
+        for c in d.columns:
+            if not c.startswith("__c_"):
+                continue
+            f = c[len("__c_"):]
+            if f not in merged["dicts"] or f in dropped_cols:
+                drop.append(c)
+                continue
+            lex = pm["dicts"][f]
+            union = merged["dicts"][f]
+            if lex == union:
+                continue  # codes already union codes
+            uindex = {v: k + 1 for k, v in enumerate(union)}
+            remap = [0] + [uindex[v] for v in lex]
+            remapped[c] = F.element_at(
+                F.array(*[F.lit(x) for x in remap]), F.col(c) + 1
+            ).cast("int")
+        if drop:
+            d = d.drop(*drop)
+        if remapped:
+            d = d.withColumns(remapped)
         parts.append(d.withColumn("__segment", F.lit(i)))
     out = parts[0]
     for d in parts[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     out._trailstore_segments = len(names)
+    out._trailstore_manifest = merged
     return out
 
 
 def ensure_rollups(spark, path: str) -> dict:
     """Upgrade a pre-v3 store manifest in place with the per-field
-    rollups (one scan; no data rewrite) and return the manifest."""
+    rollups (one scan; no data rewrite) and return the manifest.
+
+    On a SEGMENTED store, upgrades the base and every segment (the
+    segmented open merges per-segment rollups value-keyed at read
+    time); the parent manifest itself carries no rollups — a fresh
+    __c_* reference against the code-stripped union would otherwise
+    raise AnalysisException."""
     m = read_manifest(path)
+    for seg in m.get("segments", []):
+        ensure_rollups(spark, os.path.join(path, seg))
     if "rollups" in m:
+        return m
+    if m.get("segments"):
+        # base data lives in the parent dir's own bucketed table; scan
+        # just that table (NOT the segmented union, whose codes differ)
+        if not spark.catalog.tableExists(_table_name(path)):
+            open_trail_store(spark, path)
+        table_df = spark.table(_table_name(path))
+        m["rollups"] = _field_rollups(table_df, m.get("dicts") or {})
+        m["version"] = 3
+        with open(os.path.join(path, MANIFEST), "w") as f:
+            json.dump(m, f)
         return m
     table_df = open_trail_store(spark, path)
     m["rollups"] = _field_rollups(table_df, m.get("dicts") or {})
