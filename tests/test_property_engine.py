@@ -163,3 +163,109 @@ def test_store_dispatch_equals_local_on_random_programs(
     assert not problems, "\n".join(
         [f"program:\n{text}", *problems]
     )
+
+
+# --- random programs over SEGMENTED TrailStores ----------------------
+#
+# VERDICT r07 item 3: the segmented open path (merged union manifest,
+# remapped dictionary codes, per-segment dedup scoping, cross-segment
+# carried FSM state) gets its own differential leg.  Segment splits of
+# the same trail corpus are precomputed as module fixtures (store writes
+# are seconds each; hypothesis draws WHICH split plus the program), and
+# include a boundary-straddling duplicate (must survive — per-file
+# reference semantics, and the merged rollup must count it twice) and an
+# internal-duplicate segment (ts_unique False -> rollup tier off, scan
+# and FSM paths must still dedup inside that segment only).
+
+def _split_corpus(trails, n_segs, salt, boundary_dup=False,
+                  internal_dup=False):
+    """Deterministic varied per-trail cut points -> ordered db list."""
+    dbs: list[dict] = [{} for _ in range(n_segs)]
+    for idx, cookie in enumerate(sorted(trails[0])):
+        events = trails[0][cookie]
+        cuts = sorted(
+            ((idx * 7 + salt * 13 + k * 5) % (len(events) + 1))
+            for k in range(n_segs - 1)
+        )
+        bounds = [0] + cuts + [len(events)]
+        for s in range(n_segs):
+            chunk = [dict(e) for e in events[bounds[s]:bounds[s + 1]]]
+            if chunk:
+                dbs[s][cookie] = chunk
+    if boundary_dup:
+        # copy the last event of the first non-empty segment of trail 0
+        # as the FIRST event of the next segment: a cross-file duplicate
+        # the reference does NOT skip
+        cookie = sorted(trails[0])[0]
+        src = next(s for s in range(n_segs) if cookie in dbs[s])
+        dup = dict(dbs[src][cookie][-1])
+        nxt = src + 1
+        if nxt < n_segs:
+            dbs[nxt].setdefault(cookie, [])
+            dbs[nxt][cookie] = [dup] + dbs[nxt][cookie]
+    if internal_dup:
+        # true in-segment duplicate (same ts, same fields): dedup skips
+        # it inside its segment; ts_unique flips off for the whole store
+        cookie = sorted(trails[0])[-1]
+        seg = next(s for s in range(n_segs) if cookie in dbs[s])
+        dbs[seg][cookie] = (
+            dbs[seg][cookie][:1] + [dict(dbs[seg][cookie][0])]
+            + dbs[seg][cookie][1:]
+        )
+    return [db for db in dbs if db]
+
+
+_SEG_SPLITS = {
+    "two_plain": dict(n_segs=2, salt=0),
+    "three_plain": dict(n_segs=3, salt=1),
+    "boundary_dup": dict(n_segs=2, salt=2, boundary_dup=True),
+    "internal_dup": dict(n_segs=3, salt=3, internal_dup=True),
+}
+
+
+@pytest.fixture(scope="module")
+def segmented_stores(spark, tmp_path_factory):
+    from trck_spark.store import append_trail_store
+
+    root = tmp_path_factory.mktemp("fuzz_seg_stores")
+    out = {}
+    for name, kw in _SEG_SPLITS.items():
+        dbs = _split_corpus(_STORE_TRAILS, **kw)
+        path = str(root / name)
+        store = None
+        for db in dbs:
+            df = _trails_to_df(spark, [db]).drop("db")
+            store = append_trail_store(df, path, seq_col="seq")
+        m = store._trailstore_manifest
+        assert m.get("segments"), name  # really multi-part
+        assert m["ts_unique"] is (name != "internal_dup"), name
+        out[name] = (dbs, store)
+    return out
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    split=st.sampled_from(sorted(_SEG_SPLITS)),
+    prog=random_programs(),
+)
+def test_segmented_store_equals_local_on_random_programs(
+    spark, segmented_stores, split, prog
+):
+    from trck_spark.engine import TrckSparkEngine
+
+    text, params = prog
+    dbs, store = segmented_stores[split]
+    expected = _run_text(text, params, dbs, no_codegen=False)
+    actual = TrckSparkEngine(spark).run(
+        store, text, params=params,
+        uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+        fn_registry=FFI_REGISTRY, dedup_cols="all",
+    ).collect_json()
+    problems = compare_results(expected, actual)
+    assert not problems, "\n".join(
+        [f"split: {split}", f"program:\n{text}", *problems]
+    )
