@@ -141,6 +141,43 @@ def _open_perf(spark, n_events: int):
     return flat, store, path
 
 
+def _open_perf_segmented(spark, n_events: int):
+    """SEGMENTED variant of the perf store — the same events time-sliced
+    into three period appends (one-tdb-per-period ingestion), cached
+    next to the plain store.  The bench row it feeds proves continuous
+    ingestion keeps B1 on the zero-scan merged-rollup tier (VERDICT r07
+    item 1)."""
+    from pyspark.sql import functions as F
+
+    from trck_spark.store import (
+        append_trail_store,
+        is_trail_store,
+        open_trail_store,
+        read_manifest,
+    )
+
+    path, store_path = _perf_paths(n_events)
+    seg_path = store_path + "_seg"
+    if is_trail_store(seg_path) and read_manifest(seg_path).get(
+        "segments"
+    ):
+        return open_trail_store(spark, seg_path)
+    flat = spark.read.parquet(path)
+    lohi = flat.agg(
+        F.min("timestamp").alias("lo"), F.max("timestamp").alias("hi")
+    ).first()
+    t1 = lohi["lo"] + (lohi["hi"] - lohi["lo"]) // 3
+    t2 = lohi["lo"] + 2 * (lohi["hi"] - lohi["lo"]) // 3
+    store = None
+    for cond in (
+        F.col("timestamp") < t1,
+        (F.col("timestamp") >= t1) & (F.col("timestamp") < t2),
+        F.col("timestamp") >= t2,
+    ):
+        store = append_trail_store(flat.filter(cond), seg_path)
+    return store
+
+
 def _steady_state(run, max_runs: int = 12, plateau: float = 0.10,
                   budget_s: float = 60.0, settle_runs: int = 2):
     """Steady-state wallclock: one untimed warm-up, then repeat until
@@ -217,6 +254,16 @@ def _steady_state(run, max_runs: int = 12, plateau: float = 0.10,
             round(statistics.fmean(tail), 3), tail)
 
 
+def _median_ci(tail):
+    """Order-statistic ~95% CI for the median of a steady tail: 2nd
+    smallest to 2nd largest when the tail holds >=6 samples (binomial
+    coverage ~96-99% at n=6-12), min..max for tinier tails."""
+    t = sorted(tail)
+    if len(t) >= 6:
+        return [t[1], t[-2]]
+    return [t[0], t[-1]]
+
+
 def run_baseline_gate(spark, n_events: int = None,
                       n_lo: int = 20_000_000) -> dict:
     """Spark (flat parquet AND TrailStore bucketed layout) vs the DuckDB
@@ -286,9 +333,13 @@ def run_baseline_gate(spark, n_events: int = None,
 
     # B1's marginal is the one bar-carrying statistic built from
     # sub-second means; give its four inputs 12-sample tails (VERDICT
-    # r06 item 3) — the other queries keep 6-sample tails
+    # r06 item 3).  B2's median showed the widest inter-signal spread
+    # of the four gate bars (1.63x committed vs 1.08x driver in r07) —
+    # give its four inputs the same 12-sample treatment (VERDICT r07
+    # item 4; runs are 1-2 s, ~30 s total).  The rest keep 6-sample
+    # tails.
     def _settle_runs_for(name):
-        return 10 if name == "b1_count_foreach" else 4
+        return 10 if name in ("b1_count_foreach", "b2_funnel") else 4
 
     # session-level warm-up: the first-ever Spark job in a session pays
     # executor spin-up + codegen-infrastructure costs beyond what the
@@ -390,6 +441,9 @@ def run_baseline_gate(spark, n_events: int = None,
         match = sorted(tuple(r) for r in st[name]["rows"]) == sorted(
             tuple(r) for r in oc[name]["rows"]
         )
+        sci, oci = _median_ci(st[name]["hi_tail"]), _median_ci(
+            oc[name]["hi_tail"]
+        )
         out[name] = {
             "spark_store_s": round(store_s, 3),
             "oracle_s": round(oracle_s, 3),
@@ -400,6 +454,17 @@ def run_baseline_gate(spark, n_events: int = None,
             "oracle_median_s": oracle_med,
             "ratio_store_median": (
                 round(store_med / oracle_med, 2) if oracle_med else None
+            ),
+            # order-statistic ~95% CI on each median, and the
+            # conservative interval it implies for the ratio (VERDICT
+            # r07 item 4: B2's inter-signal spread needs a disclosed
+            # interval, not a point estimate)
+            "spark_store_median_ci": sci,
+            "oracle_median_ci": oci,
+            "ratio_store_median_ci": (
+                [round(sci[0] / oci[1], 2), round(sci[1] / oci[0], 2)]
+                if oci[0]
+                else None
             ),
             "spark_store_meps": round(n_events / store_s / 1e6, 1),
             "oracle_meps": round(n_events / oracle_s / 1e6, 1),
@@ -521,6 +586,44 @@ def run_baseline_gate(spark, n_events: int = None,
               f" Mev/s = {mrow['marginal_ratio']}x best / "
               f"{mrow['marginal_ratio_mean']}x tail-mean",
               file=sys.stderr)
+    # --- segmented-store B1 (VERDICT r07 item 1): three time-sliced
+    # appends must keep the zero-scan merged-rollup tier — the row is
+    # green when it matches the plain store's B1 rows and stays at
+    # rollup latency (~0.1 s at 160M, not a scan) ---
+    seg_store = _open_perf_segmented(spark, n_events)
+    segrows, seg_s, seg_runs, seg_med, seg_mean, seg_tail = time_spark(
+        seg_store, B1_PROG, settle_runs=4
+    )
+    seg_match = sorted(tuple(r) for r in segrows) == sorted(
+        tuple(r) for r in st["b1_count_foreach"]["rows"]
+    )
+    # zero-scan is asserted structurally, not inferred from latency:
+    # the rollup answer is a local relation, so its input file set is
+    # empty; any FileScan would list the segment parquet files
+    seg_zero_scan = (
+        engine.run(
+            seg_store, B1_PROG, uuid_col="uuid", ts_col="timestamp",
+            seq_col="seq",
+        )
+        .counters_df()
+        .inputFiles()
+        == []
+    )
+    out["b1_store_segmented"] = {
+        "spark_store_s": round(seg_s, 3),
+        "spark_store_median_s": seg_med,
+        "spark_store_median_ci": _median_ci(seg_tail),
+        "runs": seg_runs,
+        "match_plain_store": seg_match,
+        "zero_scan": seg_zero_scan,
+    }
+    print(
+        f"# segmented-store B1: {seg_s:.3f}s best / {seg_med:.3f}s "
+        f"median {seg_runs} (match={seg_match})",
+        file=sys.stderr,
+    )
+    _gc()
+
     out["total"] = {
         "spark_store_s": round(tot["spark_store_s"], 3),
         "oracle_s": round(tot["oracle_s"], 3),
@@ -1576,23 +1679,54 @@ def main() -> None:
 
     from trck_spark.pipeline.dedup import release
 
+    # VERDICT r07 item 2: best-of-2 cannot adjudicate round-over-round
+    # drift on the slow pair family (embedding 2.74->3.19 s, containment
+    # 1.63->2.06 s looked like regressions but had no statistic behind
+    # them).  The slowest queries get the steady-state MEDIAN protocol
+    # (plateau + settle, run lists committed to BENCH_SF.json); the
+    # sub-second rest keep best-of-2 with both runs recorded.
+    MEDIAN_QUERIES = {
+        "embedding_near_dup_pairs", "ngram_containment_pairs",
+        "dedup_clusters", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+        "contamination_check", "tfidf_topterms", "trck_funnel",
+    }
+    run_lists: dict[str, list] = {}
+    sf_stats: dict[str, dict] = {}
     for name in bench_names:
         fn = queries[name]
-        best = None
-        n = 0
-        df = None
-        for _ in range(2):  # steady-state: best of two runs
+        box: dict = {}
+
+        def one(fn=fn, box=box):
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
+            box["n"] = df.count()
+            box["df"] = df
+            return time.time() - t0
+
+        if name in MEDIAN_QUERIES:
+            best, runs, med, mean, tail = _steady_state(
+                one, max_runs=6, budget_s=25.0, settle_runs=2
+            )
+            timings[name] = med
+            run_lists[name] = runs
+            sf_stats[name] = {
+                "best": round(best, 3), "median": med, "mean": mean,
+                "median_ci": _median_ci(tail),
+            }
+        else:
+            r1, r2 = one(), one()
+            timings[name] = round(min(r1, r2), 3)
+            run_lists[name] = [round(r1, 3), round(r2, 3)]
         # drop cached intermediates (persist lifetime is caller-owned;
         # Spark's CacheManager matches canonical plans, so releasing the
         # last invocation's frames releases the shared entries)
-        release(df)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        release(box.get("df"))
+        print(
+            f"# {name}: {box.get('n')} rows in {timings[name]}s "
+            f"({'median' if name in MEDIAN_QUERIES else 'best-of-2'} "
+            f"of {run_lists[name]})",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
 
@@ -1627,6 +1761,13 @@ def main() -> None:
     # capture (round 3 and round 6 both lost the per-query history to
     # an overgrown line — VERDICT r06 item 1)
     detail = dict(result)
+    detail["sf_protocol"] = {
+        "statistic": "steady-state median for the slow family, "
+        "best-of-2 for the sub-second rest; full run lists below",
+        "median_queries": sorted(MEDIAN_QUERIES),
+    }
+    detail["sf_runs"] = run_lists
+    detail["sf_stats"] = sf_stats
     gate_summary = _gate_summary(baseline)
     if gate_summary is not None:
         detail["gate"] = gate_summary

@@ -239,7 +239,7 @@ def segmented_stores(spark, tmp_path_factory):
         m = store._trailstore_manifest
         assert m.get("segments"), name  # really multi-part
         assert m["ts_unique"] is (name != "internal_dup"), name
-        out[name] = (dbs, store)
+        out[name] = (dbs, store, path)
     return out
 
 
@@ -258,7 +258,7 @@ def test_segmented_store_equals_local_on_random_programs(
     from trck_spark.engine import TrckSparkEngine
 
     text, params = prog
-    dbs, store = segmented_stores[split]
+    dbs, store, _path = segmented_stores[split]
     expected = _run_text(text, params, dbs, no_codegen=False)
     actual = TrckSparkEngine(spark).run(
         store, text, params=params,
@@ -268,4 +268,47 @@ def test_segmented_store_equals_local_on_random_programs(
     problems = compare_results(expected, actual)
     assert not problems, "\n".join(
         [f"split: {split}", f"program:\n{text}", *problems]
+    )
+
+
+@pytest.fixture(scope="module")
+def compacted_stores(spark, segmented_stores, tmp_path_factory):
+    """Each segmented fuzz store rewritten by compact_trail_store: the
+    persisted __db0 segment index must replay event order and per-
+    segment dedup scoping byte-identically (VERDICT r07 item 6)."""
+    from trck_spark.store import compact_trail_store
+
+    root = tmp_path_factory.mktemp("fuzz_compacted")
+    out = {}
+    for name, (dbs, _store, path) in segmented_stores.items():
+        comp = compact_trail_store(spark, path, str(root / name))
+        out[name] = (dbs, comp)
+    return out
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    split=st.sampled_from(sorted(_SEG_SPLITS)),
+    prog=random_programs(),
+)
+def test_compacted_store_equals_local_on_random_programs(
+    spark, compacted_stores, split, prog
+):
+    from trck_spark.engine import TrckSparkEngine
+
+    text, params = prog
+    dbs, comp = compacted_stores[split]
+    expected = _run_text(text, params, dbs, no_codegen=False)
+    actual = TrckSparkEngine(spark).run(
+        comp, text, params=params,
+        uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+        fn_registry=FFI_REGISTRY, dedup_cols="all",
+    ).collect_json()
+    problems = compare_results(expected, actual)
+    assert not problems, "\n".join(
+        [f"split: {split} (compacted)", f"program:\n{text}", *problems]
     )

@@ -385,3 +385,142 @@ def test_ensure_rollups_on_segmented_store(spark, tmp_path):
     assert reopened._trailstore_manifest["rollups"]["t"] == [0, 3, 2, 1, 1]
     out, plan = _run(spark, reopened, PROG)
     assert "FileScan" not in plan and "Scan parquet" not in plan
+
+
+def _ts_seg_store(spark, tmp_path, name="tsegs"):
+    """Three TIME-SLICED segments: A [100,150], B [200,260], C [300,350]
+    — the one-tdb-per-period shape the time-scoped tier decomposes."""
+    from trck_spark.store import append_trail_store
+
+    schema = "uuid string, timestamp long, seq long, t string, u string"
+    path = str(tmp_path / name)
+    slices = [
+        [("u1", 100, 0, "a", "x"), ("u1", 150, 1, "b", "x"),
+         ("u2", 120, 0, "a", "y")],
+        [("u1", 200, 0, "a", "x"), ("u2", 250, 0, "c", "y"),
+         ("u2", 260, 1, "a", "x")],
+        [("u1", 300, 0, "b", "y"), ("u3", 350, 0, "d", "x")],
+    ]
+    store = None
+    for rows in slices:
+        store = append_trail_store(
+            spark.createDataFrame(rows, schema), path, seq_col="seq"
+        )
+    return path, store
+
+
+PROG_TS = """
+foreach %v
+    start ->
+        receive
+            t = %v, timestamp >= 150, timestamp < 350 -> yield $n
+            * -> repeat
+"""
+
+
+def test_ts_scoped_rollup_scans_only_boundary_segments(spark, tmp_path):
+    """VERDICT r07 item 5: the bound [150, 350) fully covers segment B
+    (rollup, never scanned), clips A and C (scanned), and the combined
+    answer equals the FSM and scan paths."""
+    import re
+
+    path, store = _ts_seg_store(spark, tmp_path)
+    m = store._trailstore_manifest
+    assert [(p["ts_min"], p["ts_max"]) for p in m["parts"]] == [
+        (100, 150), (200, 260), (300, 350)
+    ]
+
+    from trck_spark.engine import TrckSparkEngine
+
+    rs = TrckSparkEngine(spark).run(
+        store, PROG_TS, uuid_col="uuid", ts_col="timestamp",
+        seq_col="seq",
+    )
+    out = rs.collect_json()
+    # inputFiles() is the unambiguous scan set (plan strings truncate)
+    scanned = {f for f in rs.counters_df().inputFiles()}
+    # base dir (= part A) and segment_0001 (= part C) scanned; the
+    # covered middle segment_0000 (= part B) answered from its rollup
+    assert any("segment_0001" in f for f in scanned), scanned
+    assert any(re.search(r"tsegs/[^/]+\.parquet$", f) for f in scanned), (
+        scanned
+    )
+    assert not any("segment_0000" in f for f in scanned), scanned
+    assert out == [
+        {"%v": "", "$n": 0}, {"%v": "a", "$n": 2}, {"%v": "b", "$n": 2},
+        {"%v": "c", "$n": 1}, {"%v": "d", "$n": 0},
+    ]
+    out_scan, _ = _run(spark, store, PROG_TS, {"TRCK_SPARK_NO_ROLLUP": "1"})
+    out_fsm, _ = _run(
+        spark, store, PROG_TS,
+        {"TRCK_SPARK_NO_ROLLUP": "1", "TRCK_SPARK_NO_FASTPATH": "1"},
+    )
+    assert out == out_scan == out_fsm
+
+
+def test_ts_scoped_rollup_param_bounds(spark, tmp_path):
+    """%param timestamp bounds resolve driver-side: same decomposition,
+    same answer, parameterized like trck --params."""
+    from trck_spark.engine import TrckSparkEngine
+
+    path, store = _ts_seg_store(spark, tmp_path, "tsegs_p")
+    prog = PROG_TS.replace("150,", "%lo,").replace("< 350", "< %hi")
+    rs = TrckSparkEngine(spark).run(
+        store, prog, params={"%lo": "150", "%hi": "350"},
+        uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+    )
+    out = rs.collect_json()
+    scanned = rs.counters_df().inputFiles()
+    assert not any("segment_0000" in f for f in scanned), scanned
+    base, _ = _run(spark, store, PROG_TS)
+    assert out == base
+
+
+def test_ts_scoped_rollup_covering_and_disjoint_bounds(spark, tmp_path):
+    """A bound covering EVERY segment answers with zero scan; a bound
+    disjoint from all segments densifies to all-zero rows, zero scan."""
+    path, store = _ts_seg_store(spark, tmp_path, "tsegs_c")
+    allprog = PROG_TS.replace("150,", "0,").replace("< 350", "< 9999")
+    out, plan = _run(spark, store, allprog)
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+    plain, _ = _run(spark, store, PROG)
+    # bound covers everything == unbounded counts ($n vs $r naming)
+    assert [{"v": r["%v"], "n": r["$n"]} for r in out] == [
+        {"v": r["%v"], "n": r["$r"]} for r in plain
+    ]
+
+    noneprog = PROG_TS.replace("150,", "9000,").replace("< 350", "< 9999")
+    out2, plan2 = _run(spark, store, noneprog)
+    assert "FileScan" not in plan2 and "Scan parquet" not in plan2
+    assert all(r["$n"] == 0 for r in out2)
+    out2_fsm, _ = _run(
+        spark, store, noneprog, {"TRCK_SPARK_NO_FASTPATH": "1"}
+    )
+    assert out2 == out2_fsm
+
+
+def test_ts_scoped_rollup_dup_segment_falls_back(spark, tmp_path):
+    """A non-ts-unique segment kills no_dedup, so the time-scoped tier
+    must decline and the scan answer must still match the FSM path."""
+    from trck_spark.store import append_trail_store
+
+    schema = "uuid string, timestamp long, seq long, t string, u string"
+    path = str(tmp_path / "tsegdup")
+    append_trail_store(
+        spark.createDataFrame(
+            [("u1", 100, 0, "a", "x"), ("u1", 150, 1, "b", "x")], schema
+        ),
+        path, seq_col="seq",
+    )
+    store = append_trail_store(
+        spark.createDataFrame(
+            [("u1", 200, 0, "a", "x"), ("u1", 200, 1, "a", "x")], schema
+        ),
+        path,
+    )
+    out, plan = _run(spark, store, PROG_TS)
+    assert "FileScan" in plan or "Scan parquet" in plan
+    out_fsm, _ = _run(spark, store, PROG_TS, {"TRCK_SPARK_NO_FASTPATH": "1"})
+    assert out == out_fsm
+    by_v = {r["%v"]: r["$n"] for r in out}
+    assert by_v == {"": 0, "a": 1, "b": 1}  # dup skipped, 100 out of bound

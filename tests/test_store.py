@@ -422,3 +422,81 @@ wait ->
     # u1: view@100 (base) -> click@200 (segment 1) converts across the
     # segment boundary; u3's view never converts
     assert got2 == {"$conv": 1}
+
+
+def test_compact_trail_store(spark, tmp_path):
+    """compact_trail_store rewrites base+segments into one fresh store:
+    query results byte-identical (the __db0 index preserves segment-
+    major order and per-segment dedup scoping — the boundary dup still
+    survives) and the zero-scan rollup tier is RESTORED."""
+    from trck_spark.engine import TrckSparkEngine
+    from trck_spark.store import (
+        append_trail_store,
+        compact_trail_store,
+        open_trail_store,
+    )
+
+    schema = "uuid string, timestamp long, seq long, event_type string"
+    path = str(tmp_path / "segsrc")
+    append_trail_store(
+        spark.createDataFrame(
+            [("u1", 100, 0, "view"), ("u1", 200, 1, "click")], schema
+        ),
+        path, seq_col="seq",
+    )
+    append_trail_store(
+        spark.createDataFrame(
+            # first event duplicates base's last across the boundary
+            [("u1", 200, 0, "click"), ("u1", 300, 1, "click"),
+             ("u2", 150, 0, "click")], schema,
+        ),
+        path,
+    )
+    append_trail_store(
+        spark.createDataFrame([("u3", 500, 0, "view")], schema), path
+    )
+
+    dest = str(tmp_path / "compacted")
+    comp = compact_trail_store(spark, path, dest)
+    m = read_manifest(dest)
+    assert m["db_col"] == "__db0"
+    assert m["ts_unique"] is True  # per (uuid, db): the dup is cross-db
+    assert "segments" not in m
+
+    prog = (
+        'start ->\n    receive\n        event_type = "click" -> '
+        "yield $clicks, repeat\n        * -> repeat\n"
+    )
+    eng = TrckSparkEngine(spark)
+    kw = dict(uuid_col="uuid", ts_col="timestamp", seq_col="seq")
+    seg = open_trail_store(spark, path)
+    got_seg = eng.run(seg, prog, **kw).collect_json()
+    got_comp = eng.run(comp, prog, **kw).collect_json()
+    # boundary dup survives both forms: 4 clicks, not 3
+    assert got_seg == got_comp == {"$clicks": 4}
+
+    # zero-scan rollup tier restored on the compacted store
+    counter = (
+        "foreach %v\n    start ->\n        receive\n"
+        "            event_type = %v -> yield $n, repeat\n"
+        "            * -> repeat\n"
+    )
+    rs = eng.run(comp, counter, **kw)
+    out = {r["%v"]: r["$n"] for r in rs.collect_json()}
+    assert out == {"": 0, "click": 4, "view": 2}
+    assert rs.counters_df().inputFiles() == []  # no scan at all
+
+    # CLI --compact drives the same path
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    dest2 = str(tmp_path / "compacted_cli")
+    res = subprocess.run(
+        [_sys.executable, "-m", "trck_spark.store", path, dest2,
+         "--compact"],
+        cwd="/root/repo", capture_output=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr.decode()[-2000:]
+    m2 = _json.loads(res.stdout.decode().strip().splitlines()[-1])
+    assert m2["db_col"] == "__db0" and m2["ts_unique"] is True

@@ -391,11 +391,31 @@ def rollup_weights(program: Program, var: str, field: str) -> dict | None:
     counts).  Caller has already established is_simple_counter_program
     (single rule, repeat-only, catch-all present) and the equi-join
     shape."""
+    r = rollup_weights_ts(program, var, field)
+    if r is None or r[1]:
+        return None
+    return r[0]
+
+
+def rollup_weights_ts(
+    program: Program, var: str, field: str
+) -> tuple[dict, list] | None:
+    """(weights, timestamp_conditions) for the TIME-SCOPED rollup form
+    (reference relop grammar src/trparser.py-analog timestamp terms):
+    like :func:`rollup_weights` but clause 0 may carry timestamp relop
+    conjuncts alongside ``field = %var``.  A timestamp conjunct is a
+    pure event-time filter, so over a SEGMENTED store with per-part
+    [ts_min, ts_max] zone maps the counter decomposes exactly into
+    rollup(parts fully inside the bound) + scan(boundary parts) + 0
+    (disjoint parts) — an incremental counter that never rescans
+    history.  Returns ([] timestamp conditions) for the plain shape."""
     clauses = program.rules[0].get("clauses", [])
     if not clauses:
         return None
     c0 = clauses[0]
-    if c0.get("op") == "not" or c0.get("attrs") != {field: [var]}:
+    attrs = c0.get("attrs") or {}
+    non_ts = {k: v for k, v in attrs.items() if k != "timestamp"}
+    if c0.get("op") == "not" or non_ts != {field: [var]}:
         return None
     ys = c0.get("yield") or []
     if not ys or any(y["dst"][0] != "$" for y in ys):
@@ -405,7 +425,7 @@ def rollup_weights(program: Program, var: str, field: str) -> dict | None:
     w: dict[str, int] = {}
     for y in ys:
         w[y["dst"]] = w.get(y["dst"], 0) + 1
-    return w
+    return w, list(attrs.get("timestamp", []))
 
 
 def _equi_join_fields(program: Program) -> dict | None:

@@ -270,6 +270,68 @@ def q_trck_count_by_type_store(spark, sf_dir):
     ).counters_df()
 
 
+# timestamp-bounded count-by-type (VERDICT r07 item 5): the bound fully
+# covers the middle period segment, so the engine answers it from the
+# merged rollup and scans ONLY the two boundary segments
+TS_SEG_CUTS = (1704900000, 1705800000)
+TS_BOUND = (1704500000, 1706200000)
+PROG_COUNT_BY_TYPE_TS = f"""
+foreach %t
+    start ->
+        receive
+            event_type = %t, timestamp >= {TS_BOUND[0]}, timestamp < {TS_BOUND[1]} -> yield $n
+            * -> repeat
+"""
+
+
+def q_trck_count_by_type_store_ts(spark, sf_dir):
+    """PROG_COUNT_BY_TYPE_TS through a SEGMENTED TrailStore: events are
+    time-sliced into three period segments (the reference's one-tdb-
+    per-period ingestion — one immutable tdb per period, engine
+    iterates them as ordered DBs), and the query carries a timestamp
+    bound that fully covers the middle segment.  The engine's
+    time-scoped rollup tier (engine._run_ts_scoped_rollup) answers the
+    covered segment from its manifest rollup with zero scan and scans
+    only the two boundary segments — the incremental-counter shape
+    that never rescans history at 100 TB.  Hash-checked against the
+    same DuckDB aggregate over the flat parquet."""
+    from pyspark.sql import functions as F
+
+    from trck_spark.store import (
+        append_trail_store,
+        is_trail_store,
+        open_trail_store,
+    )
+
+    src = f"{sf_dir}/events.parquet"
+    path = _store_cache_path(src, sf_dir + "#seg")
+    if is_trail_store(path):
+        store = open_trail_store(spark, path)
+    else:
+        events = load_events(spark, sf_dir).select(
+            "uuid", "timestamp", "event_id", "event_type"
+        )
+        t1, t2 = TS_SEG_CUTS
+        slices = (
+            F.col("timestamp") < t1,
+            (F.col("timestamp") >= t1) & (F.col("timestamp") < t2),
+            F.col("timestamp") >= t2,
+        )
+        store = None
+        for cond in slices:
+            store = append_trail_store(
+                events.filter(cond), path, uuid_col="uuid",
+                ts_col="timestamp", seq_col="event_id",
+            )
+    engine = _ENGINES.get(id(spark))
+    if engine is None:
+        engine = _ENGINES[id(spark)] = TrckSparkEngine(spark)
+    return engine.run(
+        store, PROG_COUNT_BY_TYPE_TS, uuid_col="uuid",
+        ts_col="timestamp", seq_col="event_id",
+    ).counters_df()
+
+
 def q_trck_funnel(spark, sf_dir):
     return _run_trck(spark, sf_dir, PROG_FUNNEL).counters_df()
 
@@ -616,6 +678,17 @@ FROM grid g LEFT JOIN c ON c.tt = g.t
     "trck_count_by_type_store": (
         "SELECT '' AS t, 0::BIGINT AS n UNION ALL "
         "SELECT event_type AS t, count(*)::BIGINT AS n "
+        "FROM events GROUP BY event_type"
+    ),
+    # timestamp-bounded counter through a SEGMENTED store: the engine
+    # answers the fully-covered middle segment from its rollup and scans
+    # only the boundary segments; the oracle counts in-bound events per
+    # type over the flat parquet (lexicon stays the FULL data's types)
+    "trck_count_by_type_store_ts": (
+        "SELECT '' AS t, 0::BIGINT AS n UNION ALL "
+        "SELECT event_type AS t, "
+        "count(*) FILTER (epoch_ns(ts) // 1000000000 >= 1704500000 "
+        "AND epoch_ns(ts) // 1000000000 < 1706200000)::BIGINT AS n "
         "FROM events GROUP BY event_type"
     ),
     "trck_clicks_by_user": (
@@ -974,6 +1047,7 @@ def spark_queries() -> dict:
         "trck_count_clicks": q_trck_count_clicks,
         "trck_count_by_type": q_trck_count_by_type,
         "trck_count_by_type_store": q_trck_count_by_type_store,
+        "trck_count_by_type_store_ts": q_trck_count_by_type_store_ts,
         "trck_clicks_by_user": q_trck_clicks_by_user,
         "trck_timestamp_params": q_trck_timestamp_params,
         "trck_first_click": q_trck_first_click,

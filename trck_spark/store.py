@@ -120,7 +120,8 @@ def _table_name(path: str) -> str:
 def write_trail_store(df, path: str, uuid_col: str = "uuid",
                       ts_col: str = "timestamp", seq_col: str | None = "seq",
                       n_buckets: int = 32, dict_fields="auto",
-                      dict_max: int = DICT_MAX):
+                      dict_max: int = DICT_MAX,
+                      db_col: str | None = None):
     """Write `df` as a trail-clustered bucketed table at `path` and return
     the re-opened DataFrame.
 
@@ -139,14 +140,25 @@ def write_trail_store(df, path: str, uuid_col: str = "uuid",
     once post-agg, which is exactly the dictionary-id aggregation a
     native engine (or DuckDB) does and several times faster than string
     hash-agg at the 100 TB end.
+
+    db_col: persist a DB-index column (compaction writes the original
+    segment index here — compact_trail_store).  The sort becomes
+    (uuid, db, ts, seq), matching the engine's stream order exactly, so
+    a compacted store replays the segmented store's event order and
+    per-DB dedup scoping byte-identically; ts-uniqueness is then proved
+    per (uuid, db).  open_trail_store re-exposes it via the manifest
+    and the engine defaults its db_col to it.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
 
     spark = df.sparkSession
-    sort_cols = [uuid_col, ts_col] + ([seq_col] if seq_col else [])
+    sort_cols = (
+        [uuid_col] + ([db_col] if db_col else []) + [ts_col]
+        + ([seq_col] if seq_col else [])
+    )
     if dict_fields == "auto":
-        skip = {uuid_col, ts_col, seq_col}
+        skip = {uuid_col, ts_col, seq_col, db_col}
         candidates = [
             fld.name
             for fld in df.schema.fields
@@ -168,19 +180,26 @@ def write_trail_store(df, path: str, uuid_col: str = "uuid",
         .mode("overwrite")
         .saveAsTable(table)
     )
-    # one write-time pass: if no trail ever repeats a timestamp, the
-    # engine's consecutive-duplicate skip (identity always includes ts)
-    # is provably a no-op for EVERY program — queries over this store
-    # skip the dedup window entirely (engine.run reads this flag)
-    ts_unique = (
+    # one write-time pass serving two proofs: (a) if no trail ever
+    # repeats a timestamp, the engine's consecutive-duplicate skip
+    # (identity always includes ts) is provably a no-op for EVERY
+    # program — queries over this store skip the dedup window entirely
+    # (engine.run reads this flag); (b) the store's [min_ts, max_ts]
+    # range is the zone map that lets a time-bounded counter answer
+    # fully-covered segments from rollups and scan only the boundary
+    # (engine time-scoped rollup tier)
+    stats = (
         spark.table(table)
-        .groupBy(uuid_col, ts_col)
+        .groupBy(uuid_col, *([db_col] if db_col else []), ts_col)
         .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1)
-        .limit(1)
-        .count()
-        == 0
+        .agg(
+            F.max("c").alias("maxc"),
+            F.min(F.col(ts_col).cast("long")).alias("tmin"),
+            F.max(F.col(ts_col).cast("long")).alias("tmax"),
+        )
+        .first()
     )
+    ts_unique = (stats["maxc"] or 0) <= 1
     manifest = {
         "version": 3,
         "uuid_col": uuid_col,
@@ -188,6 +207,9 @@ def write_trail_store(df, path: str, uuid_col: str = "uuid",
         "seq_col": seq_col,
         "n_buckets": n_buckets,
         "ts_unique": ts_unique,
+        "ts_min": stats["tmin"],
+        "ts_max": stats["tmax"],
+        "db_col": db_col,
         "dicts": dicts,
         "rollups": _field_rollups(spark.table(table), dicts),
         "schema_ddl": _schema_ddl(df),
@@ -318,14 +340,28 @@ def _merge_segment_manifests(all_ms: list[dict], m: dict) -> dict:
         common &= set(x.get("dicts") or {})
     dicts: dict = {}
     rollups: dict = {}
+    # per-part zone map + union-coded rollups: the time-scoped rollup
+    # tier answers a ts-bounded counter as rollup(parts fully inside the
+    # bound) + scan(boundary parts only) — history never rescans
+    parts: list[dict] = [
+        {
+            "ts_min": x.get("ts_min"),
+            "ts_max": x.get("ts_max"),
+            "ts_unique": bool(x.get("ts_unique")),
+            "rollups": {},
+        }
+        for x in all_ms
+    ]
     for f in sorted(common):
         union = sorted(set().union(*[set(x["dicts"][f]) for x in all_ms]))
         if len(union) > DICT_MAX:
             continue
         dicts[f] = union
+        uindex = {v: i + 1 for i, v in enumerate(union)}
         counts = dict.fromkeys(union, 0)
         zero = 0
         ok = True
+        part_rollups = []
         for x in all_ms:
             r = (x.get("rollups") or {}).get(f)
             lex = x["dicts"][f]
@@ -333,10 +369,16 @@ def _merge_segment_manifests(all_ms: list[dict], m: dict) -> dict:
                 ok = False
                 break
             zero += int(r[0])
+            recoded = [0] * (len(union) + 1)
+            recoded[0] = int(r[0])
             for i, v in enumerate(lex):
                 counts[v] += int(r[i + 1])
+                recoded[uindex[v]] = int(r[i + 1])
+            part_rollups.append(recoded)
         if ok:
             rollups[f] = [zero] + [counts[v] for v in union]
+            for p, pr in zip(parts, part_rollups):
+                p["rollups"][f] = pr
     return {
         "version": 3,
         "uuid_col": m["uuid_col"],
@@ -346,6 +388,7 @@ def _merge_segment_manifests(all_ms: list[dict], m: dict) -> dict:
         "ts_unique": ts_unique,
         "dicts": dicts,
         "rollups": rollups,
+        "parts": parts,
         "segments": list(m.get("segments", [])),
         "clustered": False,
     }
@@ -424,7 +467,40 @@ def _open_segmented(spark, path: str, m: dict):
         out = out.unionByName(d, allowMissingColumns=True)
     out._trailstore_segments = len(names)
     out._trailstore_manifest = merged
+    # per-part frames (remapped codes + __segment) so the engine's
+    # time-scoped rollup tier can scan ONLY boundary segments
+    out._trailstore_parts = parts
     return out
+
+
+def compact_trail_store(spark, src_path: str, dest_path: str):
+    """Rewrite a segmented store (base + N appended segments) into a
+    FRESH single store at ``dest_path`` and return the re-opened frame
+    (VERDICT r07 item 6).
+
+    Many appends leave the union-of-segments plan paying per-segment
+    scan overhead; compaction bounds segment count while preserving
+    query results byte-identically: the original segment index persists
+    as a ``__db0`` column, the store sort becomes (uuid, db, ts, seq) —
+    exactly the engine's stream order — so event order AND per-segment
+    dedup scoping replay unchanged (a boundary-straddling duplicate
+    still survives).  Lexicons, rollups and the per-(uuid, db)
+    ts-uniqueness proof are rebuilt over the unified data, restoring
+    the dictionary-scan and zero-scan rollup tiers that a long segment
+    chain degrades."""
+    from pyspark.sql import functions as F
+
+    m = read_manifest(src_path)
+    df = open_trail_store(spark, src_path)
+    if "__segment" in df.columns:
+        df = df.withColumnRenamed("__segment", "__db0")
+    else:
+        df = df.withColumn("__db0", F.lit(0))
+    df = df.drop(*[c for c in df.columns if c.startswith("__c_")])
+    return write_trail_store(
+        df, dest_path, uuid_col=m["uuid_col"], ts_col=m["ts_col"],
+        seq_col=m["seq_col"], n_buckets=m["n_buckets"], db_col="__db0",
+    )
 
 
 def ensure_rollups(spark, path: str) -> dict:
@@ -486,8 +562,11 @@ def open_trail_store(spark, path: str):
     """
     m = read_manifest(path)
     table = _table_name(path)
-    sort_cols = [m["uuid_col"], m["ts_col"]] + (
-        [m["seq_col"]] if m["seq_col"] else []
+    sort_cols = (
+        [m["uuid_col"]]
+        + ([m["db_col"]] if m.get("db_col") else [])
+        + [m["ts_col"]]
+        + ([m["seq_col"]] if m["seq_col"] else [])
     )
     if not spark.catalog.tableExists(table):
         spark.sql(
@@ -531,12 +610,26 @@ def main(argv=None) -> int:
         "store (the reference's one-tdb-per-period ingestion: history "
         "is never rewritten; queries see segments as ordered DBs)",
     )
+    p.add_argument(
+        "--compact",
+        action="store_true",
+        help="SRC is an existing segmented store: rewrite base+segments "
+        "into a fresh single store at DEST (byte-identical query "
+        "results via the persisted __db0 segment index; unified "
+        "lexicons/rollups restore the zero-scan tiers)",
+    )
     args = p.parse_args(argv)
 
     from trck_spark.session import get_spark
 
     spark = get_spark("trailstore_build")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.compact:
+        if len(args.src) != 1 or not is_trail_store(args.src[0]):
+            p.error("--compact takes exactly one existing store as SRC")
+        compact_trail_store(spark, args.src[0], args.dest)
+        print(json.dumps(read_manifest(args.dest)))
+        return 0
     df = spark.read.parquet(*args.src)
     if args.append:
         append_trail_store(
