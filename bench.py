@@ -1659,7 +1659,8 @@ def main() -> None:
         "lineitem_pricing",     # relational agg
         "revenue_by_segment",   # broadcast join + agg
     ]
-    for extra in ("trck_sessions_by_type", "dedup_exact",
+    for extra in ("trck_count_by_type_store_ts", "trck_sessions_by_type",
+                  "dedup_exact",
                   "ngram_jaccard_pairs", "ann_cosine_topk",
                   "minhash_lsh_pairs", "text_quality",
                   "embedding_near_dup_pairs", "video_frame_sample",

@@ -524,3 +524,31 @@ def test_ts_scoped_rollup_dup_segment_falls_back(spark, tmp_path):
     assert out == out_fsm
     by_v = {r["%v"]: r["$n"] for r in out}
     assert by_v == {"": 0, "a": 1, "b": 1}  # dup skipped, 100 out of bound
+
+
+def test_ts_scoped_rollup_single_store(spark, tmp_path):
+    """NON-segmented store: a ts bound that covers the whole zone map
+    answers from the rollup (zero scan); a disjoint bound densifies to
+    zeros (zero scan); a partial overlap falls back to the scan."""
+    store = _store(spark, tmp_path, _rows(), name="s_ts")
+    m = store._trailstore_manifest
+    assert m["ts_min"] == 100 and m["ts_max"] == 170
+
+    cover = PROG.replace("t = %v", "t = %v, timestamp >= 50, timestamp < 9999")
+    out, plan = _run(spark, store, cover)
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+    plain, _ = _run(spark, store, PROG)
+    assert out == plain
+
+    miss = PROG.replace("t = %v", "t = %v, timestamp >= 5000")
+    out2, plan2 = _run(spark, store, miss)
+    assert "FileScan" not in plan2 and "Scan parquet" not in plan2
+    assert all(r["$r"] == 0 for r in out2)
+    out2_fsm, _ = _run(spark, store, miss, {"TRCK_SPARK_NO_FASTPATH": "1"})
+    assert out2 == out2_fsm
+
+    part = PROG.replace("t = %v", "t = %v, timestamp >= 140")
+    out3, plan3 = _run(spark, store, part)
+    assert "FileScan" in plan3 or "Scan parquet" in plan3
+    out3_fsm, _ = _run(spark, store, part, {"TRCK_SPARK_NO_FASTPATH": "1"})
+    assert out3 == out3_fsm

@@ -500,3 +500,81 @@ def test_compact_trail_store(spark, tmp_path):
     assert res.returncode == 0, res.stderr.decode()[-2000:]
     m2 = _json.loads(res.stdout.decode().strip().splitlines()[-1])
     assert m2["db_col"] == "__db0" and m2["ts_unique"] is True
+
+
+def test_append_to_compacted_store_keeps_db_order(spark, tmp_path):
+    """Compact -> keep appending -> (re)compact: the compacted base's
+    internal DB index must stay the FIRST DBs (composite __segment =
+    base db0 values, then base_max + segment index), so order-sensitive
+    programs and per-DB dedup replay exactly; re-compaction folds the
+    composite back into one __db0."""
+    from trck_spark.engine import TrckSparkEngine
+    from trck_spark.runner import run_program
+    from trck_spark.store import (
+        append_trail_store,
+        compact_trail_store,
+        open_trail_store,
+    )
+
+    schema = "uuid string, timestamp long, seq long, event_type string"
+    src = str(tmp_path / "src")
+    # two original segments with OVERLAPPING time ranges (db order is
+    # NOT ts order, so collapsing dbs would reorder events)
+    db0 = [("u1", 100, 0, "view"), ("u1", 300, 1, "click")]
+    db1 = [("u1", 200, 0, "click")]
+    db2 = [("u1", 150, 0, "click")]  # appended after compaction
+    append_trail_store(spark.createDataFrame(db0, schema), src,
+                       seq_col="seq")
+    append_trail_store(spark.createDataFrame(db1, schema), src)
+    comp = str(tmp_path / "comp")
+    compact_trail_store(spark, src, comp)
+    store = append_trail_store(spark.createDataFrame(db2, schema), comp)
+    # composite db order: base db0=0, base db0=1, then appended segment
+    segs = sorted(
+        r["__segment"] for r in store.select("__segment").distinct().collect()
+    )
+    assert segs == [0, 1, 2]
+
+    # first-click-then-quit is order-sensitive across dbs
+    prog = (
+        "start ->\n    receive\n"
+        '        event_type = "click" -> yield $first, quit\n'
+        "        * -> repeat\n"
+    )
+    def _dbs_to_trails(*dbs):
+        return [
+            {u: [{"timestamp": t, "event_type": e} for (uu, t, s, e) in db
+                 if uu == u] for u in {r[0] for r in db}}
+            for db in dbs
+        ]
+    expected = run_program(prog, _dbs_to_trails(db0, db1, db2))
+    eng = TrckSparkEngine(spark)
+    got = eng.run(
+        store, prog, uuid_col="uuid", ts_col="timestamp", seq_col="seq"
+    ).collect_json()
+    assert got == expected == {"$first": 1}
+
+    # re-compact the appended store; same results, single store again
+    comp2 = str(tmp_path / "comp2")
+    comp2_df = compact_trail_store(spark, comp, comp2)
+    assert "segments" not in read_manifest(comp2)
+    got2 = eng.run(
+        comp2_df, prog, uuid_col="uuid", ts_col="timestamp",
+        seq_col="seq",
+    ).collect_json()
+    assert got2 == expected
+
+    # counter results also agree with the flat multi-db view
+    counter = (
+        "foreach %v\n    start ->\n        receive\n"
+        "            event_type = %v -> yield $n, repeat\n"
+        "            * -> repeat\n"
+    )
+    a = eng.run(store, counter, uuid_col="uuid", ts_col="timestamp",
+                seq_col="seq").collect_json()
+    b = eng.run(comp2_df, counter, uuid_col="uuid", ts_col="timestamp",
+                seq_col="seq").collect_json()
+    assert a == b
+    assert {r["%v"]: r["$n"] for r in b} == {
+        "": 0, "click": 3, "view": 1
+    }

@@ -485,9 +485,23 @@ class TrckSparkEngine:
         union = manifest["dicts"][f0]
         parts_meta = manifest.get("parts") or []
         part_frames = getattr(events_df, "_trailstore_parts", None)
-        if not parts_meta or not part_frames or len(parts_meta) != len(
-            part_frames
-        ):
+        single = False
+        if not parts_meta:
+            # NON-segmented store: one part, its own zone map.  The tier
+            # then answers only the trivial decompositions — bound
+            # covers the whole store (rollup) or misses it entirely
+            # (zeros); a partial overlap is exactly the plain scan, so
+            # decline and let the dictionary-scan tier run it
+            if manifest.get("ts_min") is None:
+                return None
+            single = True
+            parts_meta = [{
+                "ts_min": manifest.get("ts_min"),
+                "ts_max": manifest.get("ts_max"),
+                "rollups": manifest.get("rollups") or {},
+            }]
+            part_frames = [events_df]
+        if not part_frames or len(parts_meta) != len(part_frames):
             return None
         covered = [0] * (len(union) + 1)
         boundary: list[int] = []
@@ -507,6 +521,8 @@ class TrckSparkEngine:
         rollup_frame = self._rollup_frame(program, union, covered, weights)
         if not boundary:
             return rollup_frame
+        if single:
+            return None  # whole-store boundary == the plain scan
         sub = part_frames[boundary[0]]
         for i in boundary[1:]:
             sub = sub.unionByName(part_frames[i], allowMissingColumns=True)
@@ -811,7 +827,10 @@ class TrckSparkEngine:
                     and r_ts[1]
                     and rollup is not None
                     and len(rollup) == len(dicts[f0]) + 1
-                    and manifest.get("parts")
+                    and (
+                        manifest.get("parts")
+                        or manifest.get("ts_min") is not None
+                    )
                     and not _os.environ.get("TRCK_SPARK_NO_ROLLUP")
                 ):
                     frame = self._run_ts_scoped_rollup(

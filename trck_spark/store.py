@@ -196,6 +196,11 @@ def write_trail_store(df, path: str, uuid_col: str = "uuid",
             F.max("c").alias("maxc"),
             F.min(F.col(ts_col).cast("long")).alias("tmin"),
             F.max(F.col(ts_col).cast("long")).alias("tmax"),
+            *(
+                [F.max(F.col(db_col).cast("long")).alias("dmax")]
+                if db_col
+                else []
+            ),
         )
         .first()
     )
@@ -210,6 +215,7 @@ def write_trail_store(df, path: str, uuid_col: str = "uuid",
         "ts_min": stats["tmin"],
         "ts_max": stats["tmax"],
         "db_col": db_col,
+        "db_max": int(stats["dmax"]) if db_col and stats["dmax"] is not None else None,
         "dicts": dicts,
         "rollups": _field_rollups(spark.table(table), dicts),
         "schema_ddl": _schema_ddl(df),
@@ -461,7 +467,21 @@ def _open_segmented(spark, path: str, m: dict):
             d = d.drop(*drop)
         if remapped:
             d = d.withColumns(remapped)
-        parts.append(d.withColumn("__segment", F.lit(i)))
+        # a COMPACTED base carries its own DB index (db_col, values
+        # 0..db_max): those stay the first DBs and appended segments
+        # follow — compact -> keep appending -> compact again works
+        # without ever collapsing the base's internal DB order
+        base_db = m.get("db_col")
+        if base_db:
+            base_max = int(m.get("db_max") or 0)
+            seg_ix = (
+                F.col(base_db).cast("int")
+                if seg is None
+                else F.lit(base_max + i)
+            )
+        else:
+            seg_ix = F.lit(i)
+        parts.append(d.withColumn("__segment", seg_ix))
     out = parts[0]
     for d in parts[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
@@ -493,13 +513,22 @@ def compact_trail_store(spark, src_path: str, dest_path: str):
     m = read_manifest(src_path)
     df = open_trail_store(spark, src_path)
     if "__segment" in df.columns:
+        # re-compaction: the composite __segment already folds a prior
+        # compaction's db index in (see _open_segmented), so the stale
+        # per-row column is superseded and must not collide
+        if m.get("db_col") and m["db_col"] in df.columns:
+            df = df.drop(m["db_col"])
         df = df.withColumnRenamed("__segment", "__db0")
+        dbc = "__db0"
+    elif m.get("db_col"):
+        dbc = m["db_col"]  # compacting a compacted store: plain rewrite
     else:
         df = df.withColumn("__db0", F.lit(0))
+        dbc = "__db0"
     df = df.drop(*[c for c in df.columns if c.startswith("__c_")])
     return write_trail_store(
         df, dest_path, uuid_col=m["uuid_col"], ts_col=m["ts_col"],
-        seq_col=m["seq_col"], n_buckets=m["n_buckets"], db_col="__db0",
+        seq_col=m["seq_col"], n_buckets=m["n_buckets"], db_col=dbc,
     )
 
 
