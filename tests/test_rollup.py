@@ -552,3 +552,47 @@ def test_ts_scoped_rollup_single_store(spark, tmp_path):
     assert "FileScan" in plan3 or "Scan parquet" in plan3
     out3_fsm, _ = _run(spark, store, part, {"TRCK_SPARK_NO_FASTPATH": "1"})
     assert out3 == out3_fsm
+
+
+def test_segmented_remap_over_budget_drops_codes_keeps_rollup(
+    spark, tmp_path, monkeypatch
+):
+    """A field whose union remap would exceed REMAP_LITERAL_MAX drops
+    its __c_* columns on the segmented open (no giant literal arrays in
+    the plan) but KEEPS the merged rollup — the zero-scan tier still
+    answers; the scan fallback runs on the plain string column."""
+    import trck_spark.store as store_mod
+    from trck_spark.store import append_trail_store
+
+    monkeypatch.setattr(store_mod, "REMAP_LITERAL_MAX", 2)
+    schema = "uuid string, timestamp long, seq long, t string, u string"
+    path = str(tmp_path / "overbudget")
+    append_trail_store(
+        spark.createDataFrame(
+            [("u1", 100, 0, "a", "x"), ("u1", 200, 1, "b", "x")], schema
+        ),
+        path, seq_col="seq",
+    )
+    store = append_trail_store(
+        spark.createDataFrame(
+            # 'c' forces a non-identity remap for t on both parts
+            [("u2", 300, 0, "c", "x"), ("u2", 400, 1, "a", "x")], schema
+        ),
+        path,
+    )
+    m = store._trailstore_manifest
+    assert m["dicts"]["t"] == ["a", "b", "c"]
+    assert "__c_t" not in store.columns  # over budget -> dropped
+    assert "__c_u" in store.columns      # identity remap -> kept
+
+    out, plan = _run(spark, store, PROG)
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+    assert {r["%v"]: r["$r"] for r in out} == {
+        "": 0, "a": 2, "b": 1, "c": 1
+    }
+    out_scan, _ = _run(spark, store, PROG, {"TRCK_SPARK_NO_ROLLUP": "1"})
+    out_fsm, _ = _run(
+        spark, store, PROG,
+        {"TRCK_SPARK_NO_ROLLUP": "1", "TRCK_SPARK_NO_FASTPATH": "1"},
+    )
+    assert out == out_scan == out_fsm
