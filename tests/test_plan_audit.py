@@ -184,7 +184,7 @@ _HINTED_QUERIES_OK = {
     "ann_cosine_methods",  # query-vector / pivot / centers broadcasts
     "knn_label_vote", "semantic_dedup", "contamination_check",
     "tfidf_topterms",
-    "incremental_dedup_store",  # bloom sidecar (geometry-capped)
+    "incremental_dedup",  # store leg's bloom sidecar (geometry-capped)
     # trck engine queries: grid / lexicon / side-input broadcasts
     *{n for n in _QUERIES if n.startswith("trck_")},
 }

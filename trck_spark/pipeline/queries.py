@@ -135,7 +135,24 @@ def q_semantic_dedup(spark, sf_dir):
 
 
 def q_incremental_dedup(spark, sf_dir):
-    return dedup.incremental_dedup(spark, sf_dir)
+    """Merged gate row (round 8): the LOGICAL incremental-dedup plan and
+    the FingerprintStore-ARTIFACT plan classify the same batch — same
+    rows by construction, radically different physical stories (the
+    store path never re-scans the corpus).  Tagging each with a `path`
+    column and unioning puts BOTH physical paths under one driver
+    hash-check, freeing a registry slot for the round-8
+    trck_count_by_type_store_ts row (the driver's correctness budget
+    cuts at exactly 50 rows — see q_text_metrics / COVERAGE round-5
+    registry note)."""
+    from pyspark.sql import functions as F
+
+    logical = dedup.incremental_dedup(spark, sf_dir).withColumn(
+        "path", F.lit("logical")
+    )
+    store = _incremental_dedup_store(spark, sf_dir).withColumn(
+        "path", F.lit("store")
+    )
+    return logical.unionByName(store)
 
 
 # built FingerprintStores per sf_dir (process lifetime): the two-phase
@@ -145,12 +162,13 @@ def q_incremental_dedup(spark, sf_dir):
 _FP_STORES: dict = {}
 
 
-def q_incremental_dedup_store(spark, sf_dir):
+def _incremental_dedup_store(spark, sf_dir):
     """Two-phase incremental dedup: materialize the src0 corpus as a
     FingerprintStore (bucketed fingerprints + bloom sidecar), then
     classify the incoming batch against the ARTIFACT — same rows as
-    q_incremental_dedup, different physical story (no corpus re-scan;
-    see dedup.incremental_dedup_apply)."""
+    the logical plan, different physical story (no corpus re-scan;
+    see dedup.incremental_dedup_apply).  Constituent of the merged
+    q_incremental_dedup gate row."""
     import os
     import tempfile
 
@@ -320,7 +338,6 @@ def pipeline_queries() -> dict:
         "knn_label_vote": q_knn_label_vote,
         "semantic_dedup": q_semantic_dedup,
         "incremental_dedup": q_incremental_dedup,
-        "incremental_dedup_store": q_incremental_dedup_store,
         "dedup_apply": q_dedup_apply,
         "dedup_clusters": q_dedup_clusters,
         "contamination_check": q_contamination_check,
@@ -906,10 +923,16 @@ def pipeline_oracles() -> dict:
         "tfidf_topterms": tfidf_topterms_oracle_sql(),
         "dup_span_stats": dup_span_stats_oracle_sql(),
         "semantic_dedup": semantic_dedup_oracle_sql(),
-        "incremental_dedup": incremental_dedup_oracle_sql(),
-        # store-backed variant computes the same classification from
-        # the materialized artifact — same oracle by construction
-        "incremental_dedup_store": incremental_dedup_oracle_sql(),
+        # merged row (round 8): logical plan + FingerprintStore-artifact
+        # plan, tagged by `path` — same classification by construction,
+        # so the oracle is the same SQL twice under each tag
+        "incremental_dedup": (
+            "SELECT 'logical' AS path, * FROM ("
+            + incremental_dedup_oracle_sql()
+            + ") UNION ALL SELECT 'store' AS path, * FROM ("
+            + incremental_dedup_oracle_sql()
+            + ")"
+        ),
         "simhash_pairs": _simhash_oracle_sql(),
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
