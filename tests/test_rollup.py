@@ -596,3 +596,95 @@ def test_segmented_remap_over_budget_drops_codes_keeps_rollup(
         {"TRCK_SPARK_NO_ROLLUP": "1", "TRCK_SPARK_NO_FASTPATH": "1"},
     )
     assert out == out_scan == out_fsm
+
+
+PROG_TS_GRID = """
+foreach %v in @arr
+    start ->
+        receive
+            t = %v, timestamp >= 150, timestamp < 350 -> yield $n
+            * -> repeat
+"""
+
+PROG_TS_LITERAL = """
+start ->
+    receive
+        t = "a", timestamp >= 150, timestamp < 350 -> yield $n, repeat
+        * -> repeat
+"""
+
+
+def test_ts_scoped_rollup_explicit_grid(spark, tmp_path):
+    """The `*_by_type in @arr` family with a timestamp bound: partials =
+    rollup(covered segment) UNION scan(boundary segments only) — grid
+    values absent from the store densify to zero, and the covered
+    middle segment is never scanned."""
+    from trck_spark.engine import TrckSparkEngine
+
+    path, store = _ts_seg_store(spark, tmp_path, "tsegs_grid")
+    params = {"@arr": [["a"], ["b"], ["zz"], [""]]}
+    rs = TrckSparkEngine(spark).run(
+        store, PROG_TS_GRID, params=params, uuid_col="uuid",
+        ts_col="timestamp", seq_col="seq",
+    )
+    out = rs.collect_json()
+    scanned = rs.counters_df().inputFiles()
+    assert scanned, "boundary segments must scan"
+    assert not any("segment_0000" in f for f in scanned), scanned
+    assert {r["%v"]: r["$n"] for r in out} == {
+        "a": 2, "b": 2, "zz": 0, "": 0
+    }
+    # FSM path agrees
+    os.environ["TRCK_SPARK_NO_FASTPATH"] = "1"
+    try:
+        out_fsm = TrckSparkEngine(spark).run(
+            store, PROG_TS_GRID, params=params, uuid_col="uuid",
+            ts_col="timestamp", seq_col="seq",
+        ).collect_json()
+    finally:
+        del os.environ["TRCK_SPARK_NO_FASTPATH"]
+    assert out == out_fsm
+
+    # bound covering every segment: pure rollup partials, zero scan
+    allprog = PROG_TS_GRID.replace("150,", "0,").replace("< 350", "< 9999")
+    rs2 = TrckSparkEngine(spark).run(
+        store, allprog, params=params, uuid_col="uuid",
+        ts_col="timestamp", seq_col="seq",
+    )
+    out2 = rs2.collect_json()
+    assert rs2.counters_df().inputFiles() == []
+    assert {r["%v"]: r["$n"] for r in out2} == {
+        "a": 4, "b": 2, "zz": 0, "": 0
+    }
+
+
+def test_ts_scoped_rollup_literal(spark, tmp_path):
+    """Literal-predicate counter with a timestamp bound: same
+    decomposition, scalar result; the covered segment contributes its
+    rollup count for the literal's code only."""
+    from trck_spark.engine import TrckSparkEngine
+
+    path, store = _ts_seg_store(spark, tmp_path, "tsegs_lit")
+    rs = TrckSparkEngine(spark).run(
+        store, PROG_TS_LITERAL, uuid_col="uuid", ts_col="timestamp",
+        seq_col="seq",
+    )
+    out = rs.collect_json()
+    scanned = rs.counters_df().inputFiles()
+    assert scanned and not any("segment_0000" in f for f in scanned)
+    # in-bound 'a' events: none in A's clip [150,150], B's a@200 +
+    # a@260 (covered rollup), none in C's clip [300,350) with t=a
+    assert out == {"$n": 2}
+    out_fsm, _ = _run(
+        spark, store, PROG_TS_LITERAL, {"TRCK_SPARK_NO_FASTPATH": "1"}
+    )
+    assert out == out_fsm
+
+    # covering bound: zero scan, full literal count
+    allprog = PROG_TS_LITERAL.replace("150,", "0,").replace("< 350", "< 9999")
+    rs2 = TrckSparkEngine(spark).run(
+        store, allprog, uuid_col="uuid", ts_col="timestamp",
+        seq_col="seq",
+    )
+    assert rs2.counters_df().inputFiles() == []
+    assert rs2.collect_json() == {"$n": 4}

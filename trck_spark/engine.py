@@ -551,6 +551,93 @@ class TrckSparkEngine:
             .select(key, *cnames)
         )
 
+    def _ts_scoped_partials(
+        self, df, program: Program, tuples: list | None, manifest: dict,
+        field: str, weights: dict, ts_conds: list, params: dict | None,
+        extra_dedup, pred_codes, lit: str | None = None,
+    ):
+        """TIME-SCOPED rollup for the EXPLICIT-grid (`*_by_type`) and
+        LITERAL counter shapes: aggregated-partials frame =
+        rollup-partials(parts fully inside the bound) UNION
+        scan-partials(boundary parts only).  Sound because the partials
+        consumer (collect_partials) SUMS sum_n across rows of the same
+        (tuple_id, var), and rollup-safe shapes yield plain counters
+        only.  The boundary scan filters the already-projected union
+        frame on __db — each union branch carries a constant __segment,
+        so Catalyst folds the filter per branch and prunes covered
+        segments' scans entirely.  Returns None when the decomposition
+        can't be proved or buys nothing (every part boundary)."""
+        from pyspark.sql import functions as F
+
+        interval = _ts_bound_interval(ts_conds, params)
+        if interval is None:
+            return None
+        lo, hi = interval
+        union = manifest["dicts"][field]
+        parts_meta = manifest.get("parts")
+        single = not parts_meta
+        if single:
+            if manifest.get("ts_min") is None:
+                return None
+            parts_meta = [{
+                "ts_min": manifest.get("ts_min"),
+                "ts_max": manifest.get("ts_max"),
+                "rollups": manifest.get("rollups") or {},
+            }]
+        covered = [0] * (len(union) + 1)
+        boundary: list[int] = []
+        pruned_any = False
+        for i, pm in enumerate(parts_meta):
+            pr = (pm.get("rollups") or {}).get(field)
+            if pr is None or len(pr) != len(union) + 1:
+                return None
+            pmin, pmax = pm.get("ts_min"), pm.get("ts_max")
+            if pmin is None or pmax is None:
+                continue  # empty part
+            if lo <= pmin and pmax <= hi:
+                covered = [a + int(b) for a, b in zip(covered, pr)]
+                pruned_any = True
+            elif pmax < lo or pmin > hi:
+                pruned_any = True
+            else:
+                boundary.append(i)
+        if boundary and (single or not pruned_any):
+            return None  # whole-input boundary: the plain scan IS this
+        if tuples is not None:
+            rp = self._rollup_partials(tuples, union, covered, weights)
+            if rp is None:
+                return None  # non-string grid binding
+        else:
+            index = {v: i + 1 for i, v in enumerate(union)}
+            index[""] = 0
+            code = index.get(lit)
+            n = int(covered[code]) if code is not None else 0
+            rows = [
+                (0, var, None, None, n * w, n * w)
+                for var, w in weights.items()
+                if n * w
+            ]
+            rp = self.spark.createDataFrame(
+                rows,
+                "tuple_id long, var string, key binary, reg long, "
+                "sum_n long, max_n long",
+            )
+        if not boundary:
+            return rp
+        from trck_spark.planner import compile_relational
+
+        sub = df.filter(
+            F.col("__db").isin([int(b) for b in boundary])
+        )
+        sub._trck_cols = getattr(df, "_trck_cols", None) or tuple(
+            df.columns
+        )
+        agg_scan = compile_relational(
+            self, sub, program, tuples, params, extra_dedup,
+            no_dedup=True, pred_codes=pred_codes,
+        )
+        return agg_scan.unionByName(rp)
+
     def _rollup_partials(self, tuples: list, code_values: list,
                          rollup: list, weights: dict):
         """EXPLICIT-grid rollup answer: aggregated-partials frame
@@ -1106,7 +1193,10 @@ class TrckSparkEngine:
             if rollup_ok and (
                 tuples is not None and len(program.groupby_vars) == 1
             ):
-                from trck_spark.planner import rollup_weights
+                from trck_spark.planner import (
+                    rollup_weights,
+                    rollup_weights_ts,
+                )
 
                 gvar = program.groupby_vars[0]
                 gfield = program.var_fields.get(gvar)
@@ -1122,49 +1212,78 @@ class TrckSparkEngine:
                     agg_df = self._rollup_partials(
                         tuples, dicts[gfield], grollup, gweights
                     )
+                elif (
+                    grollup is not None
+                    and gfield in dicts
+                    and len(grollup) == len(dicts[gfield]) + 1
+                    and _equi_join_fields(program) == {gvar: gfield}
+                ):
+                    # TIME-SCOPED form: clause 0 adds timestamp relops —
+                    # rollup(covered parts) + scan(boundary parts only)
+                    g_ts = rollup_weights_ts(program, gvar, gfield)
+                    if g_ts is not None and g_ts[1]:
+                        agg_df = self._ts_scoped_partials(
+                            df, program, tuples, manifest, gfield,
+                            g_ts[0], g_ts[1], params, extra_dedup,
+                            pred_codes,
+                        )
             elif rollup_ok and tuples is None and not program.groupby:
                 # LITERAL-predicate counter (`field = "lit" -> yield $c`
                 # — the count-matching-events shape): same gates, the
-                # literal looked up in the lexicon directly
-                from trck_spark.planner import rollup_weights
+                # literal looked up in the lexicon directly; timestamp
+                # relop conjuncts take the time-scoped decomposition
+                from trck_spark.planner import rollup_weights_ts
 
                 c0s = program.rules[0].get("clauses", [])
-                attrs = c0s[0].get("attrs") if c0s else None
-                if attrs and len(attrs) == 1:
-                    ((lfield, conds),) = attrs.items()
+                attrs = (c0s[0].get("attrs") if c0s else None) or {}
+                non_ts = {k: v for k, v in attrs.items() if k != "timestamp"}
+                if len(non_ts) == 1:
+                    ((lfield, conds),) = non_ts.items()
                     lit = conds[0] if len(conds) == 1 else None
                     if (
                         isinstance(lit, str)
                         and lit[:1] not in ("%", "#", "@")
-                        and lfield != "timestamp"
                         and lfield in dicts
                     ):
                         lrollup = (manifest.get("rollups") or {}).get(
                             lfield
                         )
-                        lweights = rollup_weights(program, lit, lfield)
+                        l_ts = rollup_weights_ts(program, lit, lfield)
                         if (
                             lrollup is not None
-                            and lweights is not None
+                            and l_ts is not None
                             and len(lrollup) == len(dicts[lfield]) + 1
                         ):
-                            lindex = {
-                                v: i + 1
-                                for i, v in enumerate(dicts[lfield])
-                            }
-                            lindex[""] = 0
-                            code = lindex.get(lit)
-                            n = int(lrollup[code]) if code is not None else 0
-                            rows = [
-                                (0, var, None, None, n * w, n * w)
-                                for var, w in lweights.items()
-                                if n * w
-                            ]
-                            agg_df = self.spark.createDataFrame(
-                                rows,
-                                "tuple_id long, var string, key binary, "
-                                "reg long, sum_n long, max_n long",
-                            )
+                            lweights, lconds = l_ts
+                            if lconds:
+                                agg_df = self._ts_scoped_partials(
+                                    df, program, None, manifest, lfield,
+                                    lweights, lconds, params,
+                                    extra_dedup, pred_codes, lit=lit,
+                                )
+                            else:
+                                lindex = {
+                                    v: i + 1
+                                    for i, v in enumerate(dicts[lfield])
+                                }
+                                lindex[""] = 0
+                                code = lindex.get(lit)
+                                n = (
+                                    int(lrollup[code])
+                                    if code is not None
+                                    else 0
+                                )
+                                rows = [
+                                    (0, var, None, None, n * w, n * w)
+                                    for var, w in lweights.items()
+                                    if n * w
+                                ]
+                                agg_df = self.spark.createDataFrame(
+                                    rows,
+                                    "tuple_id long, var string, "
+                                    "key binary, reg long, sum_n long, "
+                                    "max_n long",
+                                )
             if agg_df is None:
                 agg_df = compile_relational(
                     self, df, program, tuples, params, extra_dedup,
