@@ -688,3 +688,73 @@ def test_ts_scoped_rollup_literal(spark, tmp_path):
     )
     assert rs2.counters_df().inputFiles() == []
     assert rs2.collect_json() == {"$n": 4}
+
+
+def test_ts_scoped_grid_on_compacted_appended_store(spark, tmp_path):
+    """Compact -> append: the composite __segment gives the base its own
+    db values (0..db_max) and the appended segment db_max+1, so the
+    boundary filter must map part INDICES to those VALUES — filtering on
+    the raw index would select a base sub-db instead of the appended
+    segment."""
+    from trck_spark.engine import TrckSparkEngine
+    from trck_spark.store import append_trail_store, compact_trail_store
+
+    schema = "uuid string, timestamp long, seq long, t string, u string"
+    src = str(tmp_path / "tsrc")
+    # two time-sliced segments, then compact, then append a third slice
+    append_trail_store(
+        spark.createDataFrame(
+            [("u1", 100, 0, "a", "x"), ("u2", 120, 1, "a", "x")], schema
+        ),
+        src, seq_col="seq",
+    )
+    append_trail_store(
+        spark.createDataFrame(
+            [("u1", 200, 0, "a", "x"), ("u2", 260, 1, "c", "x")], schema
+        ),
+        src,
+    )
+    comp = str(tmp_path / "tcomp")
+    compact_trail_store(spark, src, comp)
+    store = append_trail_store(
+        spark.createDataFrame(
+            [("u3", 300, 0, "b", "x"), ("u3", 350, 1, "a", "x")], schema
+        ),
+        comp,
+    )
+    m = store._trailstore_manifest
+    assert m.get("db_col") == "__db0" and len(m["parts"]) == 2
+
+    # bound [150, 330): base part [100, 260] is BOUNDARY (scanned),
+    # appended part [300, 350] is boundary too (330 inside) -> both
+    # scanned via VALUE mapping {0,1} for part 0 and {2} for part 1
+    prog = PROG.replace(
+        "t = %v", "t = %v, timestamp >= 150, timestamp < 330"
+    )
+    from trck_spark.engine import TrckSparkEngine as _E
+
+    rs = _E(spark).run(
+        store, prog, uuid_col="uuid", ts_col="timestamp", seq_col="seq"
+    )
+    out = rs.collect_json()
+    out_fsm, _ = _run(spark, store, prog, {"TRCK_SPARK_NO_FASTPATH": "1"})
+    assert out == out_fsm
+    assert {r["%v"]: r["$r"] for r in out} == {
+        "": 0, "a": 1, "b": 1, "c": 1
+    }
+
+    # bound covering ONLY the appended segment's range scans only it
+    prog2 = PROG.replace(
+        "t = %v", "t = %v, timestamp >= 270, timestamp < 9999"
+    )
+    rs2 = _E(spark).run(
+        store, prog2, uuid_col="uuid", ts_col="timestamp", seq_col="seq"
+    )
+    out2 = rs2.collect_json()
+    scanned = rs2.counters_df().inputFiles()
+    assert scanned == [], scanned  # appended part fully covered: rollup
+    out2_fsm, _ = _run(spark, store, prog2, {"TRCK_SPARK_NO_FASTPATH": "1"})
+    assert out2 == out2_fsm
+    assert {r["%v"]: r["$r"] for r in out2} == {
+        "": 0, "a": 1, "b": 1, "c": 0
+    }

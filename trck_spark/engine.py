@@ -555,6 +555,7 @@ class TrckSparkEngine:
         self, df, program: Program, tuples: list | None, manifest: dict,
         field: str, weights: dict, ts_conds: list, params: dict | None,
         extra_dedup, pred_codes, lit: str | None = None,
+        db_col: str | None = None,
     ):
         """TIME-SCOPED rollup for the EXPLICIT-grid (`*_by_type`) and
         LITERAL counter shapes: aggregated-partials frame =
@@ -624,11 +625,26 @@ class TrckSparkEngine:
             )
         if not boundary:
             return rp
+        if db_col != "__segment":
+            # a custom db column's values are not part indices; only the
+            # auto segmented form is provably filterable
+            return None
         from trck_spark.planner import compile_relational
 
-        sub = df.filter(
-            F.col("__db").isin([int(b) for b in boundary])
-        )
+        # part index -> __segment VALUE(s): plain segmented stores map
+        # identity, but a compacted-then-appended store's composite
+        # __segment gives part 0 the base's own db values 0..db_max and
+        # part i>=1 the value db_max + i (store._open_segmented)
+        if manifest.get("db_col"):
+            base_max = int(manifest.get("db_max") or 0)
+            vals: list[int] = []
+            for b in boundary:
+                vals.extend(
+                    range(base_max + 1) if b == 0 else [base_max + b]
+                )
+        else:
+            vals = [int(b) for b in boundary]
+        sub = df.filter(F.col("__db").isin(vals))
         sub._trck_cols = getattr(df, "_trck_cols", None) or tuple(
             df.columns
         )
@@ -1225,7 +1241,7 @@ class TrckSparkEngine:
                         agg_df = self._ts_scoped_partials(
                             df, program, tuples, manifest, gfield,
                             g_ts[0], g_ts[1], params, extra_dedup,
-                            pred_codes,
+                            pred_codes, db_col=db_col,
                         )
             elif rollup_ok and tuples is None and not program.groupby:
                 # LITERAL-predicate counter (`field = "lit" -> yield $c`
@@ -1260,6 +1276,7 @@ class TrckSparkEngine:
                                     df, program, None, manifest, lfield,
                                     lweights, lconds, params,
                                     extra_dedup, pred_codes, lit=lit,
+                                    db_col=db_col,
                                 )
                             else:
                                 lindex = {

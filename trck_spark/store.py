@@ -396,6 +396,12 @@ def _merge_segment_manifests(all_ms: list[dict], m: dict) -> dict:
         "rollups": rollups,
         "parts": parts,
         "segments": list(m.get("segments", [])),
+        # a compacted base's own DB index: the composite __segment folds
+        # these in (base rows keep db values 0..db_max, segment i maps
+        # to db_max + i) — consumers mapping part indices to __segment
+        # values need both
+        "db_col": m.get("db_col"),
+        "db_max": m.get("db_max"),
         "clustered": False,
     }
 
