@@ -758,3 +758,103 @@ def test_ts_scoped_grid_on_compacted_appended_store(spark, tmp_path):
     assert {r["%v"]: r["$r"] for r in out2} == {
         "": 0, "a": 1, "b": 1, "c": 0
     }
+
+
+def test_ts_scoped_rollup_legacy_part_without_zone_map(spark, tmp_path):
+    """ADVICE r08 (high): a manifest written before the zone maps existed
+    carries rollups (the tier's gates pass) but no ts_min/ts_max.  Such
+    a part must be SCANNED as boundary, never skipped as 'empty' — the
+    pre-fix engine silently dropped every in-bound event in it."""
+    import re as _re
+
+    from trck_spark.store import MANIFEST, ensure_rollups, open_trail_store
+
+    path, _ = _ts_seg_store(spark, tmp_path, "tslegacy")
+    # simulate the legacy middle segment: strip its zone map in place
+    seg_manifest = os.path.join(path, "segment_0000", MANIFEST)
+    with open(seg_manifest) as f:
+        sm = json.load(f)
+    assert sm["rollups"]  # gates still pass
+    del sm["ts_min"], sm["ts_max"]
+    with open(seg_manifest, "w") as f:
+        json.dump(sm, f)
+    store = open_trail_store(spark, path)
+    assert store._trailstore_manifest["parts"][1]["ts_min"] is None
+
+    # bound [150, 350) FULLY covers the legacy segment B [200, 260]:
+    # without the fix its 3 events vanish from the answer
+    from trck_spark.engine import TrckSparkEngine
+
+    rs = TrckSparkEngine(spark).run(
+        store, PROG_TS, uuid_col="uuid", ts_col="timestamp",
+        seq_col="seq",
+    )
+    out = rs.collect_json()
+    out_fsm, _ = _run(spark, store, PROG_TS, {"TRCK_SPARK_NO_FASTPATH": "1"})
+    assert out == out_fsm
+    assert {r["%v"]: r["$n"] for r in out} == {
+        "": 0, "a": 2, "b": 2, "c": 1, "d": 0
+    }
+    # the legacy part was scanned (boundary), not skipped
+    scanned = rs.counters_df().inputFiles()
+    assert any("segment_0000" in f for f in scanned), scanned
+
+    # ensure_rollups backfills the zone map in place; pruning restored
+    ensure_rollups(spark, path)
+    with open(seg_manifest) as f:
+        sm2 = json.load(f)
+    assert (sm2["ts_min"], sm2["ts_max"]) == (200, 260)
+    store2 = open_trail_store(spark, path)
+    rs2 = TrckSparkEngine(spark).run(
+        store2, PROG_TS, uuid_col="uuid", ts_col="timestamp",
+        seq_col="seq",
+    )
+    assert rs2.collect_json() == out
+    scanned2 = rs2.counters_df().inputFiles()
+    assert not any("segment_0000" in f for f in scanned2), scanned2
+    # base (part A) and segment_0001 (part C) stay boundary
+    assert any("segment_0001" in f for f in scanned2), scanned2
+    assert any(
+        _re.search(r"tslegacy/[^/]+\.parquet$", f) for f in scanned2
+    ), scanned2
+
+
+def test_ts_scoped_explicit_grid_legacy_part_without_zone_map(
+    spark, tmp_path
+):
+    """Same legacy-manifest hazard through the EXPLICIT-grid partials
+    tier (_ts_scoped_partials): the zone-map-less part must be scanned
+    as boundary there too."""
+    from trck_spark.store import MANIFEST, open_trail_store
+
+    path, _ = _ts_seg_store(spark, tmp_path, "tslegacy_g")
+    seg_manifest = os.path.join(path, "segment_0000", MANIFEST)
+    with open(seg_manifest) as f:
+        sm = json.load(f)
+    del sm["ts_min"], sm["ts_max"]
+    with open(seg_manifest, "w") as f:
+        json.dump(sm, f)
+    store = open_trail_store(spark, path)
+
+    prog = PROG_TS_GRID
+    from trck_spark.engine import TrckSparkEngine
+
+    params = {"@arr": [["a"], ["b"], ["c"], ["d"]]}
+    rs = TrckSparkEngine(spark).run(
+        store, prog, params=params, uuid_col="uuid",
+        ts_col="timestamp", seq_col="seq",
+    )
+    out = rs.collect_json()
+    os.environ["TRCK_SPARK_NO_FASTPATH"] = "1"
+    try:
+        rs_fsm = TrckSparkEngine(spark).run(
+            store, prog, params=params, uuid_col="uuid",
+            ts_col="timestamp", seq_col="seq",
+        )
+        out_fsm = rs_fsm.collect_json()
+    finally:
+        del os.environ["TRCK_SPARK_NO_FASTPATH"]
+    assert out == out_fsm
+    assert {r["%v"]: r["$n"] for r in out} == {
+        "a": 2, "b": 2, "c": 1, "d": 0
+    }

@@ -511,7 +511,15 @@ class TrckSparkEngine:
                 return None
             pmin, pmax = pm.get("ts_min"), pm.get("ts_max")
             if pmin is None or pmax is None:
-                continue  # empty part
+                # no zone map != empty: a manifest written before the
+                # zone maps existed carries rollups but no ts_min/ts_max
+                # (rollups and ts stats shipped in different revisions at
+                # version 3).  A part with any counted event but no zone
+                # map must be SCANNED, not skipped — skipping silently
+                # drops its events from the bounded answer
+                if any(int(x) for x in pr):
+                    boundary.append(i)
+                continue  # genuinely empty part (all-zero rollup)
             if lo <= pmin and pmax <= hi:
                 covered = [a + int(b) for a, b in zip(covered, pr)]
             elif pmax < lo or pmin > hi:
@@ -594,7 +602,11 @@ class TrckSparkEngine:
                 return None
             pmin, pmax = pm.get("ts_min"), pm.get("ts_max")
             if pmin is None or pmax is None:
-                continue  # empty part
+                # legacy manifest: rollups without a zone map — scan the
+                # part (boundary), never skip it (see _run_ts_scoped_rollup)
+                if any(int(x) for x in pr):
+                    boundary.append(i)
+                continue  # genuinely empty part (all-zero rollup)
             if lo <= pmin and pmax <= hi:
                 covered = [a + int(b) for a, b in zip(covered, pr)]
                 pruned_any = True

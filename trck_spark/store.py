@@ -540,35 +540,50 @@ def compact_trail_store(spark, src_path: str, dest_path: str):
 
 def ensure_rollups(spark, path: str) -> dict:
     """Upgrade a pre-v3 store manifest in place with the per-field
-    rollups (one scan; no data rewrite) and return the manifest.
+    rollups AND the [ts_min, ts_max] zone map (one scan each; no data
+    rewrite) and return the manifest.
 
     On a SEGMENTED store, upgrades the base and every segment (the
     segmented open merges per-segment rollups value-keyed at read
     time); the parent manifest itself carries no rollups — a fresh
     __c_* reference against the code-stripped union would otherwise
-    raise AnalysisException."""
+    raise AnalysisException.  The zone-map backfill matters for
+    correctness, not just speed: rollups and zone maps shipped in
+    different revisions at manifest version 3, so a store can carry
+    rollups (the ts-scoped tier's gates pass) but no ts_min/ts_max —
+    the engine then treats the part as boundary (full scan), and this
+    backfill restores the pruning."""
+    from pyspark.sql import functions as F
+
     m = read_manifest(path)
     for seg in m.get("segments", []):
         ensure_rollups(spark, os.path.join(path, seg))
-    if "rollups" in m:
+    need_rollups = "rollups" not in m
+    need_zone = "ts_min" not in m or "ts_max" not in m
+    if not (need_rollups or need_zone):
         return m
-    if m.get("segments"):
+    segmented = bool(m.get("segments"))
+    if segmented:
         # base data lives in the parent dir's own bucketed table; scan
         # just that table (NOT the segmented union, whose codes differ)
         if not spark.catalog.tableExists(_table_name(path)):
             open_trail_store(spark, path)
         table_df = spark.table(_table_name(path))
+    else:
+        table_df = open_trail_store(spark, path)
+    if need_rollups:
         m["rollups"] = _field_rollups(table_df, m.get("dicts") or {})
-        m["version"] = 3
-        with open(os.path.join(path, MANIFEST), "w") as f:
-            json.dump(m, f)
-        return m
-    table_df = open_trail_store(spark, path)
-    m["rollups"] = _field_rollups(table_df, m.get("dicts") or {})
+    if need_zone:
+        z = table_df.agg(
+            F.min(F.col(m["ts_col"]).cast("long")).alias("tmin"),
+            F.max(F.col(m["ts_col"]).cast("long")).alias("tmax"),
+        ).first()
+        m["ts_min"], m["ts_max"] = z["tmin"], z["tmax"]
     m["version"] = 3
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(m, f)
-    table_df._trailstore_manifest = m
+    if not segmented:
+        table_df._trailstore_manifest = m
     return m
 
 
