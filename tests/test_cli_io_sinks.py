@@ -226,3 +226,65 @@ start ->
     )
     assert res.returncode == 0, res.stderr.decode()[-2000:]
     assert json.loads(out.read_text()) == {"$clicks": 2}
+
+
+def test_cli_compacted_store_plus_plain_input_keeps_db_scopes(
+    spark, tmp_path
+):
+    """ADVICE r08 (medium): a COMPACTED store carries its original
+    segment index in the manifest db_col (__db0), not __segment.  The
+    multi-input loader used to collapse it to one flat __db_index,
+    merging the per-original-DB dedup scopes: a boundary-straddling
+    duplicate (same uuid/ts/fields in two original segments) became
+    consecutive in one scope and was dedup-dropped — CLI results over a
+    compacted store differed from the same data pre-compaction,
+    contradicting compact_trail_store's byte-identical claim."""
+    import subprocess
+
+    from trck_spark.store import append_trail_store, compact_trail_store
+
+    schema = "uuid string, timestamp long, seq long, event_type string"
+    store_path = str(tmp_path / "cstore_src")
+    # identical click in both segments: per-DB scoping keeps both
+    append_trail_store(
+        spark.createDataFrame([("u1", 200, 0, "click")], schema),
+        store_path, seq_col="seq",
+    )
+    append_trail_store(
+        spark.createDataFrame([("u1", 200, 0, "click")], schema),
+        store_path,
+    )
+    comp_path = str(tmp_path / "cstore")
+    compact_trail_store(spark, store_path, comp_path)
+
+    plain_pq = str(tmp_path / "cplain.parquet")
+    spark.createDataFrame(
+        [("u1", 300, 0, "click")], schema
+    ).write.parquet(plain_pq)
+
+    prog = tmp_path / "cprog.tr"
+    prog.write_text(
+        """
+start ->
+    receive
+        event_type = "click" -> yield $clicks, repeat
+        * -> repeat
+"""
+    )
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+
+    def _run_cli(store):
+        out = tmp_path / f"out_{os.path.basename(store)}.json"
+        res = subprocess.run(
+            [
+                sys.executable, "-m", "trck_spark", str(prog), store,
+                plain_pq, "--seq-col", "seq", "--output", str(out),
+            ],
+            cwd="/root/repo", env=env, capture_output=True, timeout=300,
+        )
+        assert res.returncode == 0, res.stderr.decode()[-2000:]
+        return json.loads(out.read_text())
+
+    # pre-compaction (segmented) and post-compaction answers must agree
+    assert _run_cli(comp_path) == {"$clicks": 3}
+    assert _run_cli(store_path) == {"$clicks": 3}
