@@ -263,9 +263,12 @@ def test_worker_query_cache_bounded():
 
 
 def test_store_cache_path_content_stamped(tmp_path):
-    """ADVICE r07: the bench store cache keys on size+mtime_ns content
-    stamps under a user-scoped dir — a same-second rewrite changes the
-    path, and older stamps for the same sf_dir are removed."""
+    """ADVICE r07 + r08: the bench store cache keys on size+mtime_ns
+    content stamps under a user-scoped dir — a same-second rewrite
+    changes the path; superseded stamps are removed only once they are
+    OLD (a concurrent session may still be reading a fresh one), and
+    distinct sf_dirs that collide on the flattened slug stay apart via
+    a full-path hash."""
     import os
 
     from trck_spark.queries import _store_cache_path
@@ -277,9 +280,25 @@ def test_store_cache_path_content_stamped(tmp_path):
     # same content, same stamp
     assert _store_cache_path(str(src), str(tmp_path)) == p1
     os.makedirs(p1, exist_ok=True)
-    # rewrite within the same second: size differs -> new stamp,
-    # and the old store dir for this sf_dir is cleaned up
+    # rewrite within the same second: size differs -> new stamp, but
+    # the FRESH old store survives (another live session may hold it)
     src.write_bytes(b"bbbbbbbb")
     p2 = _store_cache_path(str(src), str(tmp_path))
     assert p2 != p1
+    assert os.path.exists(p1)
+    # ...and is cleaned up once older than the age gate
+    import time as _time
+
+    old = _time.time() - 2 * 86400
+    os.utime(p1, (old, old))
+    _store_cache_path(str(src), str(tmp_path))
     assert not os.path.exists(p1)
+    # slug-colliding sf_dirs ('a/b' vs 'a_b') resolve to different paths
+    pa = _store_cache_path(str(src), str(tmp_path) + "/a/b")
+    pb = _store_cache_path(str(src), str(tmp_path) + "/a_b")
+    assert pa != pb
+    # an old stamp under a DIFFERENT sf_dir is never touched
+    os.makedirs(pa, exist_ok=True)
+    os.utime(pa, (old, old))
+    _store_cache_path(str(src), str(tmp_path) + "/a_b")
+    assert os.path.exists(pa)

@@ -222,10 +222,29 @@ def _store_cache_path(src: str, sf_dir: str) -> str:
         tempfile.gettempdir(), f"trck_spark_cache_{user}"
     )
     os.makedirs(base, mode=0o700, exist_ok=True)
+    # the slug flattens non-alphanumerics, so two distinct sf_dirs can
+    # collide on it — a short hash of the FULL path keeps them apart
+    # (ADVICE r08: a concurrent driver on a colliding slug had its
+    # in-use store rmtree'd mid-query)
+    pathhash = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
     slug = _re.sub(r"[^A-Za-z0-9_]", "_", sf_dir).strip("_")
-    path = os.path.join(base, f"store_{slug}_{stamp}")
-    for old in _glob.glob(os.path.join(base, f"store_{slug}_*")):
-        if old != path:
+    path = os.path.join(base, f"store_{slug}_{pathhash}_{stamp}")
+    # age-gated cleanup of superseded stamps for the SAME source: never
+    # delete anything younger than a day — a concurrent session (the
+    # repo's own bench-contention protocol runs bench and tests in
+    # separate processes) may still be reading its freshly-built store
+    import time as _time
+
+    for old in _glob.glob(
+        os.path.join(base, f"store_{slug}_{pathhash}_*")
+    ):
+        if old == path:
+            continue
+        try:
+            age = _time.time() - os.stat(old).st_mtime
+        except OSError:
+            continue
+        if age > 86400:
             shutil.rmtree(old, ignore_errors=True)
     return path
 
