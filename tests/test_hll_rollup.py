@@ -1,0 +1,270 @@
+"""HLL sketch rollups (VERDICT r08 item 1): the store writes
+per-(field, value) cookie sketches into the manifest
+(store._field_hll_rollups), merges them across segments by register max
+(_merge_segment_manifests), and the engine answers
+``yield cookie to ^h`` uniques queries from them with ZERO Spark work
+(TrckLocalResultSet — no DataFrame, no job, nothing to scan by
+construction).  Every positive test pins the answer to the scan (FSM)
+path byte-for-byte: identical registers mean identical wire hex and
+identical estimates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+
+PROG = """
+foreach %v
+    start ->
+        receive
+            t = %v -> yield cookie to ^uniq, repeat
+            * -> repeat
+"""
+
+
+def _rows(n_users=40, n_events=5, seed=3):
+    random.seed(seed)
+    rows = []
+    for _ in range(n_users):
+        u = "%032x" % random.getrandbits(128)
+        for j in range(n_events):
+            rows.append((u, 100 + j * 10, j, "abc"[random.randrange(3)]))
+    # non-hex uuid: hashes via the utf-8-padded cookie display form
+    rows.append(("plain-user", 100, 0, "a"))
+    return rows
+
+
+SCHEMA = "uuid string, timestamp long, seq long, t string"
+
+
+def _run(spark, store, prog=PROG, env=None, **kw):
+    from trck_spark.engine import TrckSparkEngine
+
+    env = env or {}
+    for k, v in env.items():
+        os.environ[k] = v
+    try:
+        rs = TrckSparkEngine(spark).run(
+            store, prog, uuid_col=kw.pop("uuid_col", "uuid"),
+            ts_col="timestamp", seq_col="seq", **kw,
+        )
+        return rs, rs.collect_json()
+    finally:
+        for k in env:
+            del os.environ[k]
+
+
+def test_hll_rollup_plain_store_matches_scan_exactly(spark, tmp_path):
+    from trck_spark.engine import TrckLocalResultSet
+    from trck_spark.store import write_trail_store
+
+    store = write_trail_store(
+        spark.createDataFrame(_rows(), SCHEMA), str(tmp_path / "s"),
+        seq_col="seq",
+    )
+    m = store._trailstore_manifest
+    assert set(m["hll_rollups"]) == {"t"}
+    assert len(m["hll_rollups"]["t"]) == len(m["dicts"]["t"]) + 1
+
+    rs, out = _run(spark, store)
+    assert isinstance(rs, TrckLocalResultSet)  # holds no plan at all
+    _, out_scan = _run(spark, store, env={"TRCK_SPARK_NO_ROLLUP": "1"})
+    _, out_fsm = _run(
+        spark, store,
+        env={"TRCK_SPARK_NO_ROLLUP": "1", "TRCK_SPARK_NO_FASTPATH": "1"},
+    )
+    # identical wire hex per tuple — registers match exactly
+    assert out == out_scan == out_fsm
+    # and the estimate round-trips sanely vs exact uniques
+    from trck_spark.fsm.hll import hll_from_hex
+
+    for r in out:
+        if r["%v"] == "":
+            continue
+        est = hll_from_hex(r["^uniq"]).estimate()
+        assert est > 0
+
+
+def test_hll_rollup_segmented_store_register_max_merge(spark, tmp_path):
+    """3 segments with boundary-straddling trails: the union manifest's
+    sketches are the register-max merge and match the scan exactly."""
+    from trck_spark.engine import TrckLocalResultSet
+    from trck_spark.store import append_trail_store
+
+    rows = _rows(60, 4, seed=11)
+    path = str(tmp_path / "seg")
+    third = len(rows) // 3
+    store = None
+    for part in (rows[:third], rows[third: 2 * third], rows[2 * third:]):
+        store = append_trail_store(
+            spark.createDataFrame(part, SCHEMA), path, seq_col="seq"
+        )
+    assert store._trailstore_segments == 3
+    rs, out = _run(spark, store)
+    assert isinstance(rs, TrckLocalResultSet)
+    _, out_fsm = _run(
+        spark, store,
+        env={"TRCK_SPARK_NO_ROLLUP": "1", "TRCK_SPARK_NO_FASTPATH": "1"},
+    )
+    assert out == out_fsm
+
+
+def test_hll_rollup_compacted_store(spark, tmp_path):
+    from trck_spark.engine import TrckLocalResultSet
+    from trck_spark.store import append_trail_store, compact_trail_store
+
+    rows = _rows(30, 3, seed=5)
+    src = str(tmp_path / "csrc")
+    append_trail_store(
+        spark.createDataFrame(rows[:50], SCHEMA), src, seq_col="seq"
+    )
+    append_trail_store(spark.createDataFrame(rows[50:], SCHEMA), src)
+    comp = compact_trail_store(spark, src, str(tmp_path / "cdst"))
+    rs, out = _run(spark, comp)
+    assert isinstance(rs, TrckLocalResultSet)
+    _, out_fsm = _run(
+        spark, comp,
+        env={"TRCK_SPARK_NO_ROLLUP": "1", "TRCK_SPARK_NO_FASTPATH": "1"},
+    )
+    assert out == out_fsm
+
+
+def test_hll_rollup_survives_duplicate_timestamps(spark, tmp_path):
+    """The counter rollup gates on ts_unique; the sketch tier must NOT —
+    adds are idempotent, so a consecutive duplicate (dropped by the
+    dedup skip on the scan path) can't change any register."""
+    from trck_spark.engine import TrckLocalResultSet
+    from trck_spark.store import write_trail_store
+
+    rows = _rows(20, 3, seed=7)
+    rows += [rows[0], rows[0]]  # exact duplicates
+    store = write_trail_store(
+        spark.createDataFrame(rows, SCHEMA), str(tmp_path / "dup"),
+        seq_col="seq",
+    )
+    assert store._trailstore_manifest["ts_unique"] is False
+    rs, out = _run(spark, store)
+    assert isinstance(rs, TrckLocalResultSet)
+    _, out_fsm = _run(
+        spark, store,
+        env={"TRCK_SPARK_NO_ROLLUP": "1", "TRCK_SPARK_NO_FASTPATH": "1"},
+    )
+    assert out == out_fsm
+
+
+def test_hll_rollup_multiple_vars_and_gates(spark, tmp_path):
+    from trck_spark.engine import TrckLocalResultSet, TrckResultSet
+    from trck_spark.store import write_trail_store
+
+    store = write_trail_store(
+        spark.createDataFrame(_rows(15, 3), SCHEMA), str(tmp_path / "g"),
+        seq_col="seq",
+    )
+    # two ^vars in one yield list: both served, both match the FSM
+    prog2 = PROG.replace(
+        "yield cookie to ^uniq",
+        "yield cookie to ^uniq, yield cookie to ^u2",
+    )
+    rs, out = _run(spark, store, prog2)
+    assert isinstance(rs, TrckLocalResultSet)
+    _, out_fsm = _run(
+        spark, store, prog2, env={"TRCK_SPARK_NO_FASTPATH": "1"}
+    )
+    assert out == out_fsm
+    for r in out:
+        assert r.get("^uniq") == r.get("^u2")
+
+    # DECLINES (falls to the FSM path) on shapes the sketch can't prove:
+    declining = [
+        # non-cookie source
+        PROG.replace("yield cookie to ^uniq", "yield t to ^uniq"),
+        # a second yielding clause
+        PROG.replace(
+            "* -> repeat", '* -> yield cookie to ^uniq, repeat'
+        ),
+        # mixed counter yield
+        PROG.replace(
+            "yield cookie to ^uniq", "yield cookie to ^uniq, yield $n"
+        ),
+        # extra conjunct filters below the sketch
+        PROG.replace("t = %v", "t = %v, timestamp >= 105"),
+    ]
+    for prog in declining:
+        rs_d, out_d = _run(spark, store, prog)
+        assert not isinstance(rs_d, TrckLocalResultSet), prog
+        _, out_fsm_d = _run(
+            spark, store, prog, env={"TRCK_SPARK_NO_FASTPATH": "1"}
+        )
+        assert out_d == out_fsm_d, prog
+
+    # side inputs rebind/limit cookies: tier must decline
+    from trck_spark.engine import TrckSparkEngine
+
+    rs_w = TrckSparkEngine(spark).run(
+        store, PROG, uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+        window_entries=[("ab" * 16, 0, 10**9, None)],
+    )
+    assert isinstance(rs_w, TrckResultSet)
+    rs_e = TrckSparkEngine(spark).run(
+        store, PROG, uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+        exclude=["ab" * 16],
+    )
+    assert isinstance(rs_e, TrckResultSet)
+
+
+def test_hll_rollup_values_budget_and_kill_switch(spark, tmp_path):
+    from trck_spark.engine import TrckLocalResultSet
+    from trck_spark.store import write_trail_store
+
+    os.environ["TRCK_SPARK_HLL_ROLLUP_VALUES_MAX"] = "2"  # < 3 values + 1
+    try:
+        store = write_trail_store(
+            spark.createDataFrame(_rows(10, 3), SCHEMA),
+            str(tmp_path / "b"), seq_col="seq",
+        )
+    finally:
+        del os.environ["TRCK_SPARK_HLL_ROLLUP_VALUES_MAX"]
+    assert store._trailstore_manifest["hll_rollups"] == {}
+    rs, out = _run(spark, store)
+    assert not isinstance(rs, TrckLocalResultSet)  # declines to scan
+    _, out_fsm = _run(spark, store, env={"TRCK_SPARK_NO_FASTPATH": "1"})
+    assert out == out_fsm
+
+    os.environ["TRCK_SPARK_NO_HLL_ROLLUP"] = "1"
+    try:
+        store2 = write_trail_store(
+            spark.createDataFrame(_rows(10, 3), SCHEMA),
+            str(tmp_path / "k"), seq_col="seq",
+        )
+    finally:
+        del os.environ["TRCK_SPARK_NO_HLL_ROLLUP"]
+    assert store2._trailstore_manifest["hll_rollups"] == {}
+
+
+def test_ensure_rollups_backfills_hll(spark, tmp_path):
+    from trck_spark.engine import TrckLocalResultSet
+    from trck_spark.store import (
+        MANIFEST,
+        ensure_rollups,
+        open_trail_store,
+        write_trail_store,
+    )
+
+    path = str(tmp_path / "old")
+    write_trail_store(
+        spark.createDataFrame(_rows(12, 3), SCHEMA), path, seq_col="seq"
+    )
+    mp = os.path.join(path, MANIFEST)
+    with open(mp) as f:
+        m = json.load(f)
+    golden = m.pop("hll_rollups")
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    ensure_rollups(spark, path)
+    with open(mp) as f:
+        m2 = json.load(f)
+    assert m2["hll_rollups"] == golden
+    rs, _ = _run(spark, open_trail_store(spark, path))
+    assert isinstance(rs, TrckLocalResultSet)

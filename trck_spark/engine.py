@@ -378,6 +378,55 @@ class TrckFrameResultSet:
         )
 
 
+class TrckLocalResultSet:
+    """Results answered entirely from a TrailStore manifest: the monoid
+    partials are computed on the DRIVER — no DataFrame, no Spark job,
+    nothing to scan by construction (the class holds no plan handle at
+    all).  Produced by the HLL uniques rollup tier
+    (planner.rollup_hll_cookie_vars + store._field_hll_rollups): the
+    manifest's per-(field, value) cookie sketches ARE the per-tuple
+    partials, wire-format-identical to what the FSM path aggregates."""
+
+    def __init__(self, engine: "TrckSparkEngine", per_tuple: dict,
+                 program: Program, tuples: list | None,
+                 fn_registry: dict | None = None):
+        self.engine = engine
+        self._per_tuple = per_tuple
+        self.program = program
+        self.tuples = tuples
+        self.fn_registry = fn_registry
+        self._finalized = False
+
+    _run_finalize = TrckResultSet._run_finalize
+
+    def telemetry(self) -> dict:
+        return {}
+
+    def collect_partials(self) -> dict[int, Results]:
+        out: dict[int, Results] = {}
+        for ti, res in self._per_tuple.items():
+            c = Results()
+            c.counters = dict(res.counters)
+            c.sets = {k: dict(v) for k, v in res.sets.items()}
+            c.hlls = {k: dict(v) for k, v in res.hlls.items()}
+            out[ti] = c
+        self._run_finalize()
+        return out
+
+    def collect_json(self) -> dict | list:
+        return format_output(
+            self.program, self.collect_partials(), self.tuples
+        )
+
+    def counters_df(self):
+        """Grid frame (groupby vars only) — the tier serves hll-only
+        programs, so there are no counter columns to densify."""
+        gvars = [v[1:] for v in self.program.groupby_vars]
+        return self.engine.spark.createDataFrame(
+            [tuple(t) for t in (self.tuples or [])], schema=gvars
+        )
+
+
 def _fresh_df(df):
     """New Dataset over the same (already analyzed) logical plan.
 
@@ -457,6 +506,36 @@ class TrckSparkEngine:
                 ).alias(v[1:])
             )
         return self.spark.range(0, len(vals), 1, 1).select(*sel)
+
+    def _hll_rollup_result(
+        self, program: Program, params: dict | None, code_values: list,
+        hex_list: list, hll_vars: list, fn_registry: dict | None,
+    ) -> "TrckLocalResultSet":
+        """Per-tuple HLL partials decoded from the manifest's sketches.
+
+        The tuples come from the manifest LEXICON (complete by
+        construction — store._dict_lexicons collects every distinct
+        value), so not even the implicit-foreach lexicon scan runs."""
+        from trck_spark.fsm.hll import hll_from_hex
+
+        tuples = foreach_tuples(
+            program, params, lexicon_values=list(code_values)
+        )
+        index = {v: i + 1 for i, v in enumerate(code_values)}
+        index[""] = 0
+        per_tuple: dict[int, Results] = {}
+        for ti, tup in enumerate(tuples):
+            regs = hll_from_hex(hex_list[index[tup[0]]]).M
+            d = {i: r for i, r in enumerate(regs) if r}
+            if not d:
+                continue  # empty sketch: no adds, like the FSM path
+            res = Results()
+            for v in hll_vars:
+                res.hlls[v] = dict(d)
+            per_tuple[ti] = res
+        return TrckLocalResultSet(
+            self, per_tuple, program, tuples, fn_registry
+        )
 
     def _run_ts_scoped_rollup(
         self, events_df, program: Program, program_text_or_ir,
@@ -965,6 +1044,40 @@ class TrckSparkEngine:
                 # segmented open may have dropped an over-budget field)
                 if "__c_" + f0 in cols:
                     code_field = f0
+            # --- HLL uniques rollup (VERDICT r08 item 1): a
+            # `yield cookie to ^h` query over a store field answers
+            # straight from the manifest's per-(field, value) cookie
+            # sketches — ZERO scan, no Spark job at all.  Weaker gates
+            # than counters: sketch adds are idempotent (reference
+            # hll_add is a register max), so neither ts-uniqueness nor
+            # dedup proofs are needed; the program shape
+            # (rollup_hll_cookie_vars) guarantees the sketch inputs are
+            # exactly the matching trails' cookies, and the sketches
+            # merge across segments by register max
+            # (store._merge_segment_manifests), so the tier survives
+            # continuous ingestion like the counter tiers do. ---
+            if (
+                f0 in dicts
+                and f0 in cols
+                and manifest.get("uuid_col") == uuid_col
+                and not _os.environ.get("TRCK_SPARK_NO_ROLLUP")
+            ):
+                from trck_spark.planner import rollup_hll_cookie_vars
+
+                hll_vars = rollup_hll_cookie_vars(
+                    program, program.groupby_vars[0], f0
+                )
+                hll_roll = (manifest.get("hll_rollups") or {}).get(f0)
+                if (
+                    hll_vars
+                    and hll_roll is not None
+                    and len(hll_roll) == len(dicts[f0]) + 1
+                ):
+                    # not plan-cached: re-running costs no Spark work
+                    return self._hll_rollup_result(
+                        program, params, dicts[f0], hll_roll, hll_vars,
+                        fn_registry,
+                    )
 
         # --- canonical + program columns in ONE projection (each
         # withColumn is a py4j round-trip + an analysis pass; on

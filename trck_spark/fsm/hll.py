@@ -104,6 +104,101 @@ HLL_P = 14
 HLL_M = 1 << HLL_P  # 16384
 
 
+def cookie_display_hex(uuid: str) -> str:
+    """The display form a `yield cookie` hashes: the 16 effective cookie
+    bytes lowercase-hex — a well-formed 32-hex uuid lowercases through,
+    anything else is utf-8 encoded and zero-padded/truncated to 16 bytes
+    (mirrors engine._cookie_from_uuid + tuples.tuple_to_display for a
+    single BYTES item).  Always exactly 32 hex characters."""
+    if len(uuid) == 32:
+        try:
+            bytes.fromhex(uuid)
+            return uuid.lower()
+        except ValueError:
+            pass
+    return uuid.encode()[:16].ljust(16, b"\0").hex()
+
+
+def _murmur_h1_32_vec(blocks):
+    """Vectorized murmur3_x64_128_h1 for inputs of EXACTLY 32 bytes
+    (two 16-byte blocks, empty tail) — the cookie display form is always
+    32 hex characters, which makes the store's write-time sketch pass a
+    few numpy expressions instead of a per-row Python hash.
+
+    blocks: uint64 ndarray of shape (n, 4), little-endian words.
+    Returns uint64 ndarray of shape (n,): the reference's h1."""
+    import numpy as np
+
+    u64 = np.uint64
+    C1, C2 = u64(_C1), u64(_C2)
+
+    def rotl(x, r):
+        return (x << u64(r)) | (x >> u64(64 - r))
+
+    def fmix(k):
+        k ^= k >> u64(33)
+        k *= u64(0xFF51AFD7ED558CCD)
+        k ^= k >> u64(33)
+        k *= u64(0xC4CEB9FE1A85EC53)
+        k ^= k >> u64(33)
+        return k
+
+    h1 = np.zeros(len(blocks), dtype=np.uint64)
+    h2 = np.zeros(len(blocks), dtype=np.uint64)
+    for i in (0, 2):
+        k1 = blocks[:, i] * C1
+        k1 = rotl(k1, 31) * C2
+        h1 ^= k1
+        h1 = rotl(h1, 27) + h2
+        h1 = h1 * u64(5) + u64(0x52DCE729)
+        k2 = blocks[:, i + 1] * C2
+        k2 = rotl(k2, 33) * C1
+        h2 ^= k2
+        h2 = rotl(h2, 31) + h1
+        h2 = h2 * u64(5) + u64(0x38495AB5)
+    h1 ^= u64(32)
+    h2 ^= u64(32)
+    h1 += h2
+    h2 += h1
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    h1 += h2
+    return h1
+
+
+def hll_register_updates_vec(displays):
+    """(register_index, rank) arrays for a sequence of display-form
+    strings — the vectorized form of :func:`hll_register_update` used by
+    the store's write-time sketch rollup.  Inputs must be 32-character
+    ASCII strings (every cookie display form is); anything else falls
+    back to the scalar path for that row."""
+    import numpy as np
+
+    n = len(displays)
+    enc = np.empty(n, dtype="S32")
+    odd: list[int] = []
+    for i, s in enumerate(displays):
+        b = s.encode()
+        if len(b) != 32:
+            odd.append(i)
+        enc[i] = b
+    blocks = enc.view(np.uint64).reshape(n, 4)
+    h = _murmur_h1_32_vec(blocks)
+    idx = (h & np.uint64(HLL_M - 1)).astype(np.int64)
+    low32 = ((h | np.uint64(HLL_M - 1)) & np.uint64(0xFFFFFFFF)).astype(
+        np.uint32
+    )
+    # rank = clz32(low32) + 1 = 33 - bit_length; low32 >= 0x3fff, so
+    # bit_length in [14, 32] — exact integer comparisons, no float log
+    bl = np.full(n, 14, dtype=np.int64)
+    for k in range(14, 32):
+        bl += (low32 >= np.uint32(1 << k)).astype(np.int64)
+    rank = 33 - bl
+    for i in odd:  # non-32-byte input (not a cookie display): exact path
+        idx[i], rank[i] = hll_register_update(displays[i].encode())
+    return idx, rank
+
+
 def hll_register_update(data: bytes) -> tuple[int, int]:
     """(register_index, rank) for one added value — the relational form of
     hll_add, aggregable with groupBy(register).max(rank)."""
@@ -175,22 +270,29 @@ EMPTY_HLL_HEX = "0e00"
 
 def _rle_encode(regs: bytes | bytearray) -> bytes:
     """Run-length encode: runs emitted as count (1 byte, or 2 bytes with MSB
-    set on the first when count > 127) followed by the value byte."""
+    set on the first when count > 127) followed by the value byte.
+
+    Run boundaries are found vectorized (numpy diff) — the store's
+    write-time sketch rollups encode up to thousands of 16384-register
+    sketches per manifest, where a per-register Python loop is the cost
+    center; the per-run emit loop below is bounded by the run count."""
+    import numpy as np
+
     out = bytearray()
     n = len(regs)
-    i = 0
-    while i < n:
-        j = i
-        while j < n and regs[j] == regs[i]:
-            j += 1
-        count = j - i
+    if n == 0:
+        return bytes(out)
+    a = np.frombuffer(bytes(regs), dtype=np.uint8)
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(a)) + 1))
+    ends = np.concatenate((starts[1:], [n]))
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        count = e - s
         if count > 127:
             out.append(0x80 | (count & 0x7F))
             out.append(count >> 7)
         else:
             out.append(count)
-        out.append(regs[i])
-        i = j
+        out.append(regs[s])
     return bytes(out)
 
 
@@ -203,9 +305,11 @@ def hll_from_hex(hex_str: str) -> Hll:
     if version == 0:
         return sketch
     data = bytes.fromhex(hex_str[4:])
-    idx = 0
     reg = 0
     i = 0
+    # loop is over RUNS; the run itself fills by slice (a per-register
+    # inner loop costs 16384 steps per dense sketch, which the store's
+    # manifest merge pays once per value per segment)
     while i < len(data):
         count = data[i]
         i += 1
@@ -214,8 +318,7 @@ def hll_from_hex(hex_str: str) -> Hll:
             i += 1
         val = data[i]
         i += 1
-        for _ in range(count):
-            sketch.M[reg] = val
-            reg += 1
-    del idx
+        if val:
+            sketch.M[reg : reg + count] = bytes([val]) * count
+        reg += count
     return sketch

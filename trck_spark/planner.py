@@ -428,6 +428,62 @@ def rollup_weights_ts(
     return w, list(attrs.get("timestamp", []))
 
 
+def rollup_hll_cookie_vars(
+    program: Program, var: str, field: str
+) -> list[str] | None:
+    """Sorted ``^hll`` vars when an implicit-foreach uniques query can be
+    answered from the TrailStore's write-time cookie sketches
+    (store.py _field_hll_rollups), else None.
+
+    The sketch rollup is, per field value, the HLL over {cookie : trail
+    has >= 1 event with that value}.  The program must add exactly the
+    cookies of matching trails: single rule, repeat-only actions with a
+    catch-all (the relational shape — no state, no time machinery),
+    clause 0 the ONLY yielding clause with predicate exactly
+    ``field = %var`` and every yield ``yield cookie to ^x``.  Unlike the
+    counter rollup (rollup_weights) NO ts-uniqueness gate is needed:
+    sketch adds are idempotent, so the consecutive-duplicate skip and
+    repeated matches within a trail are no-ops by construction
+    (reference hyperloglog.c:256-296 — hll_add is a register max)."""
+    if len(program.rules) != 1:
+        return None
+    r = program.rules[0]
+    if r.get("window") is not None or "after" in r or r.get("outer"):
+        return None
+    clauses = r.get("clauses", [])
+    if not clauses:
+        return None
+    if any(c["_action"][0] != A_REPEAT for c in clauses):
+        return None
+    if not any(not c.get("attrs") for c in clauses):
+        return None  # no catch-all: non-exhaustive-match errors possible
+    c0 = clauses[0]
+    if c0.get("op") == "not" or (c0.get("attrs") or {}) != {field: [var]}:
+        return None
+    ys = c0.get("yield") or []
+    if not ys:
+        return None
+    for y in ys:
+        if y["dst"][0] != "^":
+            return None
+        src = y.get("src") or []
+        if (
+            len(src) != 1
+            or src[0].get("_k") != "field"
+            or src[0].get("name") != "cookie"
+        ):
+            return None
+    if any(c.get("yield") for c in clauses[1:]):
+        return None
+    if (
+        program.yield_counters
+        or program.yield_sets
+        or program.yield_multisets
+    ):
+        return None
+    return sorted({y["dst"] for y in ys})
+
+
 def _equi_join_fields(program: Program) -> dict | None:
     """{groupby var -> field} when the grid can equi-join instead of
     cross-join, else None.

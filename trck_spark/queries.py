@@ -277,6 +277,12 @@ def _segmented_events_store(spark, sf_dir):
     if hit is not None:
         return hit
     if is_trail_store(path):
+        from trck_spark.store import ensure_rollups, read_manifest
+
+        # upgrade a cache dir written by an older layout in place (adds
+        # missing rollups / zone maps / hll sketches; no data rewrite)
+        if "hll_rollups" not in read_manifest(path):
+            ensure_rollups(spark, path)
         store = open_trail_store(spark, path)
         _SEG_STORES[memo_key] = store
         return store
@@ -300,20 +306,35 @@ def _segmented_events_store(spark, sf_dir):
 
 def q_trck_count_by_type_store(spark, sf_dir):
     """PROG_COUNT_BY_TYPE through a SEGMENTED TrailStore (VERDICT r07
-    item 1's gate shape): same program, same oracle, but the input is
-    three time-sliced segment appends — so what the oracle hash-checks
-    is the MERGED union-lexicon rollup (store._merge_segment_manifests;
-    engine._rollup_frame): the zero-scan tier a continuously-ingested
-    store keeps.  The plain single-store rollup stays oracle-matched
-    through the 160M gate's row comparison (BENCH_GATE b1 match) and
-    tests/test_rollup.py."""
+    item 1's gate shape) — ONE tagged row covering BOTH store counter
+    tiers (registry 50-row budget, round-9 merge):
+
+    - scope='full': the plain counter, answered from the MERGED
+      union-lexicon rollup (store._merge_segment_manifests;
+      engine._rollup_frame) with zero scan;
+    - scope='ts': the timestamp-bounded counter (PROG_COUNT_BY_TYPE_TS),
+      answered by the time-scoped tier (engine._run_ts_scoped_rollup) —
+      covered middle segment from its rollup, boundary segments scanned.
+
+    Same union shape on the oracle side, so one hash checks both tiers.
+    Constituent plans stay individually benchmarked (bench.py rows
+    trck_count_by_type_store_ts + the gate's b1_store_segmented bar) and
+    plan-shape-asserted in tests/test_rollup.py."""
+    from pyspark.sql import functions as F
+
     engine = _ENGINES.get(id(spark))
     if engine is None:
         engine = _ENGINES[id(spark)] = TrckSparkEngine(spark)
-    return engine.run(
-        _segmented_events_store(spark, sf_dir), PROG_COUNT_BY_TYPE,
+    store = _segmented_events_store(spark, sf_dir)
+    full = engine.run(
+        store, PROG_COUNT_BY_TYPE,
         uuid_col="uuid", ts_col="timestamp", seq_col="event_id",
-    ).counters_df()
+    ).counters_df().select(F.lit("full").alias("scope"), "t", "n")
+    ts = engine.run(
+        store, PROG_COUNT_BY_TYPE_TS,
+        uuid_col="uuid", ts_col="timestamp", seq_col="event_id",
+    ).counters_df().select(F.lit("ts").alias("scope"), "t", "n")
+    return full.unionByName(ts)
 
 
 # timestamp-bounded count-by-type (VERDICT r07 item 5): the bound fully
@@ -383,11 +404,17 @@ def q_trck_uniques_hll(spark, sf_dir):
     hash-MISMATCHES instead of silently passing.  The wire format stays
     golden-hex-verified against reference fixtures in
     tests/test_primitives.py / test_golden_fixtures.py."""
+    rs = _run_trck(spark, sf_dir, PROG_UNIQUES_HLL)
+    return _hll_checked_rows(spark, sf_dir, rs)
+
+
+def _hll_checked_rows(spark, sf_dir, rs):
+    """(t, uniq_exact, est_in_2pct) rows from a ^uniq result set — the
+    checked-row shape shared by the flat and store-backed hll queries."""
     from pyspark.sql import functions as F
 
     from trck_spark.fsm.hll import hll_from_hex
 
-    rs = _run_trck(spark, sf_dir, PROG_UNIQUES_HLL)
     rows = rs.collect_json()
     exact = {
         r["t"]: int(r["n"])
@@ -407,6 +434,30 @@ def q_trck_uniques_hll(spark, sf_dir):
     return spark.createDataFrame(
         sorted(out), "t string, uniq_exact long, est_in_2pct long"
     ).orderBy("t")
+
+
+def q_trck_uniques_hll_store(spark, sf_dir):
+    """PROG_UNIQUES_HLL through the SEGMENTED TrailStore (VERDICT r08
+    item 1): the engine answers the uniques query from the manifest's
+    per-(field, value) cookie sketches — register-max-merged across the
+    three segments at open (store._merge_segment_manifests) — with ZERO
+    Spark work for the sketch itself (engine.TrckLocalResultSet holds no
+    plan; the only scans below are this row's own exact-count check,
+    which is the oracle's side of the comparison).  The sketches are
+    wire-format-identical to the scan path's, so the same ±2% envelope
+    oracle as trck_uniques_hll checks them; tests/test_hll_rollup.py
+    pins register-exact parity and the zero-scan tier type."""
+    from trck_spark.engine import TrckLocalResultSet
+
+    engine = _ENGINES.get(id(spark))
+    if engine is None:
+        engine = _ENGINES[id(spark)] = TrckSparkEngine(spark)
+    rs = engine.run(
+        _segmented_events_store(spark, sf_dir), PROG_UNIQUES_HLL,
+        uuid_col="uuid", ts_col="timestamp", seq_col="event_id",
+    )
+    assert isinstance(rs, TrckLocalResultSet), type(rs).__name__
+    return _hll_checked_rows(spark, sf_dir, rs)
 
 
 def q_trck_window_file(spark, sf_dir):
@@ -689,20 +740,17 @@ FROM grid g LEFT JOIN c ON c.tt = g.t
         "SELECT event_type AS t, count(*)::BIGINT AS n "
         "FROM events GROUP BY event_type"
     ),
-    # same oracle, TrailStore input: hash-checks the zero-scan manifest
-    # rollup tier (or the dict-code scan when ts-uniqueness fails)
+    # TrailStore input, ONE tagged row for both store counter tiers
+    # (round-9 registry merge): scope='full' hash-checks the zero-scan
+    # merged-rollup answer, scope='ts' the time-scoped decomposition
+    # (covered middle segment from rollup, boundary segments scanned);
+    # the oracle computes both scopes over the flat parquet
     "trck_count_by_type_store": (
-        "SELECT '' AS t, 0::BIGINT AS n UNION ALL "
-        "SELECT event_type AS t, count(*)::BIGINT AS n "
-        "FROM events GROUP BY event_type"
-    ),
-    # timestamp-bounded counter through a SEGMENTED store: the engine
-    # answers the fully-covered middle segment from its rollup and scans
-    # only the boundary segments; the oracle counts in-bound events per
-    # type over the flat parquet (lexicon stays the FULL data's types)
-    "trck_count_by_type_store_ts": (
-        "SELECT '' AS t, 0::BIGINT AS n UNION ALL "
-        "SELECT event_type AS t, "
+        "SELECT 'full' AS scope, '' AS t, 0::BIGINT AS n UNION ALL "
+        "SELECT 'full' AS scope, event_type AS t, count(*)::BIGINT AS n "
+        "FROM events GROUP BY event_type UNION ALL "
+        "SELECT 'ts' AS scope, '' AS t, 0::BIGINT AS n UNION ALL "
+        "SELECT 'ts' AS scope, event_type AS t, "
         "count(*) FILTER (epoch_ns(ts) // 1000000000 >= 1704500000 "
         "AND epoch_ns(ts) // 1000000000 < 1706200000)::BIGINT AS n "
         "FROM events GROUP BY event_type"
@@ -817,6 +865,18 @@ FROM grid g LEFT JOIN c USING (ty)
     # the estimate-envelope flag is asserted BY the oracle: a sketch
     # whose estimate leaves ±2% of the exact count hash-mismatches
     "trck_uniques_hll": """
+SELECT '' AS t, 0::BIGINT AS uniq_exact, 1::BIGINT AS est_in_2pct
+UNION ALL
+SELECT event_type AS t, count(DISTINCT user_id)::BIGINT AS uniq_exact,
+       1::BIGINT AS est_in_2pct
+FROM events GROUP BY event_type
+ORDER BY t
+""",
+    # same oracle through the SEGMENTED TrailStore: the sketch answer
+    # comes entirely from the manifest (register-max merge across
+    # segments, zero scan — engine.TrckLocalResultSet), and a drifting
+    # sketch leaves the ±2% envelope and hash-mismatches
+    "trck_uniques_hll_store": """
 SELECT '' AS t, 0::BIGINT AS uniq_exact, 1::BIGINT AS est_in_2pct
 UNION ALL
 SELECT event_type AS t, count(DISTINCT user_id)::BIGINT AS uniq_exact,
@@ -1063,7 +1123,6 @@ def spark_queries() -> dict:
         "trck_count_clicks": q_trck_count_clicks,
         "trck_count_by_type": q_trck_count_by_type,
         "trck_count_by_type_store": q_trck_count_by_type_store,
-        "trck_count_by_type_store_ts": q_trck_count_by_type_store_ts,
         "trck_clicks_by_user": q_trck_clicks_by_user,
         "trck_timestamp_params": q_trck_timestamp_params,
         "trck_first_click": q_trck_first_click,
@@ -1079,6 +1138,7 @@ def spark_queries() -> dict:
         "trck_attribution_by_type": q_trck_attribution_by_type,
         "trck_purchases_by_user": q_trck_purchases_by_user,
         "trck_uniques_hll": q_trck_uniques_hll,
+        "trck_uniques_hll_store": q_trck_uniques_hll_store,
         "trck_window_file": q_trck_window_file,
         "trck_exclude": q_trck_exclude,
         "trck_cnf_filter": q_trck_cnf_filter,

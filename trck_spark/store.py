@@ -218,6 +218,9 @@ def write_trail_store(df, path: str, uuid_col: str = "uuid",
         "db_max": int(stats["dmax"]) if db_col and stats["dmax"] is not None else None,
         "dicts": dicts,
         "rollups": _field_rollups(spark.table(table), dicts),
+        "hll_rollups": _field_hll_rollups(
+            spark.table(table), dicts, uuid_col
+        ),
         "schema_ddl": _schema_ddl(df),
     }
     with open(os.path.join(path, MANIFEST), "w") as f:
@@ -283,6 +286,138 @@ def _field_rollups(table_df, dicts: dict) -> dict:
         file=sys.stderr,
     )
     return rollups
+
+
+# total sketch slots (sum over fields of lexicon size + 1) the write-time
+# HLL rollup will compute: each slot is a p=14 sketch (up to 16384
+# registers RLE'd into the manifest), so the cap bounds both manifest
+# size and the bounded post-aggregation collect.  Fields are admitted in
+# sorted-name order until the budget is spent; over-budget fields simply
+# lack sketches (the uniques tier declines to the scan path).
+HLL_ROLLUP_VALUES_MAX = 4096
+# hard ceiling on collected (field, code, register) rows — a pathological
+# store (every value near-saturating its sketch) stops here instead of
+# materializing an unbounded collect on the driver
+HLL_ROLLUP_ROWS_MAX = 4_000_000
+
+
+def _field_hll_rollups(table_df, dicts: dict, uuid_col: str) -> dict:
+    """Per-(field, dictionary code) HLL sketches of the trail cookies,
+    computed at WRITE time — the sketch analog of :func:`_field_rollups`
+    (VERDICT r08 item 1; reference sketch semantics
+    src/hyperloglog.c:256-296).
+
+    A ``yield cookie to ^h`` uniques query needs, per field value, the
+    sketch over {cookie : trail has >= 1 event with that value}.  Sketch
+    adds are idempotent, so unlike counters NO ts-uniqueness proof is
+    needed (the consecutive-duplicate skip can only drop repeated adds
+    of the same cookie) and the per-value sketch is exactly the
+    register-max over the DISTINCT (value, uuid) pairs — one distinct
+    shuffle, a vectorized murmur3 over the pair stream, and a bounded
+    (fields x codes x 16384) aggregation.  Monoid (register max), so
+    segment manifests merge without rescanning history
+    (:func:`_merge_segment_manifests`).
+
+    Shape: {field: [hex_sketch_code0, hex_sketch_code1, ...]} in the
+    reference wire format (fsm/hll.py), indexed like the count rollups.
+    """
+    import sys
+    import time
+
+    from pyspark.sql import functions as F
+
+    from trck_spark.fsm.hll import Hll
+
+    if not dicts or os.environ.get("TRCK_SPARK_NO_HLL_ROLLUP"):
+        return {}
+    budget = int(
+        os.environ.get(
+            "TRCK_SPARK_HLL_ROLLUP_VALUES_MAX", str(HLL_ROLLUP_VALUES_MAX)
+        )
+    )
+    fields: list[str] = []
+    used = 0
+    for f in sorted(dicts):
+        slots = len(dicts[f]) + 1
+        if used + slots > budget:
+            continue
+        fields.append(f)
+        used += slots
+    if not fields:
+        return {}
+    t0 = time.time()
+    pairs = (
+        table_df.select(
+            F.col(uuid_col).cast("string").alias("u"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f).alias("f"),
+                            F.coalesce(
+                                F.col("__c_" + f), F.lit(0)
+                            ).alias("c"),
+                        )
+                        for f in fields
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("u", "p.f", "p.c")
+        .distinct()
+    )
+
+    def _updates(batches):
+        import pandas as pd
+
+        from trck_spark.fsm.hll import (
+            cookie_display_hex,
+            hll_register_updates_vec,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            disp = [cookie_display_hex(u) for u in pdf["u"]]
+            reg, rank = hll_register_updates_vec(disp)
+            yield pd.DataFrame(
+                {
+                    "f": pdf["f"].values,
+                    "c": pdf["c"].values,
+                    "reg": reg,
+                    "rank": rank,
+                }
+            )
+
+    agg = (
+        pairs.mapInPandas(_updates, "f string, c int, reg int, rank int")
+        .groupBy("f", "c", "reg")
+        .agg(F.max("rank").alias("rank"))
+    ).persist()
+    try:
+        n_rows = agg.count()
+        if n_rows > HLL_ROLLUP_ROWS_MAX:
+            print(
+                f"# store hll rollups: skipped ({n_rows} register rows "
+                f"> {HLL_ROLLUP_ROWS_MAX} cap)",
+                file=sys.stderr,
+            )
+            return {}
+        rows = agg.collect()
+    finally:
+        agg.unpersist()
+    sketches = {
+        f: [Hll() for _ in range(len(dicts[f]) + 1)] for f in fields
+    }
+    for r in rows:
+        sketches[r["f"]][r["c"]].set_register(int(r["reg"]), int(r["rank"]))
+    out = {f: [s.to_hex() for s in sk] for f, sk in sketches.items()}
+    print(
+        f"# store hll rollups: {len(fields)} fields, {used} sketches "
+        f"in {time.time() - t0:.1f}s",
+        file=sys.stderr,
+    )
+    return out
 
 
 def append_trail_store(df, path: str, **kw):
@@ -385,6 +520,33 @@ def _merge_segment_manifests(all_ms: list[dict], m: dict) -> dict:
             rollups[f] = [zero] + [counts[v] for v in union]
             for p, pr in zip(parts, part_rollups):
                 p["rollups"][f] = pr
+    # HLL sketch rollups merge by the same value-keyed scheme with the
+    # sketch monoid (per-register max — the reference's merge, analog of
+    # src/utils.c:16-56): merged_sketch[union_code(v)] = register-max
+    # over parts of sketch_part[code_part(v)].  Idempotent adds mean a
+    # boundary-straddling duplicate cookie simply maxes to itself.
+    hll_rollups: dict = {}
+    for f in dicts:
+        union = dicts[f]
+        part_hlls = []
+        ok = True
+        for x in all_ms:
+            hr = (x.get("hll_rollups") or {}).get(f)
+            if hr is None or len(hr) != len(x["dicts"][f]) + 1:
+                ok = False
+                break
+            part_hlls.append(hr)
+        if not ok:
+            continue
+        uindex = {v: i + 1 for i, v in enumerate(union)}
+        merged_regs = _merge_hll_hexes(
+            len(union) + 1,
+            [
+                (part_hlls[pi], x["dicts"][f], uindex)
+                for pi, x in enumerate(all_ms)
+            ],
+        )
+        hll_rollups[f] = merged_regs
     return {
         "version": 3,
         "uuid_col": m["uuid_col"],
@@ -394,6 +556,7 @@ def _merge_segment_manifests(all_ms: list[dict], m: dict) -> dict:
         "ts_unique": ts_unique,
         "dicts": dicts,
         "rollups": rollups,
+        "hll_rollups": hll_rollups,
         "parts": parts,
         "segments": list(m.get("segments", [])),
         # a compacted base's own DB index: the composite __segment folds
@@ -404,6 +567,38 @@ def _merge_segment_manifests(all_ms: list[dict], m: dict) -> dict:
         "db_max": m.get("db_max"),
         "clustered": False,
     }
+
+
+def _merge_hll_hexes(n_union: int, part_entries: list) -> list[str]:
+    """Register-max merge of per-part sketch lists into union-coded hex.
+
+    part_entries: [(hex_list, part_lexicon, union_index)] — hex_list[0]
+    is the part's code-0 ("") sketch, hex_list[i+1] the sketch for
+    part_lexicon[i].  numpy elementwise max keeps a many-segment open
+    cheap (pure-Python register loops would cost parts x values x 16384).
+    """
+    import numpy as np
+
+    from trck_spark.fsm.hll import HLL_M, Hll, hll_from_hex
+
+    acc = [None] * n_union
+    for hex_list, lex, uindex in part_entries:
+        for i, hx in enumerate(hex_list):
+            code = 0 if i == 0 else uindex[lex[i - 1]]
+            regs = np.frombuffer(
+                bytes(hll_from_hex(hx).M), dtype=np.uint8
+            )
+            if acc[code] is None:
+                acc[code] = regs.copy()
+            else:
+                np.maximum(acc[code], regs, out=acc[code])
+    out = []
+    for a in acc:
+        s = Hll()
+        if a is not None:
+            s.M = bytearray(a.tobytes())
+        out.append(s.to_hex())
+    return out
 
 
 def _open_segmented(spark, path: str, m: dict):
@@ -560,7 +755,8 @@ def ensure_rollups(spark, path: str) -> dict:
         ensure_rollups(spark, os.path.join(path, seg))
     need_rollups = "rollups" not in m
     need_zone = "ts_min" not in m or "ts_max" not in m
-    if not (need_rollups or need_zone):
+    need_hll = "hll_rollups" not in m
+    if not (need_rollups or need_zone or need_hll):
         return m
     segmented = bool(m.get("segments"))
     if segmented:
@@ -573,6 +769,10 @@ def ensure_rollups(spark, path: str) -> dict:
         table_df = open_trail_store(spark, path)
     if need_rollups:
         m["rollups"] = _field_rollups(table_df, m.get("dicts") or {})
+    if need_hll:
+        m["hll_rollups"] = _field_hll_rollups(
+            table_df, m.get("dicts") or {}, m["uuid_col"]
+        )
     if need_zone:
         z = table_df.agg(
             F.min(F.col(m["ts_col"]).cast("long")).alias("tmin"),
