@@ -858,3 +858,109 @@ def test_ts_scoped_explicit_grid_legacy_part_without_zone_map(
     assert {r["%v"]: r["$n"] for r in out} == {
         "a": 2, "b": 2, "c": 1, "d": 0
     }
+
+
+PROG_TS_SET = """
+start ->
+    receive
+        t in #s0, timestamp >= 150, timestamp < 350 -> yield $n, repeat
+        * -> repeat
+"""
+
+
+def test_ts_scoped_rollup_set_membership(spark, tmp_path):
+    """VERDICT r08 item 4: a ts-bounded `field in #set` counter through
+    a segmented store decomposes like the literal shape — the covered
+    middle segment contributes the SUM of the member values' rollup
+    entries, boundary segments scan, and the answer matches the FSM."""
+    from trck_spark.engine import TrckSparkEngine
+
+    path, store = _ts_seg_store(spark, tmp_path, "tsegs_set")
+    params = {"#s0": ["a", "c", "zz"]}
+    rs = TrckSparkEngine(spark).run(
+        store, PROG_TS_SET, params=params, uuid_col="uuid",
+        ts_col="timestamp", seq_col="seq",
+    )
+    out = rs.collect_json()
+    scanned = rs.counters_df().inputFiles()
+    assert scanned, "boundary segments must scan"
+    assert not any("segment_0000" in f for f in scanned), scanned
+    # in [150, 350): a -> u2@260(B) + u1@200(B) = 2; c -> u2@250(B) = 1
+    assert out == {"$n": 3}
+    os.environ["TRCK_SPARK_NO_FASTPATH"] = "1"
+    try:
+        out_fsm = TrckSparkEngine(spark).run(
+            store, PROG_TS_SET, params=params, uuid_col="uuid",
+            ts_col="timestamp", seq_col="seq",
+        ).collect_json()
+    finally:
+        del os.environ["TRCK_SPARK_NO_FASTPATH"]
+    assert out == out_fsm
+
+    # unbounded set counter: pure rollup, zero scan
+    prog_nots = PROG_TS_SET.replace(
+        ", timestamp >= 150, timestamp < 350", ""
+    )
+    rs2 = TrckSparkEngine(spark).run(
+        store, prog_nots, params=params, uuid_col="uuid",
+        ts_col="timestamp", seq_col="seq",
+    )
+    assert rs2.counters_df().inputFiles() == []
+    # all slices: a -> 4, c -> 1
+    assert rs2.collect_json() == {"$n": 5}
+
+    # bound covering everything: zero scan, same totals
+    prog_all = PROG_TS_SET.replace("150", "0").replace("350", "99999")
+    rs3 = TrckSparkEngine(spark).run(
+        store, prog_all, params=params, uuid_col="uuid",
+        ts_col="timestamp", seq_col="seq",
+    )
+    assert rs3.counters_df().inputFiles() == []
+    assert rs3.collect_json() == {"$n": 5}
+
+
+def test_ts_scoped_rollup_multi_conjunct_literal(spark, tmp_path):
+    """Conjunction of equality + membership on ONE field: the matching
+    value set is the intersection, summed from the rollup."""
+    from trck_spark.engine import TrckSparkEngine
+
+    path, store = _ts_seg_store(spark, tmp_path, "tsegs_mc")
+    prog = PROG_TS_SET.replace("t in #s0", 't = "a", t in #s0')
+    params = {"#s0": ["a", "c"]}
+    rs = TrckSparkEngine(spark).run(
+        store, prog, params=params, uuid_col="uuid",
+        ts_col="timestamp", seq_col="seq",
+    )
+    out = rs.collect_json()
+    assert out == {"$n": 2}  # only 'a' survives the intersection
+    os.environ["TRCK_SPARK_NO_FASTPATH"] = "1"
+    try:
+        out_fsm = TrckSparkEngine(spark).run(
+            store, prog, params=params, uuid_col="uuid",
+            ts_col="timestamp", seq_col="seq",
+        ).collect_json()
+    finally:
+        del os.environ["TRCK_SPARK_NO_FASTPATH"]
+    assert out == out_fsm
+    # disjoint conjunction: zero matches, zero scan (nothing to count)
+    prog0 = PROG_TS_SET.replace("t in #s0", 't = "zz", t in #s0')
+    rs0 = TrckSparkEngine(spark).run(
+        store, prog0, params=params, uuid_col="uuid",
+        ts_col="timestamp", seq_col="seq",
+    )
+    assert rs0.collect_json() == {"$n": 0}
+
+
+def test_ts_scoped_rollup_set_param_missing_declines(spark, tmp_path):
+    """An unresolvable set param or a relational condition on the field
+    must decline the tier (scan instead), never miscount."""
+    from trck_spark.planner import rollup_weights_ts_valueset
+    from trck_spark.runner import TrckQuery
+
+    q = TrckQuery(PROG_TS_SET, params={"#s0": ["a"]})
+    assert rollup_weights_ts_valueset(q.program, {"#s0": ["a"]}) is not None
+    assert rollup_weights_ts_valueset(q.program, {}) is None
+    q2 = TrckQuery(
+        PROG_TS_SET.replace("t in #s0", "t > 5"), params={}
+    )
+    assert rollup_weights_ts_valueset(q2.program, {}) is None

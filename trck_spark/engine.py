@@ -641,7 +641,7 @@ class TrckSparkEngine:
     def _ts_scoped_partials(
         self, df, program: Program, tuples: list | None, manifest: dict,
         field: str, weights: dict, ts_conds: list, params: dict | None,
-        extra_dedup, pred_codes, lit: str | None = None,
+        extra_dedup, pred_codes, values=None,
         db_col: str | None = None,
     ):
         """TIME-SCOPED rollup for the EXPLICIT-grid (`*_by_type`) and
@@ -700,10 +700,17 @@ class TrckSparkEngine:
             if rp is None:
                 return None  # non-string grid binding
         else:
+            # literal / set-membership shape: the covered count is the
+            # SUM over the matching value set's rollup entries (a value
+            # absent from the lexicon has zero occurrences by lexicon
+            # construction)
             index = {v: i + 1 for i, v in enumerate(union)}
             index[""] = 0
-            code = index.get(lit)
-            n = int(covered[code]) if code is not None else 0
+            n = sum(
+                int(covered[index[v]])
+                for v in (values or ())
+                if v in index
+            )
             rows = [
                 (0, var, None, None, n * w, n * w)
                 for var, w in weights.items()
@@ -1369,63 +1376,55 @@ class TrckSparkEngine:
                             pred_codes, db_col=db_col,
                         )
             elif rollup_ok and tuples is None and not program.groupby:
-                # LITERAL-predicate counter (`field = "lit" -> yield $c`
-                # — the count-matching-events shape): same gates, the
-                # literal looked up in the lexicon directly; timestamp
-                # relop conjuncts take the time-scoped decomposition
-                from trck_spark.planner import rollup_weights_ts
+                # LITERAL / SET-MEMBERSHIP counter (`field = "lit"`,
+                # `field in #set`, or any conjunction of both on ONE
+                # field — the count-matching-events shapes): same
+                # gates; the matching VALUE SET is resolved driver-side
+                # (planner.rollup_weights_ts_valueset) and the answer
+                # is the sum of its rollup entries.  Timestamp relop
+                # conjuncts take the time-scoped decomposition.
+                from trck_spark.planner import rollup_weights_ts_valueset
 
-                c0s = program.rules[0].get("clauses", [])
-                attrs = (c0s[0].get("attrs") if c0s else None) or {}
-                non_ts = {k: v for k, v in attrs.items() if k != "timestamp"}
-                if len(non_ts) == 1:
-                    ((lfield, conds),) = non_ts.items()
-                    lit = conds[0] if len(conds) == 1 else None
+                vs = rollup_weights_ts_valueset(program, params)
+                if vs is not None:
+                    lfield, lweights, lconds, lvalues = vs
+                    lrollup = (manifest.get("rollups") or {}).get(
+                        lfield
+                    )
                     if (
-                        isinstance(lit, str)
-                        and lit[:1] not in ("%", "#", "@")
-                        and lfield in dicts
+                        lfield in dicts
+                        and lrollup is not None
+                        and len(lrollup) == len(dicts[lfield]) + 1
                     ):
-                        lrollup = (manifest.get("rollups") or {}).get(
-                            lfield
-                        )
-                        l_ts = rollup_weights_ts(program, lit, lfield)
-                        if (
-                            lrollup is not None
-                            and l_ts is not None
-                            and len(lrollup) == len(dicts[lfield]) + 1
-                        ):
-                            lweights, lconds = l_ts
-                            if lconds:
-                                agg_df = self._ts_scoped_partials(
-                                    df, program, None, manifest, lfield,
-                                    lweights, lconds, params,
-                                    extra_dedup, pred_codes, lit=lit,
-                                    db_col=db_col,
-                                )
-                            else:
-                                lindex = {
-                                    v: i + 1
-                                    for i, v in enumerate(dicts[lfield])
-                                }
-                                lindex[""] = 0
-                                code = lindex.get(lit)
-                                n = (
-                                    int(lrollup[code])
-                                    if code is not None
-                                    else 0
-                                )
-                                rows = [
-                                    (0, var, None, None, n * w, n * w)
-                                    for var, w in lweights.items()
-                                    if n * w
-                                ]
-                                agg_df = self.spark.createDataFrame(
-                                    rows,
-                                    "tuple_id long, var string, "
-                                    "key binary, reg long, sum_n long, "
-                                    "max_n long",
-                                )
+                        if lconds:
+                            agg_df = self._ts_scoped_partials(
+                                df, program, None, manifest, lfield,
+                                lweights, lconds, params,
+                                extra_dedup, pred_codes,
+                                values=lvalues, db_col=db_col,
+                            )
+                        else:
+                            lindex = {
+                                v: i + 1
+                                for i, v in enumerate(dicts[lfield])
+                            }
+                            lindex[""] = 0
+                            n = sum(
+                                int(lrollup[lindex[v]])
+                                for v in lvalues
+                                if v in lindex
+                            )
+                            rows = [
+                                (0, var, None, None, n * w, n * w)
+                                for var, w in lweights.items()
+                                if n * w
+                            ]
+                            agg_df = self.spark.createDataFrame(
+                                rows,
+                                "tuple_id long, var string, "
+                                "key binary, reg long, sum_n long, "
+                                "max_n long",
+                            )
             if agg_df is None:
                 agg_df = compile_relational(
                     self, df, program, tuples, params, extra_dedup,

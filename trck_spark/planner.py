@@ -443,6 +443,64 @@ def rollup_weights_ts(
     return w, list(attrs.get("timestamp", []))
 
 
+def rollup_weights_ts_valueset(
+    program: Program, params: dict | None
+) -> tuple[str, dict, list, frozenset] | None:
+    """(field, weights, timestamp_conditions, matching_values) for the
+    GENERALIZED literal-counter rollup shape (VERDICT r08 item 4):
+    clause 0 carries any conjunction of equality / set-membership
+    conditions on ONE field (reference grammar makes ``in #set`` a
+    first-class predicate — trparser.py:360-362 analog) plus optional
+    timestamp relops.  A conjunction of value conditions on one field
+    matches exactly the INTERSECTION of their value sets, so the rollup
+    answer is the sum of the member values' entries — same gates as
+    :func:`rollup_weights_ts`, no new machinery.  Returns None when any
+    condition is not driver-resolvable to a value set (relops on the
+    field, array params, missing set params) or the clause shape is
+    unsafe."""
+    clauses = program.rules[0].get("clauses", [])
+    if not clauses:
+        return None
+    c0 = clauses[0]
+    if c0.get("op") == "not":
+        return None
+    attrs = c0.get("attrs") or {}
+    non_ts = {k: v for k, v in attrs.items() if k != "timestamp"}
+    if len(non_ts) != 1:
+        return None
+    ((field, conds),) = non_ts.items()
+    value_sets: list[set] = []
+    for cond in conds:
+        if cond[:1] in ("<", ">", "="):
+            return None  # relational condition: not a value set
+        if cond[:1] == "%":
+            v = (params or {}).get(cond)
+            if not isinstance(v, str):
+                return None
+            value_sets.append({v})
+        elif cond[:1] == "#":
+            v = (params or {}).get(cond)
+            if v is None or isinstance(v, str):
+                return None
+            value_sets.append({str(x) for x in v})
+        elif cond[:1] == "@":
+            return None
+        else:
+            value_sets.append({cond})
+    if not value_sets:
+        return None
+    values = frozenset(set.intersection(*value_sets))
+    ys = c0.get("yield") or []
+    if not ys or any(y["dst"][0] != "$" for y in ys):
+        return None
+    if any(c.get("yield") for c in clauses[1:]):
+        return None
+    w: dict[str, int] = {}
+    for y in ys:
+        w[y["dst"]] = w.get(y["dst"], 0) + 1
+    return field, w, list(attrs.get("timestamp", [])), values
+
+
 def rollup_hll_cookie_vars(
     program: Program, var: str, field: str
 ) -> list[str] | None:
