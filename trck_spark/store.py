@@ -180,31 +180,9 @@ def write_trail_store(df, path: str, uuid_col: str = "uuid",
         .mode("overwrite")
         .saveAsTable(table)
     )
-    # one write-time pass serving two proofs: (a) if no trail ever
-    # repeats a timestamp, the engine's consecutive-duplicate skip
-    # (identity always includes ts) is provably a no-op for EVERY
-    # program — queries over this store skip the dedup window entirely
-    # (engine.run reads this flag); (b) the store's [min_ts, max_ts]
-    # range is the zone map that lets a time-bounded counter answer
-    # fully-covered segments from rollups and scan only the boundary
-    # (engine time-scoped rollup tier)
-    stats = (
-        spark.table(table)
-        .groupBy(uuid_col, *([db_col] if db_col else []), ts_col)
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(
-            F.max("c").alias("maxc"),
-            F.min(F.col(ts_col).cast("long")).alias("tmin"),
-            F.max(F.col(ts_col).cast("long")).alias("tmax"),
-            *(
-                [F.max(F.col(db_col).cast("long")).alias("dmax")]
-                if db_col
-                else []
-            ),
-        )
-        .first()
+    rollups, ts_unique, ts_min, ts_max, db_max = _write_stats_and_rollups(
+        spark.table(table), dicts, uuid_col, ts_col, db_col
     )
-    ts_unique = (stats["maxc"] or 0) <= 1
     manifest = {
         "version": 3,
         "uuid_col": uuid_col,
@@ -212,12 +190,12 @@ def write_trail_store(df, path: str, uuid_col: str = "uuid",
         "seq_col": seq_col,
         "n_buckets": n_buckets,
         "ts_unique": ts_unique,
-        "ts_min": stats["tmin"],
-        "ts_max": stats["tmax"],
+        "ts_min": ts_min,
+        "ts_max": ts_max,
         "db_col": db_col,
-        "db_max": int(stats["dmax"]) if db_col and stats["dmax"] is not None else None,
+        "db_max": db_max if db_col else None,
         "dicts": dicts,
-        "rollups": _field_rollups(spark.table(table), dicts),
+        "rollups": rollups,
         "hll_rollups": _field_hll_rollups(
             spark.table(table), dicts, uuid_col
         ),
@@ -228,6 +206,105 @@ def write_trail_store(df, path: str, uuid_col: str = "uuid",
     out = spark.table(table)
     out._trailstore_manifest = manifest
     return out
+
+
+def _write_stats_and_rollups(
+    table_df, dicts: dict, uuid_col: str, ts_col: str,
+    db_col: str | None,
+) -> tuple[dict, bool, int | None, int | None, int | None]:
+    """(rollups, ts_unique, ts_min, ts_max, db_max) in ONE combined
+    pass over the just-written table (VERDICT r08 item 5: the write
+    path previously scanned once for ts-stats and once for rollups, and
+    the ts-stats pass shuffled a per-(uuid, db, ts) group for EVERY
+    event — row-scale, the single most expensive step of a 100 TB
+    ingest).
+
+    The combined pass exploits the layout the write just created:
+    within each bucket file rows are sorted by (uuid[, db], ts[, seq]),
+    so equal (uuid, db, ts) triples are ADJACENT and a window lag over
+    the bucketed scan detects duplicates with ZERO exchange and zero
+    sort (the bucketed scan already satisfies the window's partitioning
+    and ordering).  The duplicate flag and the long-cast ts/db then
+    ride the per-field rollup explode, so one tiny (fields x codes)
+    shuffle carries everything: per-code event counts (the rollups),
+    any-duplicate (ts_unique), min/max ts (the zone map), and max db.
+    Falls back to a single synthetic tag element when no field is
+    dictionary-encoded, so the stats half always runs.
+
+    Semantics identical to the old two-pass form: ts_unique is the
+    per-(uuid[, db], ts) multiplicity staying <= 1; monoid rollups
+    indexed by dictionary code (0 = ""/absent)."""
+    import sys
+    import time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    order = ([db_col] if db_col else []) + [ts_col]
+    w = Window.partitionBy(uuid_col).orderBy(*order)
+    dup = F.col(ts_col) == F.lag(ts_col).over(w)
+    if db_col:
+        dup = dup & (F.col(db_col) == F.lag(db_col).over(w))
+    elements = [
+        F.struct(
+            F.lit(f).alias("g"),
+            F.coalesce(F.col("__c_" + f), F.lit(0)).alias("c"),
+        )
+        for f in dicts
+    ] or [F.struct(F.lit("\x00stats").alias("g"), F.lit(0).alias("c"))]
+    # the window MUST be computed before the explode (a single select
+    # holding both would evaluate the lag over the exploded stream,
+    # where adjacent copies of one row share a timestamp and every row
+    # reads as a duplicate) — two selects pin Generate above WindowExec
+    base = table_df.select(
+        F.coalesce(dup, F.lit(False)).cast("int").alias("__dup"),
+        F.col(ts_col).cast("long").alias("__tsl"),
+        (
+            F.col(db_col) if db_col else F.lit(None)
+        ).cast("long").alias("__dbl"),
+        F.array(*elements).alias("__els"),
+    )
+    rows = (
+        base.select(
+            "__dup", "__tsl", "__dbl", F.explode("__els").alias("p")
+        )
+        .groupBy("p.g", "p.c")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("__dup").alias("anydup"),
+            F.min("__tsl").alias("tmin"),
+            F.max("__tsl").alias("tmax"),
+            F.max("__dbl").alias("dmax"),
+        )
+        .collect()
+    )
+    rollups = {f: [0] * (len(values) + 1) for f, values in dicts.items()}
+    ts_unique = True
+    ts_min = ts_max = db_max = None
+    for r in rows:
+        if r["g"] in rollups:
+            rollups[r["g"]][r["c"]] = r["n"]
+        if r["anydup"]:
+            ts_unique = False
+        if r["tmin"] is not None:
+            ts_min = r["tmin"] if ts_min is None else min(ts_min, r["tmin"])
+        if r["tmax"] is not None:
+            ts_max = r["tmax"] if ts_max is None else max(ts_max, r["tmax"])
+        if r["dmax"] is not None:
+            db_max = (
+                int(r["dmax"])
+                if db_max is None
+                else max(db_max, int(r["dmax"]))
+            )
+    # write-time cost transparency: the one-scan price the store pays so
+    # counters never rescan (bench logs show it amortized per write)
+    print(
+        f"# store rollups: {len(dicts)} fields + ts-stats in one "
+        f"combined pass, {time.time() - t0:.1f}s",
+        file=sys.stderr,
+    )
+    return rollups, ts_unique, ts_min, ts_max, db_max
 
 
 def _field_rollups(table_df, dicts: dict) -> dict:
