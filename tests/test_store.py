@@ -578,3 +578,56 @@ def test_append_to_compacted_store_keeps_db_order(spark, tmp_path):
     assert {r["%v"]: r["$n"] for r in b} == {
         "": 0, "click": 3, "view": 1
     }
+
+
+def test_compaction_advisory(spark, tmp_path, monkeypatch):
+    """VERDICT r08 item 6: a long segment chain or a remap-budget trip
+    emits a structured CompactionAdvisory from open_trail_store —
+    advisory only (results stay correct), with the motivating facts as
+    attributes."""
+    import warnings
+
+    import trck_spark.store as store_mod
+    from trck_spark.store import (
+        CompactionAdvisory,
+        append_trail_store,
+        open_trail_store,
+    )
+
+    schema = "uuid string, timestamp long, seq long, t string"
+    path = str(tmp_path / "advise")
+    for i in range(3):
+        append_trail_store(
+            spark.createDataFrame(
+                [(f"u{i}", 100 + i, 0, "a")], schema
+            ),
+            path, seq_col="seq",
+        )
+    # 3 parts <= default threshold: NO advisory
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", CompactionAdvisory)
+        open_trail_store(spark, path)
+    # env-lowered threshold trips it, with structured attributes
+    monkeypatch.setenv("TRCK_SPARK_COMPACT_ADVISE_SEGMENTS", "2")
+    with pytest.warns(CompactionAdvisory) as rec:
+        open_trail_store(spark, path)
+    w = rec[0].message
+    assert w.path == path and w.n_segments == 3
+    assert w.dropped_fields == []
+    assert "--compact" in str(w)
+    monkeypatch.delenv("TRCK_SPARK_COMPACT_ADVISE_SEGMENTS")
+
+    # remap-budget trip advises too, naming the dropped fields
+    monkeypatch.setattr(store_mod, "REMAP_LITERAL_MAX", 2)
+    path2 = str(tmp_path / "advise2")
+    append_trail_store(
+        spark.createDataFrame([("u1", 100, 0, "a")], schema),
+        path2, seq_col="seq",
+    )
+    append_trail_store(
+        spark.createDataFrame([("u2", 200, 0, "b")], schema), path2
+    )
+    with pytest.warns(CompactionAdvisory) as rec2:
+        open_trail_store(spark, path2)
+    w2 = rec2[0].message
+    assert w2.dropped_fields == ["t"] and w2.n_segments == 2
