@@ -274,8 +274,19 @@ def streaming_partials(
                 )
             ),
         )
+        # the static side is FIXED for the stream's lifetime, but a
+        # stream-static join re-evaluates it every micro-batch — for a
+        # window FILE that means re-running the hex-canonicalization +
+        # row_number shuffle per trigger (VERDICT r08 item 7: a 110k-
+        # entry file cost the stream ~33% of its throughput).  Persist
+        # and materialize ONCE; each batch then rebuilds its broadcast
+        # from cached blocks.  The cache lives as long as the stream —
+        # exposed on the result as _trck_static_side for callers that
+        # want to unpersist after stopping the query.
+        w_df = w_df.persist()
+        w_df.count()
         df = (
-            df.join(w_df, "__uuid_hex", "inner")
+            df.join(F.broadcast(w_df), "__uuid_hex", "inner")
             # end-of-trail marker events (ts >= STREAM_END_TS) must reach
             # every entry's FSM to fire pending `after` edges, so they
             # bypass the range filter (the join already fanned them out
@@ -503,13 +514,18 @@ def streaming_partials(
     group_cols = (
         ["__uuid", "__entry"] if window_df is not None else ["__uuid"]
     )
-    return df.groupBy(*group_cols).applyInPandasWithState(
+    out = df.groupBy(*group_cols).applyInPandasWithState(
         step,
         outputStructType=STREAM_PARTIAL_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,
     )
+    if window_df is not None:
+        # the persisted prepared window side (see the join above):
+        # callers may unpersist it after stopping the query
+        out._trck_static_side = w_df
+    return out
 
 
 def aggregate_partials(partials_df):
