@@ -149,6 +149,11 @@ _BROADCAST_WHITELIST = {
     ("text.py", "n_docs"): "single-row scalar",
     ("engine.py", "excl_df"): "side-input exclude list, file-sized",
     ("engine.py", "w_df"): "side-input window file, file-sized",
+    ("streaming.py", "w_df"): "measured-count gate: broadcast only when "
+                              "the materialized window-entry count <= "
+                              "TRCK_SPARK_STREAM_WINDOW_BCAST_MAX "
+                              "(default 2M); larger sets keep the "
+                              "distributed join",
     ("planner.py", "grid"): "foreach parameter grid, grid-sized",
     ("store.py", "lex_df"): "lexicon, capped at n_fields * dict_max",
 }
