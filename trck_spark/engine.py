@@ -378,6 +378,42 @@ class TrckFrameResultSet:
         )
 
 
+class _HexRegs(dict):
+    """HLL register map that remembers the wire hex it came from.
+
+    The manifest's sketches are already in the reference wire format,
+    and the rebuild path (decode -> register dict -> Hll -> to_hex) is
+    the identity on them by the monoid round-trip (golden-tested), so
+    output.results_to_dict emits ``hex`` directly — the local rollup
+    tier's collect_json never touches a register.  Consumers that can
+    MUTATE register maps (Results.merge) never see this type:
+    TrckLocalResultSet.collect_partials hands out plain decoded
+    copies."""
+
+    __slots__ = ("hex",)
+
+
+# hex -> {register: rank} decode cache for the local rollup tier's
+# collect_partials: repeat runs over the same store decode each
+# manifest sketch once (bounded; a manifest holds at most the
+# HLL_ROLLUP_VALUES_MAX sketch budget)
+_HLL_DECODE_CACHE: dict = {}
+_HLL_DECODE_CACHE_MAX = 8192
+
+
+def _decode_hll_hex(hx: str) -> dict:
+    hit = _HLL_DECODE_CACHE.get(hx)
+    if hit is None:
+        from trck_spark.fsm.hll import hll_from_hex
+
+        regs = hll_from_hex(hx).M
+        hit = {i: r for i, r in enumerate(regs) if r}
+        _HLL_DECODE_CACHE[hx] = hit
+        while len(_HLL_DECODE_CACHE) > _HLL_DECODE_CACHE_MAX:
+            _HLL_DECODE_CACHE.pop(next(iter(_HLL_DECODE_CACHE)))
+    return hit
+
+
 class TrckLocalResultSet:
     """Results answered entirely from a TrailStore manifest: the monoid
     partials are computed on the DRIVER — no DataFrame, no Spark job,
@@ -408,15 +444,28 @@ class TrckLocalResultSet:
             c = Results()
             c.counters = dict(res.counters)
             c.sets = {k: dict(v) for k, v in res.sets.items()}
-            c.hlls = {k: dict(v) for k, v in res.hlls.items()}
+            # hand out PLAIN decoded copies: callers may merge/mutate,
+            # which must never reach a shared _HexRegs or the decode
+            # cache
+            c.hlls = {
+                k: dict(
+                    _decode_hll_hex(v.hex)
+                    if isinstance(v, _HexRegs)
+                    else v
+                )
+                for k, v in res.hlls.items()
+            }
             out[ti] = c
         self._run_finalize()
         return out
 
     def collect_json(self) -> dict | list:
-        return format_output(
-            self.program, self.collect_partials(), self.tuples
-        )
+        # the internal per-tuple view (hex-backed register maps) feeds
+        # format_output directly: the output hex IS the manifest hex,
+        # so no register is ever decoded or re-encoded on this path
+        out = format_output(self.program, self._per_tuple, self.tuples)
+        self._run_finalize()
+        return out
 
     def counters_df(self):
         """Grid frame (groupby vars only) — the tier serves hll-only
@@ -515,8 +564,10 @@ class TrckSparkEngine:
 
         The tuples come from the manifest LEXICON (complete by
         construction — store._dict_lexicons collects every distinct
-        value), so not even the implicit-foreach lexicon scan runs."""
-        from trck_spark.fsm.hll import hll_from_hex
+        value), so not even the implicit-foreach lexicon scan runs.
+        Sketches stay as wire hex (_HexRegs): collect_json emits them
+        verbatim; only collect_partials decodes (cached)."""
+        from trck_spark.fsm.hll import EMPTY_HLL_HEX
 
         tuples = foreach_tuples(
             program, params, lexicon_values=list(code_values)
@@ -525,13 +576,14 @@ class TrckSparkEngine:
         index[""] = 0
         per_tuple: dict[int, Results] = {}
         for ti, tup in enumerate(tuples):
-            regs = hll_from_hex(hex_list[index[tup[0]]]).M
-            d = {i: r for i, r in enumerate(regs) if r}
-            if not d:
+            hx = hex_list[index[tup[0]]]
+            if hx == EMPTY_HLL_HEX:
                 continue  # empty sketch: no adds, like the FSM path
             res = Results()
             for v in hll_vars:
-                res.hlls[v] = dict(d)
+                hr = _HexRegs()
+                hr.hex = hx
+                res.hlls[v] = hr
             per_tuple[ti] = res
         return TrckLocalResultSet(
             self, per_tuple, program, tuples, fn_registry

@@ -33,7 +33,13 @@ def results_to_dict(program: Program, res: Results | None) -> dict:
         out[var] = {tuple_to_display(k): n for k, n in sorted(d.items())}
     for var in program.yield_hlls:
         regs = r.hlls.get(var)
-        if not regs:
+        # hex-backed register maps (engine._HexRegs, the manifest
+        # rollup tier) already ARE the wire form — the rebuild below is
+        # the identity on them (monoid round-trip, golden-tested)
+        hx = getattr(regs, "hex", None)
+        if hx is not None:
+            out[var] = hx
+        elif not regs:
             out[var] = EMPTY_HLL_HEX
         else:
             sketch = Hll()
