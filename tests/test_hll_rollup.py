@@ -243,6 +243,182 @@ def test_hll_rollup_values_budget_and_kill_switch(spark, tmp_path):
     assert store2._trailstore_manifest["hll_rollups"] == {}
 
 
+# --- TIME-SCOPED uniques (engine._run_ts_scoped_hll): a ts-bounded
+# `yield cookie to ^x` decomposes over the per-part zone maps like the
+# counter tier, but with register-max as the merge — covered parts
+# answer from their manifest sketches, only boundary parts scan ---
+
+TS_PROG = """
+foreach %v
+    start ->
+        receive
+            t = %v, timestamp >= {lo}, timestamp < {hi} -> yield cookie to ^uniq, repeat
+            * -> repeat
+"""
+
+
+def _time_rows(n_users=40, per_user=12, span=300, seed=7):
+    """Events spread over [0, span) so time-sliced segments have
+    disjoint zone maps (trails straddle every slice)."""
+    random.seed(seed)
+    rows = []
+    for u in range(n_users):
+        for ts in sorted(random.sample(range(span), per_user)):
+            rows.append((f"{u:032x}", ts, ts, "abc"[random.randrange(3)]))
+    return rows
+
+
+def _time_sliced_store(spark, path, cuts=(100, 200), span=300, **kw):
+    from trck_spark.store import append_trail_store
+
+    rows = _time_rows(span=span, **kw)
+    bounds = [0, *cuts, span]
+    store = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        part = [r for r in rows if lo <= r[1] < hi]
+        store = append_trail_store(
+            spark.createDataFrame(part, SCHEMA), path, seq_col="seq"
+        )
+    return store
+
+
+def test_hll_ts_scoped_segmented_boundary_scan(spark, tmp_path):
+    """Bound covers the middle segment: it answers from its manifest
+    sketch; ONLY the two boundary segments scan, and the merged result
+    is register-exact vs the full scan and FSM paths."""
+    from trck_spark.engine import TrckLocalResultSet
+
+    store = _time_sliced_store(spark, str(tmp_path / "seg"))
+    prog = TS_PROG.format(lo=50, hi=250)
+    rs, out = _run(spark, store, prog)
+    assert isinstance(rs, TrckLocalResultSet)
+    assert rs._ts_scope["covered_parts"] == 1
+    assert rs._ts_scope["boundary_parts"] == [0, 2]
+    # the covered middle segment's files are never read (parts are
+    # [base, segment_0000, segment_0001] — the middle is segment_0000)
+    assert rs._ts_scope["boundary_files"]
+    assert not any(
+        "segment_0000" in f for f in rs._ts_scope["boundary_files"]
+    )
+    assert any(
+        "segment_0001" in f for f in rs._ts_scope["boundary_files"]
+    )
+    _, out_scan = _run(spark, store, prog, env={"TRCK_SPARK_NO_ROLLUP": "1"})
+    _, out_fsm = _run(
+        spark, store, prog,
+        env={"TRCK_SPARK_NO_ROLLUP": "1", "TRCK_SPARK_NO_FASTPATH": "1"},
+    )
+    assert out == out_scan == out_fsm
+
+
+def test_hll_ts_scoped_covering_and_disjoint_bounds(spark, tmp_path):
+    from trck_spark.engine import TrckLocalResultSet
+    from trck_spark.fsm.hll import EMPTY_HLL_HEX
+
+    store = _time_sliced_store(spark, str(tmp_path / "seg2"))
+    # bound covers every segment: zero boundary, zero scan
+    rs, out = _run(spark, store, TS_PROG.format(lo=0, hi=1000))
+    assert isinstance(rs, TrckLocalResultSet)
+    assert rs._ts_scope["boundary_parts"] == []
+    assert rs._ts_scope["covered_parts"] == 3
+    # equals the UNBOUNDED sketch tier (predicate is vacuous)
+    _, out_plain = _run(spark, store)
+    assert [
+        {k: v for k, v in r.items() if k != "%v"} for r in out
+    ] == [{k: v for k, v in r.items() if k != "%v"} for r in out_plain]
+    # disjoint bound: zero scan, every sketch empty — and the scan path
+    # agrees
+    rs_d, out_d = _run(spark, store, TS_PROG.format(lo=5000, hi=6000))
+    assert isinstance(rs_d, TrckLocalResultSet)
+    assert rs_d._ts_scope == {
+        "covered_parts": 0, "boundary_parts": [], "boundary_files": [],
+    }
+    assert all(r.get("^uniq") in (None, EMPTY_HLL_HEX) for r in out_d)
+    _, out_d_fsm = _run(
+        spark, store, TS_PROG.format(lo=5000, hi=6000),
+        env={"TRCK_SPARK_NO_ROLLUP": "1", "TRCK_SPARK_NO_FASTPATH": "1"},
+    )
+    assert out_d == out_d_fsm
+
+
+def test_hll_ts_scoped_param_bounds(spark, tmp_path):
+    from trck_spark.engine import TrckLocalResultSet, TrckSparkEngine
+
+    store = _time_sliced_store(spark, str(tmp_path / "segp"))
+    prog = TS_PROG.format(lo="%lo", hi="%hi")
+    eng = TrckSparkEngine(spark)
+    rs = eng.run(
+        store, prog, params={"%lo": 50, "%hi": 250},
+        uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+    )
+    assert isinstance(rs, TrckLocalResultSet)
+    assert rs._ts_scope["boundary_parts"] == [0, 2]
+    out = rs.collect_json()
+    _, out_fsm = _run(
+        spark, store, TS_PROG.format(lo=50, hi=250),
+        env={"TRCK_SPARK_NO_ROLLUP": "1", "TRCK_SPARK_NO_FASTPATH": "1"},
+    )
+    assert out == out_fsm
+    # unresolvable bound (array param): tier declines, answers still match
+    rs_a = eng.run(
+        store, prog, params={"%lo": [50], "%hi": 250},
+        uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+    )
+    assert not isinstance(rs_a, TrckLocalResultSet)
+
+
+def test_hll_ts_scoped_single_store(spark, tmp_path):
+    """A NON-segmented store answers the trivial decompositions from its
+    own zone map (bound covers all / misses all); a partial overlap is
+    exactly the plain scan, so the tier declines."""
+    from trck_spark.engine import TrckLocalResultSet
+    from trck_spark.store import write_trail_store
+
+    store = write_trail_store(
+        spark.createDataFrame(_time_rows(20, 8), SCHEMA),
+        str(tmp_path / "one"), seq_col="seq",
+    )
+    rs, out = _run(spark, store, TS_PROG.format(lo=0, hi=1000))
+    assert isinstance(rs, TrckLocalResultSet)
+    assert rs._ts_scope["covered_parts"] == 1
+    rs_p, out_p = _run(spark, store, TS_PROG.format(lo=150, hi=1000))
+    assert not isinstance(rs_p, TrckLocalResultSet)
+    _, out_p_fsm = _run(
+        spark, store, TS_PROG.format(lo=150, hi=1000),
+        env={"TRCK_SPARK_NO_FASTPATH": "1"},
+    )
+    assert out_p == out_p_fsm
+
+
+def test_hll_ts_scoped_zone_map_less_part_is_boundary(spark, tmp_path):
+    """A part with sketches but no ts_min/ts_max (pre-zone-map manifest
+    revision) must be SCANNED, never skipped — the sketch analog of the
+    ADVICE r08 high-severity legacy-manifest hazard."""
+    from trck_spark.engine import TrckLocalResultSet
+    from trck_spark.store import MANIFEST, open_trail_store
+
+    path = str(tmp_path / "legacy")
+    _time_sliced_store(spark, path)
+    seg_manifest = os.path.join(path, "segment_0000", MANIFEST)
+    with open(seg_manifest) as f:
+        m = json.load(f)
+    m.pop("ts_min", None)
+    m.pop("ts_max", None)
+    with open(seg_manifest, "w") as f:
+        json.dump(m, f)
+    store = open_trail_store(spark, path)
+    # middle segment would be covered by its zone map — without one it
+    # must join the boundary scan instead
+    rs, out = _run(spark, store, TS_PROG.format(lo=50, hi=250))
+    assert isinstance(rs, TrckLocalResultSet)
+    assert rs._ts_scope["boundary_parts"] == [0, 1, 2]
+    _, out_fsm = _run(
+        spark, store, TS_PROG.format(lo=50, hi=250),
+        env={"TRCK_SPARK_NO_ROLLUP": "1", "TRCK_SPARK_NO_FASTPATH": "1"},
+    )
+    assert out == out_fsm
+
+
 def test_ensure_rollups_backfills_hll(spark, tmp_path):
     from trck_spark.engine import TrckLocalResultSet
     from trck_spark.store import (

@@ -448,6 +448,9 @@ class TrckLocalResultSet:
             # which must never reach a shared _HexRegs or the decode
             # cache
             c.hlls = {
+                # dict(...) in BOTH arms: plain register maps (the
+                # ts-scoped hll tier's merged form) are shared across
+                # hll_vars and must not leak mutably either
                 k: dict(
                     _decode_hll_hex(v.hex)
                     if isinstance(v, _HexRegs)
@@ -689,6 +692,155 @@ class TrckSparkEngine:
             .agg(*[F.sum(c).cast("long").alias(c) for c in cnames])
             .select(key, *cnames)
         )
+
+    def _run_ts_scoped_hll(
+        self, events_df, program: Program, program_text_or_ir,
+        params: dict | None, manifest: dict, f0: str, hll_vars: list,
+        ts_conds: list, uuid_col: str, ts_col: str, seq_col: str | None,
+        fn_registry: dict | None,
+    ):
+        """TIME-SCOPED uniques answer: a ``yield cookie to ^x`` query
+        with timestamp relop conjuncts decomposes over the per-part
+        [ts_min, ts_max] zone maps exactly like the counter tier
+        (:meth:`_run_ts_scoped_rollup`), but with an even simpler merge:
+        HLL union IS per-register max (reference utils.c:16-56), so
+
+            register_max(sketches of parts fully inside the bound,
+                         sketches scanned from boundary parts)
+
+        is byte-identical to the full-scan sketch — a time-bounded
+        uniques query over a continuously-appended store never rescans
+        covered history.  Returns a TrckLocalResultSet (the boundary
+        scan, when any, runs eagerly and its per-tuple partials merge
+        driver-side), or None when the decomposition can't be proven
+        (non-integer bound, missing per-part sketches, single-store
+        partial overlap) — caller falls through to the scan path."""
+        from trck_spark.fsm.hll import EMPTY_HLL_HEX
+
+        interval = _ts_bound_interval(ts_conds, params)
+        if interval is None:
+            return None
+        lo, hi = interval
+        union = manifest["dicts"][f0]
+        uindex = {v: i + 1 for i, v in enumerate(union)}
+        parts_meta = manifest.get("parts") or []
+        part_frames = getattr(events_df, "_trailstore_parts", None)
+        single = False
+        if not parts_meta:
+            # NON-segmented store: one part, its own zone map — only the
+            # trivial decompositions (bound covers the whole store, or
+            # misses it entirely); partial overlap == the plain scan
+            if manifest.get("ts_min") is None:
+                return None
+            single = True
+            parts_meta = [{
+                "ts_min": manifest.get("ts_min"),
+                "ts_max": manifest.get("ts_max"),
+                "hll_rollups": manifest.get("hll_rollups") or {},
+                "hll_dicts": {f0: union},
+            }]
+            part_frames = [events_df]
+        if not part_frames or len(parts_meta) != len(part_frames):
+            return None
+        covered_entries: list = []
+        boundary: list[int] = []
+        for i, pm in enumerate(parts_meta):
+            ph = (pm.get("hll_rollups") or {}).get(f0)
+            plex = (pm.get("hll_dicts") or {}).get(f0)
+            if ph is None or plex is None or len(ph) != len(plex) + 1:
+                return None
+            pmin, pmax = pm.get("ts_min"), pm.get("ts_max")
+            if pmin is None or pmax is None:
+                # no zone map != empty (see _run_ts_scoped_rollup): a
+                # part with any sketched cookie must be SCANNED, never
+                # skipped
+                if any(hx != EMPTY_HLL_HEX for hx in ph):
+                    boundary.append(i)
+                continue
+            if lo <= pmin and pmax <= hi:
+                covered_entries.append((ph, plex, uindex))
+            elif pmax < lo or pmin > hi:
+                continue
+            else:
+                boundary.append(i)
+        if single and boundary:
+            return None  # whole-store boundary == the plain scan
+        from trck_spark.store import _merge_hll_hexes
+
+        covered_hex = _merge_hll_hexes(len(union) + 1, covered_entries)
+        b_regs: dict[str, dict[str, dict]] = {}
+        boundary_files: list[str] = []
+        if boundary:
+            sub = part_frames[boundary[0]]
+            for i in boundary[1:]:
+                sub = sub.unionByName(
+                    part_frames[i], allowMissingColumns=True
+                )
+            # the boundary frame keeps the store guarantees (union
+            # dicts, per-segment db scoping) but NOT sketch rollups —
+            # the recursive run must scan, not re-enter this tier
+            sub_manifest = {
+                k: v
+                for k, v in manifest.items()
+                if k not in ("rollups", "parts", "hll_rollups")
+            }
+            sub._trailstore_manifest = sub_manifest
+            boundary_files = list(sub.inputFiles())
+            # no fn_registry: this shape yields only `cookie`, so the
+            # boundary scan never calls user functions; finalize stays
+            # with the OUTER result set
+            sub_rs = self.run(
+                sub, program_text_or_ir, params=params, uuid_col=uuid_col,
+                ts_col=ts_col, seq_col=seq_col, db_col="__segment",
+            )
+            sub_tuples = sub_rs.tuples or []
+            for ti, res in sub_rs.collect_partials().items():
+                val = sub_tuples[ti][0] if ti < len(sub_tuples) else ""
+                for var, regs in res.hlls.items():
+                    tgt = b_regs.setdefault(val, {}).setdefault(var, {})
+                    for r, k in regs.items():
+                        if tgt.get(r, 0) < k:
+                            tgt[r] = k
+        tuples = foreach_tuples(
+            program, params, lexicon_values=list(union)
+        )
+        index = dict(uindex)
+        index[""] = 0
+        per_tuple: dict[int, Results] = {}
+        for ti, tup in enumerate(tuples):
+            hx = covered_hex[index[tup[0]]]
+            bv = b_regs.get(tup[0])
+            if hx == EMPTY_HLL_HEX and not bv:
+                continue  # no adds anywhere: absent, like the FSM path
+            res = Results()
+            for v in hll_vars:
+                if not bv or v not in bv:
+                    # pure-covered tuple: keep the wire-hex fast path
+                    hr = _HexRegs()
+                    hr.hex = hx
+                    res.hlls[v] = hr
+                else:
+                    regs = (
+                        dict(_decode_hll_hex(hx))
+                        if hx != EMPTY_HLL_HEX
+                        else {}
+                    )
+                    for r, k in bv[v].items():
+                        if regs.get(r, 0) < k:
+                            regs[r] = k
+                    res.hlls[v] = regs
+            per_tuple[ti] = res
+        rs = TrckLocalResultSet(
+            self, per_tuple, program, tuples, fn_registry
+        )
+        # diagnostics for tests/observability: which parts answered from
+        # the manifest vs were scanned
+        rs._ts_scope = {
+            "covered_parts": len(covered_entries),
+            "boundary_parts": list(boundary),
+            "boundary_files": boundary_files,
+        }
+        return rs
 
     def _ts_scoped_partials(
         self, df, program: Program, tuples: list | None, manifest: dict,
@@ -1121,22 +1273,44 @@ class TrckSparkEngine:
                 and manifest.get("uuid_col") == uuid_col
                 and not _os.environ.get("TRCK_SPARK_NO_ROLLUP")
             ):
-                from trck_spark.planner import rollup_hll_cookie_vars
+                from trck_spark.planner import rollup_hll_cookie_vars_ts
 
-                hll_vars = rollup_hll_cookie_vars(
+                r_h = rollup_hll_cookie_vars_ts(
                     program, program.groupby_vars[0], f0
                 )
                 hll_roll = (manifest.get("hll_rollups") or {}).get(f0)
                 if (
-                    hll_vars
+                    r_h
+                    and not r_h[1]
                     and hll_roll is not None
                     and len(hll_roll) == len(dicts[f0]) + 1
                 ):
                     # not plan-cached: re-running costs no Spark work
                     return self._hll_rollup_result(
-                        program, params, dicts[f0], hll_roll, hll_vars,
+                        program, params, dicts[f0], hll_roll, r_h[0],
                         fn_registry,
                     )
+                # --- TIME-SCOPED uniques: clause 0 also carries
+                # timestamp relops.  Sketch union IS register max, so
+                # the counter tier's zone-map decomposition applies
+                # verbatim — merge(covered parts' manifest sketches,
+                # boundary-scan sketches) == the full-scan sketch
+                # byte-for-byte, and history never rescans. ---
+                if (
+                    r_h
+                    and r_h[1]
+                    and (
+                        manifest.get("parts")
+                        or manifest.get("ts_min") is not None
+                    )
+                ):
+                    rs = self._run_ts_scoped_hll(
+                        events_df, program, program_text_or_ir, params,
+                        manifest, f0, r_h[0], r_h[1], uuid_col, ts_col,
+                        seq_col, fn_registry,
+                    )
+                    if rs is not None:
+                        return rs
 
         # --- canonical + program columns in ONE projection (each
         # withColumn is a py4j round-trip + an analysis pass; on

@@ -505,19 +505,37 @@ def rollup_hll_cookie_vars(
     program: Program, var: str, field: str
 ) -> list[str] | None:
     """Sorted ``^hll`` vars when an implicit-foreach uniques query can be
-    answered from the TrailStore's write-time cookie sketches
-    (store.py _field_hll_rollups), else None.
+    answered ENTIRELY from the TrailStore's write-time cookie sketches
+    (store.py _field_hll_rollups), else None — the no-timestamp-bound
+    form of :func:`rollup_hll_cookie_vars_ts`."""
+    r = rollup_hll_cookie_vars_ts(program, var, field)
+    if r is None or r[1]:
+        return None
+    return r[0]
+
+
+def rollup_hll_cookie_vars_ts(
+    program: Program, var: str, field: str
+) -> tuple[list[str], list] | None:
+    """(sorted ``^hll`` vars, timestamp_conditions) when an
+    implicit-foreach uniques query can be answered from the TrailStore's
+    write-time cookie sketches (store.py _field_hll_rollups), else None.
 
     The sketch rollup is, per field value, the HLL over {cookie : trail
     has >= 1 event with that value}.  The program must add exactly the
     cookies of matching trails: single rule, repeat-only actions with a
     catch-all (the relational shape — no state, no time machinery),
-    clause 0 the ONLY yielding clause with predicate exactly
-    ``field = %var`` and every yield ``yield cookie to ^x``.  Unlike the
-    counter rollup (rollup_weights) NO ts-uniqueness gate is needed:
-    sketch adds are idempotent, so the consecutive-duplicate skip and
-    repeated matches within a trail are no-ops by construction
-    (reference hyperloglog.c:256-296 — hll_add is a register max)."""
+    clause 0 the ONLY yielding clause with predicate ``field = %var``
+    plus optional timestamp relop conjuncts, and every yield
+    ``yield cookie to ^x``.  Unlike the counter rollup (rollup_weights)
+    NO ts-uniqueness gate is needed: sketch adds are idempotent, so the
+    consecutive-duplicate skip and repeated matches within a trail are
+    no-ops by construction (reference hyperloglog.c:256-296 — hll_add is
+    a register max).  With timestamp conjuncts the answer decomposes
+    over a segmented store's zone maps exactly like the counter tier
+    (engine._run_ts_scoped_hll): sketch union IS register max, so
+    merge(covered-part sketches, boundary-scan sketches) equals the
+    full-scan sketch byte-for-byte."""
     if len(program.rules) != 1:
         return None
     r = program.rules[0]
@@ -531,7 +549,9 @@ def rollup_hll_cookie_vars(
     if not any(not c.get("attrs") for c in clauses):
         return None  # no catch-all: non-exhaustive-match errors possible
     c0 = clauses[0]
-    if c0.get("op") == "not" or (c0.get("attrs") or {}) != {field: [var]}:
+    attrs = c0.get("attrs") or {}
+    non_ts = {k: v for k, v in attrs.items() if k != "timestamp"}
+    if c0.get("op") == "not" or non_ts != {field: [var]}:
         return None
     ys = c0.get("yield") or []
     if not ys:
@@ -554,7 +574,7 @@ def rollup_hll_cookie_vars(
         or program.yield_multisets
     ):
         return None
-    return sorted({y["dst"] for y in ys})
+    return sorted({y["dst"] for y in ys}), list(attrs.get("timestamp", []))
 
 
 def _equi_join_fields(program: Program) -> dict | None:

@@ -350,6 +350,17 @@ foreach %t
             * -> repeat
 """
 
+# timestamp-bounded uniques (round 9): same bound, sketch monoid — the
+# covered middle segment answers from its manifest sketch, boundary
+# segments scan, merged by register max (engine._run_ts_scoped_hll)
+PROG_UNIQUES_HLL_TS = f"""
+foreach %t
+    start ->
+        receive
+            event_type = %t, timestamp >= {TS_BOUND[0]}, timestamp < {TS_BOUND[1]} -> yield cookie to ^uniq, repeat
+            * -> repeat
+"""
+
 
 def q_trck_count_by_type_store_ts(spark, sf_dir):
     """PROG_COUNT_BY_TYPE_TS through the same SEGMENTED TrailStore: the
@@ -408,19 +419,28 @@ def q_trck_uniques_hll(spark, sf_dir):
     return _hll_checked_rows(spark, sf_dir, rs)
 
 
-def _hll_checked_rows(spark, sf_dir, rs):
+def _hll_checked_rows(spark, sf_dir, rs, ts_bound=None):
     """(t, uniq_exact, est_in_2pct) rows from a ^uniq result set — the
-    checked-row shape shared by the flat and store-backed hll queries."""
+    checked-row shape shared by the flat and store-backed hll queries.
+    With ``ts_bound`` = (lo, hi) the exact side counts only events with
+    lo <= timestamp < hi (the time-scoped tier's comparison)."""
     from pyspark.sql import functions as F
 
     from trck_spark.fsm.hll import hll_from_hex
 
     rows = rs.collect_json()
+    ev = load_events(spark, sf_dir)
+    uid = F.col("uuid")
+    if ts_bound is not None:
+        uid = F.when(
+            (F.col("timestamp") >= ts_bound[0])
+            & (F.col("timestamp") < ts_bound[1]),
+            uid,
+        )
     exact = {
         r["t"]: int(r["n"])
-        for r in load_events(spark, sf_dir)
-        .groupBy(F.col("event_type").alias("t"))
-        .agg(F.count_distinct("uuid").alias("n"))
+        for r in ev.groupBy(F.col("event_type").alias("t"))
+        .agg(F.count_distinct(uid).alias("n"))
         .collect()
     }
     out = []
@@ -437,27 +457,50 @@ def _hll_checked_rows(spark, sf_dir, rs):
 
 
 def q_trck_uniques_hll_store(spark, sf_dir):
-    """PROG_UNIQUES_HLL through the SEGMENTED TrailStore (VERDICT r08
-    item 1): the engine answers the uniques query from the manifest's
-    per-(field, value) cookie sketches — register-max-merged across the
-    three segments at open (store._merge_segment_manifests) — with ZERO
-    Spark work for the sketch itself (engine.TrckLocalResultSet holds no
-    plan; the only scans below are this row's own exact-count check,
-    which is the oracle's side of the comparison).  The sketches are
-    wire-format-identical to the scan path's, so the same ±2% envelope
-    oracle as trck_uniques_hll checks them; tests/test_hll_rollup.py
-    pins register-exact parity and the zero-scan tier type."""
+    """Uniques through the SEGMENTED TrailStore — ONE tagged row
+    covering BOTH store sketch tiers (registry 50-row budget):
+
+    - scope='full' (VERDICT r08 item 1): PROG_UNIQUES_HLL answered
+      entirely from the manifest's per-(field, value) cookie sketches,
+      register-max-merged across the three segments at open
+      (store._merge_segment_manifests) — ZERO Spark work for the sketch
+      itself (engine.TrckLocalResultSet holds no plan);
+    - scope='ts' (round 9): PROG_UNIQUES_HLL_TS adds a timestamp bound
+      that fully covers the middle segment, so the time-scoped sketch
+      tier (engine._run_ts_scoped_hll) answers the covered segment from
+      its manifest sketch and scans ONLY the two boundary segments,
+      merging by register max — the incremental-uniques shape that
+      never rescans history at 100 TB.
+
+    The sketches are wire-format-identical to the scan path's, so the
+    same ±2% envelope oracle as trck_uniques_hll checks both scopes;
+    tests/test_hll_rollup.py pins register-exact parity, the tier
+    types, and the boundary-only scan set."""
+    from pyspark.sql import functions as F
+
     from trck_spark.engine import TrckLocalResultSet
 
     engine = _ENGINES.get(id(spark))
     if engine is None:
         engine = _ENGINES[id(spark)] = TrckSparkEngine(spark)
+    store = _segmented_events_store(spark, sf_dir)
     rs = engine.run(
-        _segmented_events_store(spark, sf_dir), PROG_UNIQUES_HLL,
+        store, PROG_UNIQUES_HLL,
         uuid_col="uuid", ts_col="timestamp", seq_col="event_id",
     )
     assert isinstance(rs, TrckLocalResultSet), type(rs).__name__
-    return _hll_checked_rows(spark, sf_dir, rs)
+    full = _hll_checked_rows(spark, sf_dir, rs).select(
+        F.lit("full").alias("scope"), "*"
+    )
+    rs_ts = engine.run(
+        store, PROG_UNIQUES_HLL_TS,
+        uuid_col="uuid", ts_col="timestamp", seq_col="event_id",
+    )
+    assert isinstance(rs_ts, TrckLocalResultSet), type(rs_ts).__name__
+    ts = _hll_checked_rows(spark, sf_dir, rs_ts, ts_bound=TS_BOUND).select(
+        F.lit("ts").alias("scope"), "*"
+    )
+    return full.unionByName(ts)
 
 
 def q_trck_window_file(spark, sf_dir):
@@ -872,17 +915,31 @@ SELECT event_type AS t, count(DISTINCT user_id)::BIGINT AS uniq_exact,
 FROM events GROUP BY event_type
 ORDER BY t
 """,
-    # same oracle through the SEGMENTED TrailStore: the sketch answer
-    # comes entirely from the manifest (register-max merge across
-    # segments, zero scan — engine.TrckLocalResultSet), and a drifting
-    # sketch leaves the ±2% envelope and hash-mismatches
+    # same oracle through the SEGMENTED TrailStore, ONE tagged row for
+    # both sketch tiers (round-9 merge): scope='full' checks the
+    # zero-scan register-max-merged manifest answer, scope='ts' the
+    # time-scoped decomposition (covered middle segment from its
+    # sketch, boundary segments scanned); a drifting sketch leaves the
+    # ±2% envelope and hash-mismatches
     "trck_uniques_hll_store": """
-SELECT '' AS t, 0::BIGINT AS uniq_exact, 1::BIGINT AS est_in_2pct
+SELECT 'full' AS scope, '' AS t, 0::BIGINT AS uniq_exact,
+       1::BIGINT AS est_in_2pct
 UNION ALL
-SELECT event_type AS t, count(DISTINCT user_id)::BIGINT AS uniq_exact,
+SELECT 'full' AS scope, event_type AS t,
+       count(DISTINCT user_id)::BIGINT AS uniq_exact,
        1::BIGINT AS est_in_2pct
 FROM events GROUP BY event_type
-ORDER BY t
+UNION ALL
+SELECT 'ts' AS scope, '' AS t, 0::BIGINT AS uniq_exact,
+       1::BIGINT AS est_in_2pct
+UNION ALL
+SELECT 'ts' AS scope, event_type AS t,
+       count(DISTINCT CASE WHEN epoch_ns(ts) // 1000000000 >= 1704500000
+             AND epoch_ns(ts) // 1000000000 < 1706200000
+             THEN user_id END)::BIGINT AS uniq_exact,
+       1::BIGINT AS est_in_2pct
+FROM events GROUP BY event_type
+ORDER BY scope, t
 """,
     "trck_window_file": """
 WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t, event_type FROM events),

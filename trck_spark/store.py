@@ -667,6 +667,15 @@ def _merge_segment_manifests(all_ms: list[dict], m: dict) -> dict:
             ],
         )
         hll_rollups[f] = merged_regs
+        # per-part sketch REFS (no copies) for the time-scoped uniques
+        # tier (engine._run_ts_scoped_hll): covered parts answer from
+        # their own sketches, boundary parts scan — the exact counter
+        # decomposition, made even simpler by sketch-union == register
+        # max.  Each part keeps its OWN coding; the part lexicon rides
+        # along for recode-at-query-time
+        for p, hr, x in zip(parts, part_hlls, all_ms):
+            p.setdefault("hll_rollups", {})[f] = hr
+            p.setdefault("hll_dicts", {})[f] = x["dicts"][f]
     return {
         "version": 3,
         "uuid_col": m["uuid_col"],
