@@ -712,6 +712,92 @@ foreach %aeid
     )
     _gc()
 
+    # --- TIME-BOUNDED uniques through the segmented store (round 9):
+    # "uniques up to T" with T inside the newest segment — the first
+    # two segments answer from their manifest sketches (zero scan),
+    # ONLY the newest segment scans, merged by register max
+    # (engine._run_ts_scoped_hll).  The oracle pays a full-history
+    # bounded count-distinct every time; the engine's scan cost stays
+    # proportional to the boundary slice no matter how much history
+    # accumulates — the 100 TB incremental-uniques shape. ---
+    parts_meta = seg_store._trailstore_manifest["parts"]
+    t_hi = (
+        int(parts_meta[2]["ts_min"]) + int(parts_meta[2]["ts_max"])
+    ) // 2
+    HLL_TS_PROG = f"""
+foreach %aeid
+    start ->
+        receive
+            advertisable_eid = %aeid, timestamp < {t_hi} -> yield cookie to ^uniq, repeat
+            * -> repeat
+"""
+    hts_box: dict = {}
+
+    def one_hll_ts():
+        t0 = time.time()
+        rs = engine.run(
+            seg_store, HLL_TS_PROG, uuid_col="uuid", ts_col="timestamp",
+            seq_col="seq",
+        )
+        hts_box["rs"] = rs
+        hts_box["out"] = rs.collect_json()
+        return time.time() - t0
+
+    hts_s, hts_runs, hts_med, _m, hts_tail = _steady_state(
+        one_hll_ts, settle_runs=2
+    )
+    hts_oracle_rows: list = []
+
+    def one_hll_ts_oracle():
+        t0 = time.time()
+        hts_oracle_rows[:] = con.execute(
+            "SELECT advertisable_eid, count(DISTINCT CASE WHEN "
+            f"timestamp < {t_hi} THEN uuid END)::BIGINT "
+            "FROM perf GROUP BY 1"
+        ).fetchall()
+        return time.time() - t0
+
+    ohts_s, ohts_runs, ohts_med, _m2, ohts_tail = _steady_state(
+        one_hll_ts_oracle, settle_runs=2
+    )
+    exact_uts = {r[0]: int(r[1]) for r in hts_oracle_rows}
+    max_rel_err_ts = 0.0
+    for r in hts_box["out"]:
+        ex = exact_uts.get(r["%aeid"], 0)
+        hexs = r.get("^uniq")
+        est = hll_from_hex(hexs).estimate() if hexs else 0.0
+        if ex == 0:
+            if est != 0:
+                max_rel_err_ts = float("inf")
+        else:
+            max_rel_err_ts = max(max_rel_err_ts, abs(est - ex) / ex)
+    scope = getattr(hts_box["rs"], "_ts_scope", {})
+    out["b_hll_store_ts"] = {
+        "spark_store_s": round(hts_s, 3),
+        "spark_store_median_s": hts_med,
+        "spark_store_median_ci": _median_ci(hts_tail),
+        "runs": hts_runs,
+        "oracle_s": round(ohts_s, 3),
+        "oracle_median_s": ohts_med,
+        "oracle_median_ci": _median_ci(ohts_tail),
+        "oracle_runs": ohts_runs,
+        "ratio_store_median": round(hts_med / ohts_med, 2),
+        "covered_parts": scope.get("covered_parts"),
+        "boundary_parts": scope.get("boundary_parts"),
+        "values": len(exact_uts),
+        "max_rel_err": round(max_rel_err_ts, 5),
+        "match": max_rel_err_ts <= 0.04,
+    }
+    print(
+        f"# hll-store ts-bounded uniques: {hts_s:.3f}s best / "
+        f"{hts_med:.3f}s median vs oracle {ohts_med:.3f}s = "
+        f"{hts_med / ohts_med:.2f}x (covered={scope.get('covered_parts')}, "
+        f"boundary={scope.get('boundary_parts')}, "
+        f"max_rel_err={max_rel_err_ts:.4f})",
+        file=sys.stderr,
+    )
+    _gc()
+
     out["total"] = {
         "spark_store_s": round(tot["spark_store_s"], 3),
         "oracle_s": round(tot["oracle_s"], 3),
@@ -1831,6 +1917,25 @@ def main() -> None:
         )
 
     queries["trck_uniques_hll_store"] = _hll_store_sketch
+
+    def _hll_store_sketch_ts(s, d):
+        # time-bounded uniques through the segmented store: the covered
+        # middle segment answers from its manifest sketch, ONLY the two
+        # boundary segments scan, merged by register max
+        # (engine._run_ts_scoped_hll)
+        from trck_spark.engine import TrckSparkEngine
+
+        rs = TrckSparkEngine(s).run(
+            _tq._segmented_events_store(s, d), _tq.PROG_UNIQUES_HLL_TS,
+            uuid_col="uuid", ts_col="timestamp", seq_col="event_id",
+        )
+        out = rs.collect_json()
+        return s.createDataFrame(
+            [(r["%t"], r.get("^uniq", "")) for r in out],
+            "t string, uniq_hex string",
+        )
+
+    queries["trck_uniques_hll_store_ts"] = _hll_store_sketch_ts
     bench_names = [
         "trck_count_by_type",   # B1: implicit foreach counter
         "trck_funnel",          # B2: windowed funnel (FSM)
@@ -1840,6 +1945,7 @@ def main() -> None:
         "revenue_by_segment",   # broadcast join + agg
     ]
     for extra in ("trck_count_by_type_store_ts", "trck_uniques_hll_store",
+                  "trck_uniques_hll_store_ts",
                   "trck_sessions_by_type",
                   "dedup_exact",
                   "ngram_jaccard_pairs", "ann_cosine_topk",

@@ -60,6 +60,26 @@ def _uuid_hex_col(col):
     ).otherwise(F.substring(F.rpad(hexed, 32, "0"), 1, 32))
 
 
+def _max_hll_hex(a: str, b: str | None) -> str:
+    """Register-max of two wire-hex sketches (driver-side, bounded by
+    the lexicon budget; numpy keeps it 2^14-wide-vector cheap)."""
+    if not b or b == a:
+        return a
+    from trck_spark.fsm.hll import EMPTY_HLL_HEX, Hll, hll_from_hex
+
+    if a == EMPTY_HLL_HEX:
+        return b
+    if b == EMPTY_HLL_HEX:
+        return a
+    import numpy as np
+
+    ra = np.frombuffer(bytes(hll_from_hex(a).M), dtype=np.uint8)
+    rb = np.frombuffer(bytes(hll_from_hex(b).M), dtype=np.uint8)
+    s = Hll()
+    s.M = bytearray(np.maximum(ra, rb).tobytes())
+    return s.to_hex()
+
+
 def _ts_bound_interval(
     ts_conds: list, params: dict | None
 ) -> tuple[int, int] | None:
@@ -765,42 +785,127 @@ class TrckSparkEngine:
                 boundary.append(i)
         if single and boundary:
             return None  # whole-store boundary == the plain scan
-        from trck_spark.store import _merge_hll_hexes
+        # the covered merge is pure plan-prep over immutable manifests
+        # (202 Python RLE decodes at 100 values x 2 parts ~= 0.5 s):
+        # memoize it ON the manifest like the engine memoizes compiled
+        # plans — repeat runs still pay the full boundary scan
+        cache = manifest.setdefault("_ts_hll_covered_cache", {})
+        ck = (f0, lo, hi)
+        covered_hex = cache.get(ck)
+        if covered_hex is None:
+            from trck_spark.store import _merge_hll_hexes
 
-        covered_hex = _merge_hll_hexes(len(union) + 1, covered_entries)
-        b_regs: dict[str, dict[str, dict]] = {}
+            covered_hex = _merge_hll_hexes(
+                len(union) + 1, covered_entries
+            )
+            cache[ck] = covered_hex
+        b_code_regs: dict[int, str] = {}  # code -> boundary-scan wire hex
         boundary_files: list[str] = []
         if boundary:
+            from pyspark.sql import functions as F
+
             sub = part_frames[boundary[0]]
             for i in boundary[1:]:
                 sub = sub.unionByName(
                     part_frames[i], allowMissingColumns=True
                 )
-            # the boundary frame keeps the store guarantees (union
-            # dicts, per-segment db scoping) but NOT sketch rollups —
-            # the recursive run must scan, not re-enter this tier
-            sub_manifest = {
-                k: v
-                for k, v in manifest.items()
-                if k not in ("rollups", "parts", "hll_rollups")
-            }
-            sub._trailstore_manifest = sub_manifest
             boundary_files = list(sub.inputFiles())
-            # no fn_registry: this shape yields only `cookie`, so the
-            # boundary scan never calls user functions; finalize stays
-            # with the OUTER result set
-            sub_rs = self.run(
-                sub, program_text_or_ir, params=params, uuid_col=uuid_col,
-                ts_col=ts_col, seq_col=seq_col, db_col="__segment",
+            # The boundary sketch is the register-max over DISTINCT
+            # (value, cookie) pairs with an in-bound event — the same
+            # vectorized pass the store write runs (_field_hll_rollups),
+            # here with the ts predicate pushed into the parquet scan.
+            # NOT the FSM sub-run: per-event Python evaluation costs
+            # ~50x more than distinct + Arrow-batched murmur at scale,
+            # and idempotent adds make the two provably identical.
+            if "__c_" + f0 in sub.columns:
+                # segment opens remap __c_* to union codes already
+                code_col = F.coalesce(F.col("__c_" + f0), F.lit(0))
+            else:
+                # code column dropped (over-budget remap): literal map
+                # over the union lexicon (bounded by DICT_MAX)
+                mapping = F.create_map(
+                    *[
+                        x
+                        for v, i in uindex.items()
+                        for x in (F.lit(v), F.lit(i))
+                    ]
+                )
+                code_col = F.coalesce(
+                    mapping[F.col(f0).cast("string")], F.lit(0)
+                )
+            pairs = (
+                sub.filter(
+                    (F.col(ts_col).cast("long") >= lo)
+                    & (F.col(ts_col).cast("long") <= hi)
+                )
+                .select(
+                    F.col(uuid_col).cast("string").alias("u"),
+                    code_col.cast("int").alias("c"),
+                )
+                .distinct()
             )
-            sub_tuples = sub_rs.tuples or []
-            for ti, res in sub_rs.collect_partials().items():
-                val = sub_tuples[ti][0] if ti < len(sub_tuples) else ""
-                for var, regs in res.hlls.items():
-                    tgt = b_regs.setdefault(val, {}).setdefault(var, {})
-                    for r, k in regs.items():
-                        if tgt.get(r, 0) < k:
-                            tgt[r] = k
+
+            def _fold(batches):
+                # ONE Python stage: vectorized murmur + numpy
+                # scatter-max fold straight to per-(partition, code)
+                # register arrays, emitted as wire hex.  No
+                # post-distinct shuffle, no register-row traffic — the
+                # collect is <= partitions x (len(union)+1) small rows
+                # and the final register-max happens on the driver
+                import numpy as np
+                import pandas as pd
+
+                from trck_spark.fsm.hll import (
+                    HLL_M,
+                    cookie_display_hex,
+                    hll_register_updates_vec,
+                )
+
+                acc: dict[int, object] = {}
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    disp = [cookie_display_hex(u) for u in pdf["u"]]
+                    reg, rank = hll_register_updates_vec(disp)
+                    rank8 = np.asarray(rank, dtype=np.uint8)
+                    cs = pdf["c"].values
+                    for c in np.unique(cs):
+                        m = cs == c
+                        arr = acc.get(int(c))
+                        if arr is None:
+                            arr = acc[int(c)] = np.zeros(
+                                HLL_M, dtype=np.uint8
+                            )
+                        np.maximum.at(arr, reg[m], rank8[m])
+                if not acc:
+                    return
+                yield pd.DataFrame(
+                    {
+                        "c": [int(c) for c in acc],
+                        # RAW register bytes, not RLE hex: the driver
+                        # merges partitions with one numpy max per row —
+                        # RLE-decoding thousands of partials in Python
+                        # costs more than the whole scan
+                        "regs": [arr.tobytes() for arr in acc.values()],
+                    }
+                )
+
+            import numpy as np
+
+            b_raw: dict[int, object] = {}
+            for r in pairs.mapInPandas(_fold, "c int, regs binary").collect():
+                arr = np.frombuffer(bytes(r["regs"]), dtype=np.uint8)
+                c = int(r["c"])
+                prev = b_raw.get(c)
+                b_raw[c] = (
+                    arr.copy() if prev is None else np.maximum(prev, arr)
+                )
+            from trck_spark.fsm.hll import Hll
+
+            for c, arr in b_raw.items():
+                s = Hll()
+                s.M = bytearray(arr.tobytes())
+                b_code_regs[c] = s.to_hex()
         tuples = foreach_tuples(
             program, params, lexicon_values=list(union)
         )
@@ -808,27 +913,18 @@ class TrckSparkEngine:
         index[""] = 0
         per_tuple: dict[int, Results] = {}
         for ti, tup in enumerate(tuples):
-            hx = covered_hex[index[tup[0]]]
-            bv = b_regs.get(tup[0])
-            if hx == EMPTY_HLL_HEX and not bv:
+            code = index[tup[0]]
+            hx = _max_hll_hex(covered_hex[code], b_code_regs.get(code))
+            if hx == EMPTY_HLL_HEX:
                 continue  # no adds anywhere: absent, like the FSM path
             res = Results()
             for v in hll_vars:
-                if not bv or v not in bv:
-                    # pure-covered tuple: keep the wire-hex fast path
-                    hr = _HexRegs()
-                    hr.hex = hx
-                    res.hlls[v] = hr
-                else:
-                    regs = (
-                        dict(_decode_hll_hex(hx))
-                        if hx != EMPTY_HLL_HEX
-                        else {}
-                    )
-                    for r, k in bv[v].items():
-                        if regs.get(r, 0) < k:
-                            regs[r] = k
-                    res.hlls[v] = regs
+                # every tuple stays on the wire-hex fast path:
+                # collect_json emits the hex verbatim, collect_partials
+                # hands out decoded copies
+                hr = _HexRegs()
+                hr.hex = hx
+                res.hlls[v] = hr
             per_tuple[ti] = res
         rs = TrckLocalResultSet(
             self, per_tuple, program, tuples, fn_registry
