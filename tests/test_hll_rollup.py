@@ -419,6 +419,93 @@ def test_hll_ts_scoped_zone_map_less_part_is_boundary(spark, tmp_path):
     assert out == out_fsm
 
 
+EXPLICIT_PROG = """
+foreach %v in @grid
+    start ->
+        receive
+            t = %v -> yield cookie to ^uniq, repeat
+            * -> repeat
+"""
+
+EXPLICIT_TS_PROG = """
+foreach %v in @grid
+    start ->
+        receive
+            t = %v, timestamp >= {lo}, timestamp < {hi} -> yield cookie to ^uniq, repeat
+            * -> repeat
+"""
+
+
+def test_hll_rollup_explicit_grid(spark, tmp_path):
+    """`foreach %v in @grid` uniques answer from the manifest sketches
+    too: grid values in the lexicon get their sketch, values absent
+    from the lexicon have zero occurrences by construction (empty)."""
+    from trck_spark.engine import TrckLocalResultSet, TrckSparkEngine
+    from trck_spark.store import write_trail_store
+
+    store = write_trail_store(
+        spark.createDataFrame(_rows(25, 4), SCHEMA), str(tmp_path / "x"),
+        seq_col="seq",
+    )
+    eng = TrckSparkEngine(spark)
+    params = {"@grid": ["a", "c", "zzz-not-in-data"]}
+    rs = eng.run(
+        store, EXPLICIT_PROG, params=params,
+        uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+    )
+    assert isinstance(rs, TrckLocalResultSet)
+    out = rs.collect_json()
+    import os as _os
+
+    _os.environ["TRCK_SPARK_NO_ROLLUP"] = "1"
+    _os.environ["TRCK_SPARK_NO_FASTPATH"] = "1"
+    try:
+        out_fsm = eng.run(
+            store, EXPLICIT_PROG, params=params,
+            uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+        ).collect_json()
+    finally:
+        del _os.environ["TRCK_SPARK_NO_ROLLUP"]
+        del _os.environ["TRCK_SPARK_NO_FASTPATH"]
+    assert out == out_fsm
+    by_v = {r["%v"]: r.get("^uniq") for r in out}
+    assert by_v["zzz-not-in-data"] in (None, "0e00")
+    assert by_v["a"] not in (None, "0e00")
+
+
+def test_hll_ts_scoped_explicit_grid(spark, tmp_path):
+    """Explicit grid x timestamp bound: covered middle segment from its
+    sketch, boundary segments scanned, out-of-lexicon grid value empty."""
+    from trck_spark.engine import TrckLocalResultSet, TrckSparkEngine
+
+    store = _time_sliced_store(spark, str(tmp_path / "xseg"))
+    prog = EXPLICIT_TS_PROG.format(lo=50, hi=250)
+    params = {"@grid": ["a", "b", "nope"]}
+    eng = TrckSparkEngine(spark)
+    rs = eng.run(
+        store, prog, params=params,
+        uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+    )
+    assert isinstance(rs, TrckLocalResultSet)
+    assert rs._ts_scope["boundary_parts"] == [0, 2]
+    out = rs.collect_json()
+    import os as _os
+
+    _os.environ["TRCK_SPARK_NO_ROLLUP"] = "1"
+    _os.environ["TRCK_SPARK_NO_FASTPATH"] = "1"
+    try:
+        out_fsm = eng.run(
+            store, prog, params=params,
+            uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+        ).collect_json()
+    finally:
+        del _os.environ["TRCK_SPARK_NO_ROLLUP"]
+        del _os.environ["TRCK_SPARK_NO_FASTPATH"]
+    assert out == out_fsm
+    by_v = {r["%v"]: r.get("^uniq") for r in out}
+    assert by_v["nope"] in (None, "0e00")
+
+
 def test_ensure_rollups_backfills_hll(spark, tmp_path):
     from trck_spark.engine import TrckLocalResultSet
     from trck_spark.store import (

@@ -599,7 +599,11 @@ class TrckSparkEngine:
         index[""] = 0
         per_tuple: dict[int, Results] = {}
         for ti, tup in enumerate(tuples):
-            hx = hex_list[index[tup[0]]]
+            # EXPLICIT grids may list values absent from the lexicon —
+            # by the lexicon's construction those have zero occurrences,
+            # i.e. an empty sketch
+            code = index.get(tup[0])
+            hx = hex_list[code] if code is not None else EMPTY_HLL_HEX
             if hx == EMPTY_HLL_HEX:
                 continue  # empty sketch: no adds, like the FSM path
             res = Results()
@@ -913,8 +917,14 @@ class TrckSparkEngine:
         index[""] = 0
         per_tuple: dict[int, Results] = {}
         for ti, tup in enumerate(tuples):
-            code = index[tup[0]]
-            hx = _max_hll_hex(covered_hex[code], b_code_regs.get(code))
+            # explicit grids may list out-of-lexicon values: zero
+            # occurrences by construction -> empty sketch
+            code = index.get(tup[0])
+            hx = (
+                _max_hll_hex(covered_hex[code], b_code_regs.get(code))
+                if code is not None
+                else EMPTY_HLL_HEX
+            )
             if hx == EMPTY_HLL_HEX:
                 continue  # no adds anywhere: absent, like the FSM path
             res = Results()
@@ -1394,6 +1404,63 @@ class TrckSparkEngine:
                 # byte-for-byte, and history never rescans. ---
                 if (
                     r_h
+                    and r_h[1]
+                    and (
+                        manifest.get("parts")
+                        or manifest.get("ts_min") is not None
+                    )
+                ):
+                    rs = self._run_ts_scoped_hll(
+                        events_df, program, program_text_or_ir, params,
+                        manifest, f0, r_h[0], r_h[1], uuid_col, ts_col,
+                        seq_col, fn_registry,
+                    )
+                    if rs is not None:
+                        return rs
+
+        # --- EXPLICIT-grid uniques (`foreach %v in @arr`): the same two
+        # sketch tiers, with the grid's values looked up in the lexicon
+        # — a grid value absent from the store's lexicon has, by the
+        # lexicon's construction, zero occurrences (empty sketch), the
+        # exact analog of the explicit-grid counter rollup ---
+        if (
+            fastpath_on
+            and not program.implicit_foreach
+            and program.groupby_vars
+            and len(program.groupby_vars) == 1
+            and not program.merge_results
+            and window_entries is None
+            and event_filter is None
+            and not exclude_on
+            and manifest.get("uuid_col") == uuid_col
+            and not _os.environ.get("TRCK_SPARK_NO_ROLLUP")
+        ):
+            f0 = program.var_fields.get(program.groupby_vars[0])
+            if f0 in dicts and f0 in cols:
+                from trck_spark.planner import rollup_hll_cookie_vars_ts
+
+                r_h = rollup_hll_cookie_vars_ts(
+                    program, program.groupby_vars[0], f0
+                )
+                hll_roll = (manifest.get("hll_rollups") or {}).get(f0)
+                grid_ok = False
+                if r_h:
+                    try:
+                        grid_ok = foreach_tuples(program, params) is not None
+                    except Exception:
+                        grid_ok = False  # unresolvable grid: normal path
+                if (
+                    grid_ok
+                    and not r_h[1]
+                    and hll_roll is not None
+                    and len(hll_roll) == len(dicts[f0]) + 1
+                ):
+                    return self._hll_rollup_result(
+                        program, params, dicts[f0], hll_roll, r_h[0],
+                        fn_registry,
+                    )
+                if (
+                    grid_ok
                     and r_h[1]
                     and (
                         manifest.get("parts")
