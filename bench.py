@@ -1586,6 +1586,22 @@ def _gate_subprocess() -> dict | None:
         pass
     env = dict(os.environ)
     env.setdefault("SPARK_DRIVER_MEM", "48g")
+    # cache-building runs in its own throwaway JVM first (see --prepare):
+    # measuring in the JVM that built the caches contaminated the
+    # round-9 attribution bar 5x.  A prepare failure is not fatal — the
+    # gate child rebuilds lazily (and pays the contamination) rather
+    # than losing the round's artifact.
+    prep, prep_tail = _run_child(
+        [sys.executable, os.path.abspath(__file__), "--prepare"],
+        env=env, timeout=7200,
+    )
+    if prep.returncode != 0:
+        print(
+            f"# prepare subprocess rc={prep.returncode} (gate child "
+            "will build caches in-JVM; timings may degrade)",
+            file=sys.stderr,
+        )
+    _settle("after prepare child")
     proc, gate_tail = _run_child(
         [sys.executable, os.path.abspath(__file__), "--gate",
          "--out", out_path],
@@ -1783,6 +1799,37 @@ def check_ts_dtype(sf_dir: str) -> str:
 
 
 def main() -> None:
+    if "--prepare" in sys.argv:
+        # Build every dataset/store cache in a THROWAWAY JVM so the
+        # measuring gate child opens warm caches with a clean heap.
+        # Round 9 measured the cost of not doing this: a gate child
+        # that had just built the 160M stores (incl. the write-time
+        # sketch pass over ~160M pairs) ran the window-sort-heavy
+        # attribution bar at 24.7s vs 4.4-4.8s in a fresh JVM on the
+        # same cached store — the round-6 "flat block inherits a
+        # fragmented heap" contamination, now on the gate side.
+        from trck_spark.session import get_spark
+
+        spark = get_spark("trck_spark_prepare")
+        spark.sparkContext.setLogLevel("ERROR")
+        _open_perf(spark, GATE_EVENTS)
+        _open_perf_segmented(spark, GATE_EVENTS)
+        _open_perf(spark, 20_000_000)  # streaming benches
+        n_pair = int(os.environ.get("SPARK_GRAFT_PAIR_DOCS", 5_000_000))
+        if n_pair > 0:
+            from trck_spark.benchdata import (
+                ensure_docs_dataset,
+                ensure_embeddings_dataset,
+            )
+
+            docs_path = os.path.join(_CACHE_DIR, f"docs_{n_pair}")
+            ensure_docs_dataset(spark, docs_path, n_docs=n_pair)
+            ensure_embeddings_dataset(
+                spark, docs_path, n_vecs=max(n_pair // 5, 1_000)
+            )
+        _log_peak_rss("prepare child")
+        return
+
     if "--gate" in sys.argv:
         out_path = None
         if "--out" in sys.argv:

@@ -837,25 +837,31 @@ class TrckSparkEngine:
                 code_col = F.coalesce(
                     mapping[F.col(f0).cast("string")], F.lit(0)
                 )
-            pairs = (
-                sub.filter(
-                    (F.col(ts_col).cast("long") >= lo)
-                    & (F.col(ts_col).cast("long") <= hi)
-                )
-                .select(
-                    F.col(uuid_col).cast("string").alias("u"),
-                    code_col.cast("int").alias("c"),
-                )
-                .distinct()
+            pairs = sub.filter(
+                (F.col(ts_col).cast("long") >= lo)
+                & (F.col(ts_col).cast("long") <= hi)
+            ).select(
+                F.col(uuid_col).cast("string").alias("u"),
+                code_col.cast("int").alias("c"),
+            )
+
+            n_slots = len(union) + 1
+            # JVM-side pre-reduction: (cookie, set of matched codes) —
+            # the bucketed store scan is already hash-partitioned by
+            # uuid, so this HashAggregate runs with NO exchange, and
+            # only ~trails rows (not ~events) cross into Python.  The
+            # raw event stream through Arrow alone measured 7-10s at a
+            # 25M-row boundary; this form moves ~0.8M rows
+            grouped = pairs.groupBy("u").agg(
+                F.collect_set("c").alias("cs")
             )
 
             def _fold(batches):
-                # ONE Python stage: vectorized murmur + numpy
-                # scatter-max fold straight to per-(partition, code)
-                # register arrays, emitted as wire hex.  No
-                # post-distinct shuffle, no register-row traffic — the
-                # collect is <= partitions x (len(union)+1) small rows
-                # and the final register-max happens on the driver
+                # per-partition flat scatter-max into a (codes x 2^14)
+                # accumulator: one murmur per distinct cookie, registers
+                # repeated per matched code, vectorized end to end.
+                # Sketch adds are idempotent, so cookies split across
+                # file-split partitions just max to the same registers
                 import numpy as np
                 import pandas as pd
 
@@ -865,39 +871,50 @@ class TrckSparkEngine:
                     hll_register_updates_vec,
                 )
 
-                acc: dict[int, object] = {}
+                flat = None
                 for pdf in batches:
                     if not len(pdf):
                         continue
+                    if flat is None:
+                        flat = np.zeros(n_slots * HLL_M, np.uint8)
                     disp = [cookie_display_hex(u) for u in pdf["u"]]
-                    reg, rank = hll_register_updates_vec(disp)
-                    rank8 = np.asarray(rank, dtype=np.uint8)
-                    cs = pdf["c"].values
-                    for c in np.unique(cs):
-                        m = cs == c
-                        arr = acc.get(int(c))
-                        if arr is None:
-                            arr = acc[int(c)] = np.zeros(
-                                HLL_M, dtype=np.uint8
-                            )
-                        np.maximum.at(arr, reg[m], rank8[m])
-                if not acc:
+                    reg_u, rank_u = hll_register_updates_vec(disp)
+                    lens = np.fromiter(
+                        (len(x) for x in pdf["cs"]),
+                        np.int64,
+                        count=len(pdf),
+                    )
+                    allc = np.concatenate(
+                        [np.asarray(x, np.int64) for x in pdf["cs"]]
+                    )
+                    regr = np.repeat(np.asarray(reg_u, np.int64), lens)
+                    rankr = np.repeat(
+                        np.asarray(rank_u, np.uint8), lens
+                    )
+                    np.maximum.at(flat, allc * HLL_M + regr, rankr)
+                if flat is None:
+                    return
+                regs2d = flat.reshape(n_slots, HLL_M)
+                live = [c for c in range(n_slots) if regs2d[c].any()]
+                if not live:
                     return
                 yield pd.DataFrame(
                     {
-                        "c": [int(c) for c in acc],
+                        "c": live,
                         # RAW register bytes, not RLE hex: the driver
-                        # merges partitions with one numpy max per row —
-                        # RLE-decoding thousands of partials in Python
-                        # costs more than the whole scan
-                        "regs": [arr.tobytes() for arr in acc.values()],
+                        # merges partition partials with one numpy max
+                        # per row — RLE-decoding thousands of partials
+                        # in Python costs more than the whole scan
+                        "regs": [regs2d[c].tobytes() for c in live],
                     }
                 )
 
             import numpy as np
 
             b_raw: dict[int, object] = {}
-            for r in pairs.mapInPandas(_fold, "c int, regs binary").collect():
+            for r in grouped.mapInPandas(
+                _fold, "c int, regs binary"
+            ).collect():
                 arr = np.frombuffer(bytes(r["regs"]), dtype=np.uint8)
                 c = int(r["c"])
                 prev = b_raw.get(c)
