@@ -1768,6 +1768,14 @@ def _gate_bars(gate: dict | None) -> dict:
         )
         and (gate.get("b_hll_store_segmented") or {}).get("match")
         is True,
+        # ts-bounded uniques: a VALUE bar (sketch envelope) plus the
+        # decomposition proof (covered parts answered from sketches,
+        # only the newest segment scanned); the wallclock ratio is
+        # recorded, not gated — it is proportional to the boundary
+        # slice, which this bench's 3-segment geometry makes
+        # adversarially thick (1/3 of all data)
+        "hll_ts": (gate.get("b_hll_store_ts") or {}).get("match") is True
+        and (gate.get("b_hll_store_ts") or {}).get("covered_parts") == 2,
     }
     matches = [
         (gate.get(n) or {}).get("match") for n in BASELINE_DEFS
