@@ -506,6 +506,87 @@ def test_hll_ts_scoped_explicit_grid(spark, tmp_path):
     assert by_v["nope"] in (None, "0e00")
 
 
+GRIDLESS_PROG = """
+start ->
+    receive
+        {pred} -> yield cookie to ^u, repeat
+        * -> repeat
+"""
+
+
+def test_hll_gridless_valueset(spark, tmp_path):
+    """'How many unique cookies clicked?' — gridless literal /
+    set-membership uniques answer as the register-max over the member
+    values' manifest sketches, with no foreach anywhere."""
+    from trck_spark.engine import TrckLocalResultSet, TrckSparkEngine
+    from trck_spark.store import write_trail_store
+
+    store = write_trail_store(
+        spark.createDataFrame(_rows(25, 4), SCHEMA), str(tmp_path / "g"),
+        seq_col="seq",
+    )
+    eng = TrckSparkEngine(spark)
+    cases = [
+        (GRIDLESS_PROG.format(pred='t = "a"'), None),
+        (GRIDLESS_PROG.format(pred="t in #s"), {"#s": ["a", "c"]}),
+        (GRIDLESS_PROG.format(pred="t = %v"), {"%v": "b"}),
+        # conjunction intersects; out-of-lexicon value is empty
+        (GRIDLESS_PROG.format(pred='t = "a", t in #s'), {"#s": ["a"]}),
+        (GRIDLESS_PROG.format(pred='t = "zzz"'), None),
+    ]
+    for prog, params in cases:
+        rs = eng.run(
+            store, prog, params=params,
+            uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+        )
+        assert isinstance(rs, TrckLocalResultSet), prog
+        out = rs.collect_json()
+        _, out_fsm = _run(
+            spark, store, prog,
+            env={
+                "TRCK_SPARK_NO_ROLLUP": "1",
+                "TRCK_SPARK_NO_FASTPATH": "1",
+            },
+            params=params,
+        )
+        assert out == out_fsm, prog
+    # DECLINES: unresolvable set param, relop condition on the field
+    rs_d = eng.run(
+        store, GRIDLESS_PROG.format(pred="t in #nope"),
+        uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+    )
+    assert not isinstance(rs_d, TrckLocalResultSet)
+
+
+def test_hll_gridless_valueset_ts_scoped(spark, tmp_path):
+    """Gridless value-set uniques with a timestamp bound: covered
+    segments answer from their sketches, only boundary segments scan."""
+    from trck_spark.engine import TrckLocalResultSet, TrckSparkEngine
+
+    store = _time_sliced_store(spark, str(tmp_path / "gts"))
+    prog = GRIDLESS_PROG.format(
+        pred='t in #s, timestamp >= 50, timestamp < 250'
+    )
+    params = {"#s": ["a", "b"]}
+    eng = TrckSparkEngine(spark)
+    rs = eng.run(
+        store, prog, params=params,
+        uuid_col="uuid", ts_col="timestamp", seq_col="seq",
+    )
+    assert isinstance(rs, TrckLocalResultSet)
+    assert rs._ts_scope["boundary_parts"] == [0, 2]
+    assert not any(
+        "segment_0000" in f for f in rs._ts_scope["boundary_files"]
+    )
+    out = rs.collect_json()
+    _, out_fsm = _run(
+        spark, store, prog,
+        env={"TRCK_SPARK_NO_ROLLUP": "1", "TRCK_SPARK_NO_FASTPATH": "1"},
+        params=params,
+    )
+    assert out == out_fsm
+
+
 def test_ensure_rollups_backfills_hll(spark, tmp_path):
     from trck_spark.engine import TrckLocalResultSet
     from trck_spark.store import (

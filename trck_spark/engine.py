@@ -741,6 +741,59 @@ class TrckSparkEngine:
         partial overlap) — caller falls through to the scan path."""
         from trck_spark.fsm.hll import EMPTY_HLL_HEX
 
+        sk = self._ts_hll_code_sketches(
+            events_df, params, manifest, f0, ts_conds, uuid_col, ts_col
+        )
+        if sk is None:
+            return None
+        covered_hex, b_code_regs, scope = sk
+        union = manifest["dicts"][f0]
+        uindex = {v: i + 1 for i, v in enumerate(union)}
+        tuples = foreach_tuples(
+            program, params, lexicon_values=list(union)
+        )
+        index = dict(uindex)
+        index[""] = 0
+        per_tuple: dict[int, Results] = {}
+        for ti, tup in enumerate(tuples):
+            # explicit grids may list out-of-lexicon values: zero
+            # occurrences by construction -> empty sketch
+            code = index.get(tup[0])
+            hx = (
+                _max_hll_hex(covered_hex[code], b_code_regs.get(code))
+                if code is not None
+                else EMPTY_HLL_HEX
+            )
+            if hx == EMPTY_HLL_HEX:
+                continue  # no adds anywhere: absent, like the FSM path
+            res = Results()
+            for v in hll_vars:
+                # every tuple stays on the wire-hex fast path:
+                # collect_json emits the hex verbatim, collect_partials
+                # hands out decoded copies
+                hr = _HexRegs()
+                hr.hex = hx
+                res.hlls[v] = hr
+            per_tuple[ti] = res
+        rs = TrckLocalResultSet(
+            self, per_tuple, program, tuples, fn_registry
+        )
+        # diagnostics for tests/observability: which parts answered from
+        # the manifest vs were scanned
+        rs._ts_scope = scope
+        return rs
+
+    def _ts_hll_code_sketches(
+        self, events_df, params: dict | None, manifest: dict, f0: str,
+        ts_conds: list, uuid_col: str, ts_col: str,
+    ):
+        """(covered_hex_by_union_code, boundary_hex_by_union_code,
+        scope_diagnostics) for a ts-bounded sketch decomposition over
+        the store's parts, or None when it can't be proven — the shared
+        engine of the foreach (:meth:`_run_ts_scoped_hll`) and gridless
+        value-set uniques tiers."""
+        from trck_spark.fsm.hll import EMPTY_HLL_HEX
+
         interval = _ts_bound_interval(ts_conds, params)
         if interval is None:
             return None
@@ -927,42 +980,78 @@ class TrckSparkEngine:
                 s = Hll()
                 s.M = bytearray(arr.tobytes())
                 b_code_regs[c] = s.to_hex()
-        tuples = foreach_tuples(
-            program, params, lexicon_values=list(union)
+        return (
+            covered_hex,
+            b_code_regs,
+            {
+                "covered_parts": len(covered_entries),
+                "boundary_parts": list(boundary),
+                "boundary_files": boundary_files,
+            },
         )
-        index = dict(uindex)
-        index[""] = 0
-        per_tuple: dict[int, Results] = {}
-        for ti, tup in enumerate(tuples):
-            # explicit grids may list out-of-lexicon values: zero
-            # occurrences by construction -> empty sketch
-            code = index.get(tup[0])
-            hx = (
-                _max_hll_hex(covered_hex[code], b_code_regs.get(code))
-                if code is not None
-                else EMPTY_HLL_HEX
+
+    def _run_hll_valueset(
+        self, events_df, program: Program, params: dict | None,
+        manifest: dict, f0: str, hll_vars: list, values: frozenset,
+        ts_conds: list, uuid_col: str, ts_col: str,
+        fn_registry: dict | None,
+    ):
+        """GRIDLESS value-set uniques ('how many unique cookies
+        clicked?'): clause 0 matches a driver-resolvable value set on
+        ONE field (``field = "lit"``, ``field in #set``, or a
+        conjunction — the uniques analog of the set-membership counter
+        tier), every yield ``yield cookie to ^x``, no foreach.  The
+        answer is the register-max over the member values' manifest
+        sketches: a cookie is added iff it has >= 1 event whose value
+        is IN the set, and sketch-union == register max makes the
+        member merge exact.  Timestamp conjuncts take the same
+        covered/boundary decomposition as the foreach tiers.  Values
+        absent from the lexicon have zero occurrences by construction.
+        Returns None when the decomposition can't be proven."""
+        from trck_spark.fsm.hll import EMPTY_HLL_HEX
+
+        union = manifest["dicts"][f0]
+        uindex = {v: i + 1 for i, v in enumerate(union)}
+        uindex[""] = 0
+        codes = sorted(
+            {uindex[v] for v in values if v in uindex}
+        )
+        scope = None
+        if not ts_conds:
+            hll_roll = (manifest.get("hll_rollups") or {}).get(f0)
+            if hll_roll is None or len(hll_roll) != len(union) + 1:
+                return None
+            member_hexes = [hll_roll[c] for c in codes]
+        else:
+            sk = self._ts_hll_code_sketches(
+                events_df, params, manifest, f0, ts_conds, uuid_col,
+                ts_col,
             )
-            if hx == EMPTY_HLL_HEX:
-                continue  # no adds anywhere: absent, like the FSM path
+            if sk is None:
+                return None
+            covered_hex, b_code_regs, scope = sk
+            member_hexes = [
+                _max_hll_hex(covered_hex[c], b_code_regs.get(c))
+                for c in codes
+            ]
+        merged = EMPTY_HLL_HEX
+        for hx in member_hexes:
+            merged = _max_hll_hex(hx, merged if merged != EMPTY_HLL_HEX else None)
+        per_tuple: dict[int, Results] = {}
+        if merged != EMPTY_HLL_HEX:
             res = Results()
             for v in hll_vars:
-                # every tuple stays on the wire-hex fast path:
-                # collect_json emits the hex verbatim, collect_partials
-                # hands out decoded copies
-                hr = _HexRegs()
-                hr.hex = hx
-                res.hlls[v] = hr
-            per_tuple[ti] = res
+                # PLAIN register dicts, not _HexRegs: the non-foreach
+                # output path folds through Results.merge, which walks
+                # the dict items (a hex-backed empty dict would merge
+                # to nothing).  One decode for one sketch — no hot loop
+                res.hlls[v] = dict(_decode_hll_hex(merged))
+            per_tuple[0] = res
         rs = TrckLocalResultSet(
-            self, per_tuple, program, tuples, fn_registry
+            self, per_tuple, program, None, fn_registry
         )
-        # diagnostics for tests/observability: which parts answered from
-        # the manifest vs were scanned
-        rs._ts_scope = {
-            "covered_parts": len(covered_entries),
-            "boundary_parts": list(boundary),
-            "boundary_files": boundary_files,
-        }
+        if scope is not None:
+            rs._ts_scope = scope
         return rs
 
     def _ts_scoped_partials(
@@ -1488,6 +1577,40 @@ class TrckSparkEngine:
                         events_df, program, program_text_or_ir, params,
                         manifest, f0, r_h[0], r_h[1], uuid_col, ts_col,
                         seq_col, fn_registry,
+                    )
+                    if rs is not None:
+                        return rs
+
+        # --- GRIDLESS value-set uniques ("how many unique cookies
+        # clicked?"): clause 0 matches a literal / set-membership value
+        # set on one field, yields only `yield cookie to ^x` — the
+        # answer is the register-max over the member values' manifest
+        # sketches, ts-bounded via the same covered/boundary
+        # decomposition ---
+        if (
+            fastpath_on
+            and not program.groupby_vars
+            and not program.merge_results
+            and window_entries is None
+            and event_filter is None
+            and not exclude_on
+            and manifest.get("uuid_col") == uuid_col
+            and not _os.environ.get("TRCK_SPARK_NO_ROLLUP")
+        ):
+            from trck_spark.planner import rollup_hll_valueset
+
+            r_v = rollup_hll_valueset(program, params)
+            if r_v is not None:
+                vfield, v_hll_vars, v_ts, v_values = r_v
+                if vfield in dicts and vfield in cols and (
+                    not v_ts
+                    or manifest.get("parts")
+                    or manifest.get("ts_min") is not None
+                ):
+                    rs = self._run_hll_valueset(
+                        events_df, program, params, manifest, vfield,
+                        v_hll_vars, v_values, v_ts, uuid_col, ts_col,
+                        fn_registry,
                     )
                     if rs is not None:
                         return rs

@@ -577,6 +577,90 @@ def rollup_hll_cookie_vars_ts(
     return sorted({y["dst"] for y in ys}), list(attrs.get("timestamp", []))
 
 
+def rollup_hll_valueset(
+    program: Program, params: dict | None
+) -> tuple[str, list[str], list, frozenset] | None:
+    """(field, sorted ``^hll`` vars, timestamp_conditions,
+    matching_values) for the GRIDLESS value-set uniques shape — the
+    uniques analog of :func:`rollup_weights_ts_valueset`: no foreach,
+    clause 0 carries any conjunction of equality / set-membership
+    conditions on ONE field (plus optional timestamp relops) and yields
+    only ``yield cookie to ^x``.  The sketch answer is the register-max
+    over the member values' manifest sketches (a cookie has >= 1 event
+    with value in the set iff it has one for SOME member — and
+    HLL union IS register max, so the member merge is exact).  Same
+    structural gates as :func:`rollup_hll_cookie_vars_ts`; returns None
+    when any condition is not driver-resolvable to a value set."""
+    if program.groupby or len(program.rules) != 1:
+        return None
+    r = program.rules[0]
+    if r.get("window") is not None or "after" in r or r.get("outer"):
+        return None
+    clauses = r.get("clauses", [])
+    if not clauses:
+        return None
+    if any(c["_action"][0] != A_REPEAT for c in clauses):
+        return None
+    if not any(not c.get("attrs") for c in clauses):
+        return None  # no catch-all: non-exhaustive-match errors possible
+    c0 = clauses[0]
+    if c0.get("op") == "not":
+        return None
+    attrs = c0.get("attrs") or {}
+    non_ts = {k: v for k, v in attrs.items() if k != "timestamp"}
+    if len(non_ts) != 1:
+        return None
+    ((field, conds),) = non_ts.items()
+    value_sets: list[set] = []
+    for cond in conds:
+        if cond[:1] in ("<", ">", "="):
+            return None  # relational condition: not a value set
+        if cond[:1] == "%":
+            v = (params or {}).get(cond)
+            if not isinstance(v, str):
+                return None
+            value_sets.append({v})
+        elif cond[:1] == "#":
+            v = (params or {}).get(cond)
+            if v is None or isinstance(v, str):
+                return None
+            value_sets.append({str(x) for x in v})
+        elif cond[:1] == "@":
+            return None
+        else:
+            value_sets.append({cond})
+    if not value_sets:
+        return None
+    values = frozenset(set.intersection(*value_sets))
+    ys = c0.get("yield") or []
+    if not ys:
+        return None
+    for y in ys:
+        if y["dst"][0] != "^":
+            return None
+        src = y.get("src") or []
+        if (
+            len(src) != 1
+            or src[0].get("_k") != "field"
+            or src[0].get("name") != "cookie"
+        ):
+            return None
+    if any(c.get("yield") for c in clauses[1:]):
+        return None
+    if (
+        program.yield_counters
+        or program.yield_sets
+        or program.yield_multisets
+    ):
+        return None
+    return (
+        field,
+        sorted({y["dst"] for y in ys}),
+        list(attrs.get("timestamp", [])),
+        values,
+    )
+
+
 def _equi_join_fields(program: Program) -> dict | None:
     """{groupby var -> field} when the grid can equi-join instead of
     cross-join, else None.
