@@ -34,6 +34,48 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
+# ------------------------------------------------ wall-clock budget (r10)
+#
+# Round 9 lost its entire official perf artifact (BENCH_r09 rc=124,
+# parsed: null) because the run had no total wall-clock budget and the
+# gate child held every measured number in memory until the end.  The
+# harness now (a) tracks a TOTAL budget from process start, (b) sizes
+# each child's timeout from what remains, (c) degrades the pair-scale
+# protocol 3->1 runs and then SKIPS blocks (with a disclosed marker)
+# rather than dying, and (d) checkpoints every artifact after every
+# completed block, so a kill at any point leaves a parseable, current
+# BENCH_GATE.json / BENCH_SF.json and the parent can always emit the
+# contract line.  Default 5400s: round 8 (the last rc=0 round) finished
+# well inside it, and the round-9 post-mortem put the driver's own
+# limit near 7200s.
+
+_T0 = time.time()
+_BUDGET_S = float(os.environ.get("TRCK_SPARK_BENCH_BUDGET_S", "5400"))
+# final BENCH_SF rewrite + contract print headroom
+_FINAL_RESERVE_S = 120.0
+
+
+def _remaining() -> float:
+    """Seconds left in the total bench budget (may go negative)."""
+    return _BUDGET_S - (time.time() - _T0)
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    """Write-then-rename so a kill mid-write can never leave a torn
+    artifact; every block checkpoint goes through here."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(obj, indent=1, default=str) + "\n")
+    os.replace(tmp, path)
+
+
+def _read_json(path: str):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
 # --------------------------------------------------------- baseline gate
 #
 # BASELINE.md B1/B2: run the perftest1-shaped workload (reference
@@ -271,7 +313,7 @@ def _median_ci(tail):
 
 
 def run_baseline_gate(spark, n_events: int = None,
-                      n_lo: int = 20_000_000) -> dict:
+                      n_lo: int = 20_000_000, ckpt=None) -> dict:
     """Spark (flat parquet AND TrailStore bucketed layout) vs the DuckDB
     oracle at GATE_EVENTS events, plus the 20M lo-side runs that feed
     the marginal-throughput ratios.  Every timing is steady-state (see
@@ -373,6 +415,16 @@ def run_baseline_gate(spark, n_events: int = None,
         }
         print(f"# store {name}: hi {hi_s:.3f}s med {hi_med:.3f}s "
               f"{hi_runs} / lo {lo_s:.3f}s {lo_runs}", file=sys.stderr)
+        if ckpt:
+            # durability checkpoint: measured store timings survive a
+            # kill even before the oracle side runs (transient key,
+            # dropped when the full rows are assembled below)
+            ckpt({"_store_block_partial": {
+                n: {k: d[k] for k in
+                    ("hi_s", "hi_med", "lo_s", "lo_med",
+                     "hi_runs", "lo_runs")}
+                for n, d in st.items()
+            }})
     _gc()
 
     # --- oracle block ---
@@ -418,6 +470,20 @@ def run_baseline_gate(spark, n_events: int = None,
         }
         print(f"# oracle {name}: hi {ohi_s:.3f}s med {ohi_med:.3f}s "
               f"{ohi_runs} / lo {olo_s:.3f}s {olo_runs}", file=sys.stderr)
+        if ckpt:
+            ckpt({
+                "_store_block_partial": {
+                    n: {k: d[k] for k in
+                        ("hi_s", "hi_med", "lo_s", "lo_med",
+                         "hi_runs", "lo_runs")}
+                    for n, d in st.items()
+                },
+                "_oracle_block_partial": {
+                    n: {k: d[k] for k in
+                        ("hi_s", "hi_med", "lo_s", "lo_med")}
+                    for n, d in oc.items()
+                },
+            })
 
     # --- assemble (flat-layout numbers are patched in by
     # run_flat_block, which the suite runs LAST: its 160M window sorts
@@ -592,6 +658,9 @@ def run_baseline_gate(spark, n_events: int = None,
               f" Mev/s = {mrow['marginal_ratio']}x best / "
               f"{mrow['marginal_ratio_mean']}x tail-mean",
               file=sys.stderr)
+    out["marginal"] = marginal
+    if ckpt:
+        ckpt(out)  # all four baseline rows + marginals assembled
     # --- segmented-store B1 (VERDICT r07 item 1): three time-sliced
     # appends must keep the zero-scan merged-rollup tier — the row is
     # green when it matches the plain store's B1 rows and stays at
@@ -629,6 +698,8 @@ def run_baseline_gate(spark, n_events: int = None,
         file=sys.stderr,
     )
     _gc()
+    if ckpt:
+        ckpt(out)
 
     # --- HLL uniques through the segmented store (VERDICT r08 item 1):
     # `yield cookie to ^uniq` per advertisable_eid answers entirely from
@@ -711,6 +782,8 @@ foreach %aeid
         file=sys.stderr,
     )
     _gc()
+    if ckpt:
+        ckpt(out)
 
     # --- TIME-BOUNDED uniques through the segmented store (round 9):
     # "uniques up to T" with T inside the newest segment — the first
@@ -1107,10 +1180,23 @@ start ->
     }
 
 
-def run_gate_suite() -> dict:
+def run_gate_suite(out_path: str | None = None) -> dict:
     """Everything that needs the 48g heap / 160M dataset, in one
     process: baseline gate, marginal gate, FSM-path benches (B1
-    counter grid + B2 funnel window), streaming sessionization."""
+    counter grid + B2 funnel window), streaming sessionization.
+
+    Every completed block is CHECKPOINTED to ``out_path`` (atomic
+    tmp+rename) the moment it finishes — round 9's driver timeout
+    destroyed ~35 minutes of already-measured gate bars because the
+    artifact was written only at the end (VERDICT r09 item 1a).  A
+    partial artifact carries ``status: partial``; the parent flips it
+    to ``gate_complete`` semantics by later blocks (flat/pair) that
+    patch it in place.
+
+    The pair-scale family does NOT run here anymore: it is the single
+    most expensive block (~37 min at 3 runs) and its death must not be
+    able to take the gate artifact down with it (VERDICT r09 item 1b)
+    — the parent runs it as its own fresh-JVM ``--pair`` child, last."""
     from trck_spark.session import get_spark
 
     spark = get_spark("trck_spark_gate")
@@ -1118,15 +1204,28 @@ def run_gate_suite() -> dict:
     # contention attribution: a loaded box (orphan JVMs, concurrent
     # test runs) shows up here, so a slow artifact is inspectable
     load0 = [round(x, 2) for x in os.getloadavg()]
-    out: dict = {}
+    out: dict = {"status": "partial"}
+
+    def ckpt(baseline_partial: dict | None = None):
+        if not out_path:
+            return
+        snap = dict(out)
+        if baseline_partial is not None:
+            snap.update(baseline_partial)
+        _atomic_write_json(out_path, snap)
+
     try:
-        out = run_baseline_gate(spark)
+        base = run_baseline_gate(spark, ckpt=ckpt)
     except Exception as e:
-        return {"error": f"{type(e).__name__}: {e}"}
+        out["error"] = f"{type(e).__name__}: {e}"
+        ckpt()
+        return out
+    out.update(base)
     out["loadavg_at_start"] = load0
     out["loadavg_after_baseline"] = [
         round(x, 2) for x in os.getloadavg()
     ]
+    ckpt()
     for key, prog_name in (("b1_fsm_path", B1_PROG), ("b2_fsm_path", None)):
         try:
             if prog_name is None:
@@ -1138,6 +1237,7 @@ def run_gate_suite() -> dict:
         except Exception as e:
             out[key] = {"error": f"{type(e).__name__}: {e}"}
             print(f"# {key} failed: {e}", file=sys.stderr)
+        ckpt()
     try:
         out["streaming"] = run_streaming_bench(spark)
         print(f"# streaming sessionization: {out['streaming']}",
@@ -1145,6 +1245,7 @@ def run_gate_suite() -> dict:
     except Exception as e:
         out["streaming"] = {"error": f"{type(e).__name__}: {e}"}
         print(f"# streaming bench failed: {e}", file=sys.stderr)
+    ckpt()
     try:
         out["streaming_window"] = run_streaming_window_bench(spark)
         print(f"# streaming with window file: {out['streaming_window']}",
@@ -1152,27 +1253,18 @@ def run_gate_suite() -> dict:
     except Exception as e:
         out["streaming_window"] = {"error": f"{type(e).__name__}: {e}"}
         print(f"# streaming window bench failed: {e}", file=sys.stderr)
-    try:
-        n_pair_docs = int(
-            os.environ.get("SPARK_GRAFT_PAIR_DOCS", 5_000_000)
-        )
-        if n_pair_docs > 0:
-            out["pair_scale"] = run_pair_scale_bench(spark, n_pair_docs)
-            print(f"# pair_scale: {out['pair_scale']}", file=sys.stderr)
-    except Exception as e:
-        out["pair_scale"] = {"error": f"{type(e).__name__}: {e}"}
-        print(f"# pair scale bench failed: {e}", file=sys.stderr)
-    # NOTE: the flat block is NOT run here.  It historically ran last
-    # in this JVM ("degrades whatever follows"), but round 6 showed the
-    # converse contamination: after the grown suite (pair-scale rows +
-    # streaming benches) the flat 160M window sorts inherited a
-    # fragmented 48g heap — flat B1 measured 45 s vs 7.7 s in round 5,
-    # then OOM'd.  _gate_subprocess now runs it as its own fresh-JVM
-    # child (--flat), which isolates heap state in both directions.
+    # NOTE: neither the flat block nor the pair-scale family runs here.
+    # Flat: round 6 showed the converse contamination (fragmented 48g
+    # heap after the grown suite degraded flat B1 6x, then OOM'd).
+    # Pair-scale: round 9's timeout post-mortem (VERDICT r09 item 1b).
+    # Both run as their own fresh-JVM children that PATCH the artifact.
+    out["status"] = "gate_complete"
+    ckpt()
     return out
 
 
-def run_pair_scale_bench(spark, n_docs: int = 5_000_000) -> dict:
+def run_pair_scale_bench(spark, n_docs: int = 5_000_000,
+                         ckpt=None) -> dict:
     """Dedup pair family at a scale where the O(candidates) terms
     dominate (VERDICT r04 item 6): minhash_lsh_pairs, simhash_pairs,
     embedding_near_dup_pairs (on a planted n_docs/5 vector corpus),
@@ -1236,6 +1328,12 @@ def run_pair_scale_bench(spark, n_docs: int = 5_000_000) -> dict:
                  "truth": truth,
                  "statistic": f"median of {n_runs} runs, run lists "
                               "committed per operator"}
+
+    def _ck():
+        # per-operator durability: a kill mid-family keeps every
+        # completed operator's medians in the artifact (r09 item 1)
+        if ckpt:
+            ckpt(dict(out))
     near_lo, orig_hi = truth["near_lo"], truth["orig_hi"]
 
     mh_runs, el, pairs, n_pairs = _timed(
@@ -1289,6 +1387,7 @@ def run_pair_scale_bench(spark, n_docs: int = 5_000_000) -> dict:
         "exact_recall": round(found_exact / max(truth["n_exact"], 1), 4),
     }
     _gc()
+    _ck()
 
     # --- simhash at candidate-dominated scale (VERDICT r05 item 5):
     # exact dups have hamming 0 and identical fingerprints, so the
@@ -1324,6 +1423,7 @@ def run_pair_scale_bench(spark, n_docs: int = 5_000_000) -> dict:
         "near_found": sh_near,
     }
     _gc()
+    _ck()
 
     # --- embedding near-dup at scale (VERDICT r05 item 5): a planted
     # 1M-vector corpus (n_docs/5, dim 64).  Exact-duplicate vectors
@@ -1371,6 +1471,7 @@ def run_pair_scale_bench(spark, n_docs: int = 5_000_000) -> dict:
         "near_recall": round(ep_near / max(etruth["n_near"], 1), 4),
     }
     _gc()
+    _ck()
 
     cl_runs, el, cl, agg = _timed(
         "clusters",
@@ -1392,6 +1493,7 @@ def run_pair_scale_bench(spark, n_docs: int = 5_000_000) -> dict:
         "expected_min_dup_docs": truth["n_duplicates"],
     }
     _gc()
+    _ck()
 
     ap_runs, el, ap, n_surv = _timed(
         "apply",
@@ -1406,6 +1508,7 @@ def run_pair_scale_bench(spark, n_docs: int = 5_000_000) -> dict:
         "survivors_match": n_surv == expected,
     }
     _gc()
+    _ck()
 
     # daily-ingestion story at the same scale: materialize the original
     # corpus as a FingerprintStore once, then classify the incoming
@@ -1473,6 +1576,7 @@ def run_pair_scale_bench(spark, n_docs: int = 5_000_000) -> dict:
         ),
     }
     _gc()
+    _ck()
     return out
 
 
@@ -1502,6 +1606,10 @@ def _run_child(cmd, env, timeout):
         cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         start_new_session=True, text=True, errors="replace",
     )
+    # the parent's SIGTERM handler kills this group before emitting the
+    # contract line, so a driver kill can't orphan a 32-thread JVM into
+    # whatever the driver runs next
+    _ACTIVE_CHILD["pid"] = proc.pid
     tail: "collections.deque[str]" = collections.deque(maxlen=80)
 
     def _tee():
@@ -1527,7 +1635,11 @@ def _run_child(cmd, env, timeout):
             pass
         proc.wait()
         t.join(timeout=10)
+        _ACTIVE_CHILD["pid"] = None
     return proc, "".join(tail)[-2048:]
+
+
+_ACTIVE_CHILD: dict = {"pid": None}
 
 
 def _settle(label: str, max_wait: float = 300.0) -> None:
@@ -1571,75 +1683,158 @@ def _log_peak_rss(label: str) -> None:
 
 
 def _gate_subprocess() -> dict | None:
-    """Run the gate suite in a child process with the 48g heap and
-    return its parsed result (also persisted to BENCH_GATE.json — the
-    committed artifact of record; the contract line carries only a
-    compact summary so the driver's tail capture can't truncate it
-    mid-JSON, which is how round 3 lost its per-query dict)."""
+    """Run the gate family as budget-aware fresh-JVM children and
+    return the assembled BENCH_GATE.json contents.
+
+    Round-10 protocol (VERDICT r09 item 1): BENCH_GATE.json is written
+    as a status stub IMMEDIATELY (replacing the r09 delete-up-front,
+    which left the tree artifact-less when the driver's timeout killed
+    the gate child), every child checkpoints it after every completed
+    block, the pair-scale family runs as its own LAST child so its
+    death cannot destroy the gate bars, and each child's timeout is
+    sized from the remaining total budget — a block that does not fit
+    is SKIPPED with a disclosed marker, never allowed to run the
+    process into the driver's kill."""
     out_path = os.path.join(_REPO, "BENCH_GATE.json")
-    # remove any prior-round artifact BEFORE the child runs: if the child
-    # crashes before writing, reading the stale file would silently report
-    # last round's numbers as this run's gate summary
-    try:
-        os.remove(out_path)
-    except OSError:
-        pass
+    _atomic_write_json(out_path, {
+        "status": "running",
+        "budget_s": _BUDGET_S,
+        "budget_spent_at_start_s": round(time.time() - _T0, 1),
+    })
     env = dict(os.environ)
     env.setdefault("SPARK_DRIVER_MEM", "48g")
-    # cache-building runs in its own throwaway JVM first (see --prepare):
-    # measuring in the JVM that built the caches contaminated the
-    # round-9 attribution bar 5x.  A prepare failure is not fatal — the
-    # gate child rebuilds lazily (and pays the contamination) rather
-    # than losing the round's artifact.
-    prep, prep_tail = _run_child(
-        [sys.executable, os.path.abspath(__file__), "--prepare"],
-        env=env, timeout=7200,
-    )
-    if prep.returncode != 0:
-        print(
-            f"# prepare subprocess rc={prep.returncode} (gate child "
-            "will build caches in-JVM; timings may degrade)",
-            file=sys.stderr,
+    skipped: dict = {}
+    me = os.path.abspath(__file__)
+
+    def _left():
+        return _remaining() - _FINAL_RESERVE_S
+
+    def _patch(patch: dict):
+        gate = _read_json(out_path) or {}
+        gate.update(patch)
+        _atomic_write_json(out_path, gate)
+        return gate
+
+    # ---- prepare child (throwaway JVM builds every dataset/store
+    # cache so the measuring children open warm caches with clean
+    # heaps; a prepare failure is not fatal — the gate child rebuilds
+    # lazily and pays the contamination rather than losing the round) --
+    rem = _left()
+    if rem < 900:
+        skipped["prepare"] = f"budget: {rem:.0f}s left"
+        print(f"# prepare SKIPPED ({skipped['prepare']})", file=sys.stderr)
+    else:
+        penv = dict(env)
+        if rem < 3300:
+            # the pair family will be degraded/skipped below — don't
+            # spend prepare time generating its 5M-doc corpus
+            penv["SPARK_GRAFT_PAIR_DOCS"] = "0"
+        prep, _pt = _run_child(
+            [sys.executable, me, "--prepare"],
+            env=penv, timeout=max(300, min(4200, rem - 900)),
         )
-    _settle("after prepare child")
+        if prep.returncode != 0:
+            print(
+                f"# prepare subprocess rc={prep.returncode} (gate child "
+                "will build caches in-JVM; timings may degrade)",
+                file=sys.stderr,
+            )
+        _settle("after prepare child")
+
+    # ---- gate child (baseline + fsm-path + streaming; checkpoints
+    # internally after every block) ----
+    rem = _left()
+    if rem < 420:
+        skipped["gate"] = f"budget: {rem:.0f}s left"
+        print(f"# gate SKIPPED ({skipped['gate']})", file=sys.stderr)
+        return _patch({"status": "skipped_budget", "skipped": skipped})
     proc, gate_tail = _run_child(
-        [sys.executable, os.path.abspath(__file__), "--gate",
-         "--out", out_path],
-        env=env, timeout=7200,
+        [sys.executable, me, "--gate", "--out", out_path],
+        env=env, timeout=max(420, min(5400, rem - 60)),
     )
     if proc.returncode != 0:
         print(f"# gate subprocess rc={proc.returncode}", file=sys.stderr)
-        return {"error": f"gate subprocess exited rc={proc.returncode}",
-                "error_detail": gate_tail}
-    # flat block in its OWN fresh 48g JVM (see run_gate_suite note):
-    # reads the artifact, patches the flat columns, rewrites atomically.
-    # Settle first so the flat timings don't start into the gate
-    # child's drain-down.
-    _settle("before flat child")
-    flat, flat_tail = _run_child(
-        [sys.executable, os.path.abspath(__file__), "--flat",
-         "--out", out_path],
-        env=env, timeout=2700,
-    )
-    if flat.returncode != 0:
-        print(f"# flat subprocess rc={flat.returncode}", file=sys.stderr)
-        try:
-            with open(out_path) as f:
-                gate = json.load(f)
-            gate["flat_error"] = f"flat subprocess exited rc={flat.returncode}"
-            # the attributable failure, not a bare return code (VERDICT
-            # r06 item 2): last ~2 kB of the child's combined output
-            gate["flat_error_detail"] = flat_tail
-            with open(out_path, "w") as f:
-                f.write(json.dumps(gate, indent=1) + "\n")
-        except (OSError, ValueError):
-            pass
-    try:
-        with open(out_path) as f:
-            return json.load(f)
-    except (OSError, ValueError) as e:
-        print(f"# gate result unreadable: {e}", file=sys.stderr)
+        # the artifact keeps whatever blocks the child checkpointed;
+        # annotate rather than replace (r09 lost measured bars here)
+        _patch({
+            "gate_error": f"gate subprocess exited rc={proc.returncode}",
+            "gate_error_detail": gate_tail,
+        })
+
+    # ---- flat child (own fresh 48g JVM, see run_gate_suite note) ----
+    gate_now = _read_json(out_path) or {}
+    rem = _left()
+    if rem < 420:
+        skipped["flat"] = f"budget: {rem:.0f}s left"
+        print(f"# flat SKIPPED ({skipped['flat']})", file=sys.stderr)
+    elif "total" not in gate_now:
+        skipped["flat"] = "gate baseline incomplete (no total row)"
+        print(f"# flat SKIPPED ({skipped['flat']})", file=sys.stderr)
+    else:
+        _settle("before flat child")
+        flat, flat_tail = _run_child(
+            [sys.executable, me, "--flat", "--out", out_path],
+            env=env, timeout=max(420, min(2700, rem - 60)),
+        )
+        if flat.returncode != 0:
+            print(f"# flat subprocess rc={flat.returncode}",
+                  file=sys.stderr)
+            _patch({
+                "flat_error":
+                    f"flat subprocess exited rc={flat.returncode}",
+                # the attributable failure, not a bare return code
+                # (VERDICT r06 item 2): last ~2 kB of child output
+                "flat_error_detail": flat_tail,
+            })
+
+    # ---- pair-scale child, LAST (most expensive, least gating) ----
+    n_pair = int(os.environ.get("SPARK_GRAFT_PAIR_DOCS", 5_000_000))
+    rem = _left()
+    if n_pair > 0:
+        if rem < 900:
+            skipped["pair_scale"] = f"budget: {rem:.0f}s left"
+            print(f"# pair-scale SKIPPED ({skipped['pair_scale']})",
+                  file=sys.stderr)
+        else:
+            # degrade before skipping: the r08-mandated median-of-3
+            # only fits when ~50+ min remain; otherwise best-of-1
+            # (each run list says which protocol produced it)
+            want = int(os.environ.get("TRCK_SPARK_PAIR_RUNS", "3"))
+            runs = min(want, 3 if rem > 3000 else 1)
+            penv = dict(env)
+            penv["TRCK_SPARK_PAIR_RUNS"] = str(runs)
+            _settle("before pair child")
+            print(f"# pair-scale child: {runs} run(s), "
+                  f"{rem:.0f}s budget left", file=sys.stderr)
+            pair, pair_tail = _run_child(
+                [sys.executable, me, "--pair", "--out", out_path],
+                env=penv, timeout=max(600, rem - 60),
+            )
+            if pair.returncode != 0:
+                print(f"# pair subprocess rc={pair.returncode}",
+                      file=sys.stderr)
+                gate = _read_json(out_path) or {}
+                ps = gate.get("pair_scale") or {}
+                ps.setdefault(
+                    "error",
+                    f"pair subprocess exited rc={pair.returncode}",
+                )
+                ps["error_detail"] = pair_tail
+                gate["pair_scale"] = ps
+                _atomic_write_json(out_path, gate)
+
+    gate = _read_json(out_path)
+    if gate is None:
+        print("# gate result unreadable", file=sys.stderr)
         return None
+    if skipped:
+        gate["skipped"] = skipped
+    if gate.get("status") in ("running", "partial"):
+        gate["status"] = "partial"
+    elif not skipped and "gate_error" not in gate:
+        gate["status"] = "complete"
+    _atomic_write_json(out_path, gate)
+    return gate
 
 
 def _gate_summary(gate: dict | None) -> dict | None:
@@ -1780,11 +1975,19 @@ def _gate_bars(gate: dict | None) -> dict:
     matches = [
         (gate.get(n) or {}).get("match") for n in BASELINE_DEFS
     ]
-    return {
+    out = {
         "detail": "BENCH_GATE.json",
         "bars": bars,
         "match_all": all(m is True for m in matches),
     }
+    # disclose partial/degraded runs on the contract line (r10 budget
+    # protocol: blocks may be skipped, never silently absent)
+    status = gate.get("status")
+    if status and status != "complete":
+        out["status"] = status
+    if gate.get("skipped"):
+        out["skipped"] = sorted(gate["skipped"])
+    return out
 
 
 def check_ts_dtype(sf_dir: str) -> str:
@@ -1806,98 +2009,14 @@ def check_ts_dtype(sf_dir: str) -> str:
     return ts
 
 
-def main() -> None:
-    if "--prepare" in sys.argv:
-        # Build every dataset/store cache in a THROWAWAY JVM so the
-        # measuring gate child opens warm caches with a clean heap.
-        # Round 9 measured the cost of not doing this: a gate child
-        # that had just built the 160M stores (incl. the write-time
-        # sketch pass over ~160M pairs) ran the window-sort-heavy
-        # attribution bar at 24.7s vs 4.4-4.8s in a fresh JVM on the
-        # same cached store — the round-6 "flat block inherits a
-        # fragmented heap" contamination, now on the gate side.
-        from trck_spark.session import get_spark
-
-        spark = get_spark("trck_spark_prepare")
-        spark.sparkContext.setLogLevel("ERROR")
-        _open_perf(spark, GATE_EVENTS)
-        _open_perf_segmented(spark, GATE_EVENTS)
-        _open_perf(spark, 20_000_000)  # streaming benches
-        n_pair = int(os.environ.get("SPARK_GRAFT_PAIR_DOCS", 5_000_000))
-        if n_pair > 0:
-            from trck_spark.benchdata import (
-                ensure_docs_dataset,
-                ensure_embeddings_dataset,
-            )
-
-            docs_path = os.path.join(_CACHE_DIR, f"docs_{n_pair}")
-            ensure_docs_dataset(spark, docs_path, n_docs=n_pair)
-            ensure_embeddings_dataset(
-                spark, docs_path, n_vecs=max(n_pair // 5, 1_000)
-            )
-        _log_peak_rss("prepare child")
-        return
-
-    if "--gate" in sys.argv:
-        out_path = None
-        if "--out" in sys.argv:
-            out_path = sys.argv[sys.argv.index("--out") + 1]
-        gate = run_gate_suite()
-        payload = json.dumps(gate, indent=1)
-        if out_path:
-            with open(out_path, "w") as f:
-                f.write(payload + "\n")
-        else:
-            print(payload)
-        _log_peak_rss("gate child")
-        return
-
-    if "--flat" in sys.argv:
-        # flat-layout block in a fresh JVM: patch the gate artifact.
-        # Any failure must leave a traceback on stderr (the parent tees
-        # it into flat_error_detail) plus the peak-RSS line — round 6's
-        # flat child died rc=1 with zero diagnostics.
-        out_path = sys.argv[sys.argv.index("--out") + 1]
-        try:
-            with open(out_path) as f:
-                gate = json.load(f)
-            from trck_spark.session import get_spark
-
-            spark = get_spark("trck_spark_flat")
-            spark.sparkContext.setLogLevel("ERROR")
-            gate.pop("flat_error", None)
-            gate.pop("flat_error_detail", None)
-            run_flat_block(spark, gate)
-            tmp = out_path + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(json.dumps(gate, indent=1) + "\n")
-            os.replace(tmp, out_path)
-        except BaseException:
-            import traceback
-
-            traceback.print_exc(file=sys.stderr)
-            _log_peak_rss("flat child (failed)")
-            raise
-        _log_peak_rss("flat child")
-        return
-
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def run_sf_block(sf_dir: str, out_path: str) -> None:
+    """The sf0.1 per-query block — the contract line's core data — in
+    its own library-default-heap JVM, checkpointing ``out_path`` after
+    EVERY query so a kill at any point leaves the completed timings in
+    the artifact (VERDICT r09 item 1: this block never ran in round 9
+    because it was ordered after the gate family; it now runs FIRST)."""
     sf = sf_dir.rstrip("/").split("sf")[-1]
     ts_dtype = check_ts_dtype(sf_dir)
-
-    # gate first, in its own JVM (48g), before this process opens its
-    # 16g session — full memory isolation in both directions
-    baseline = None
-    if os.environ.get("SPARK_GRAFT_SKIP_BASELINE") != "1":
-        try:
-            baseline = _gate_subprocess()
-        except Exception as e:
-            baseline = {"error": f"{type(e).__name__}: {e}"}
-            print(f"# baseline gate failed: {e}", file=sys.stderr)
-        # runs even when a child failed: a crashed child's drain-down
-        # (now also group-killed in _run_child) contaminated the sf
-        # block in round 6
-        _settle("before sf block")
 
     from trck_spark.session import get_spark
 
@@ -2028,13 +2147,36 @@ def main() -> None:
     # them).  The slowest queries get the steady-state MEDIAN protocol
     # (plateau + settle, run lists committed to BENCH_SF.json); the
     # sub-second rest keep best-of-2 with both runs recorded.
+    # trck_count_by_type_store_ts joins the median family in round 10:
+    # its r09 point estimate (0.456 -> 1.235 s) was the one sf0.1 move
+    # outside the cross-boot drift band and needs a statistic behind it
+    # (VERDICT r09 item 2).
     MEDIAN_QUERIES = {
         "embedding_near_dup_pairs", "ngram_containment_pairs",
         "dedup_clusters", "ngram_jaccard_pairs", "minhash_lsh_pairs",
         "contamination_check", "tfidf_topterms", "trck_funnel",
+        "trck_count_by_type_store_ts",
     }
     run_lists: dict[str, list] = {}
     sf_stats: dict[str, dict] = {}
+
+    detail: dict = {
+        "metric": "bench_total", "unit": "sec", "sf": float(sf),
+        "ts_dtype": ts_dtype, "status": "partial",
+        "queries": timings,
+        "sf_protocol": {
+            "statistic": "steady-state median for the slow family, "
+            "best-of-2 for the sub-second rest; full run lists below",
+            "median_queries": sorted(MEDIAN_QUERIES),
+        },
+        "sf_runs": run_lists,
+        "sf_stats": sf_stats,
+    }
+
+    def ckpt():
+        detail["value"] = round(sum(timings.values()), 3)
+        _atomic_write_json(out_path, detail)
+
     for name in bench_names:
         fn = queries[name]
         box: dict = {}
@@ -2070,8 +2212,7 @@ def main() -> None:
             f"of {run_lists[name]})",
             file=sys.stderr,
         )
-
-    total = round(sum(timings.values()), 3)
+        ckpt()
 
     # B3: trail throughput on the B1 workload
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
@@ -2087,45 +2228,361 @@ def main() -> None:
         f"{n_trails / b1:.0f}, events/sec = {n_events / b1:.0f}",
         file=sys.stderr,
     )
+    detail["trails_per_sec"] = round(n_trails / b1, 1)
+    detail["events_per_sec"] = round(n_events / b1, 1)
+    detail["status"] = "sf_complete"
+    ckpt()
+    _log_peak_rss("sf child")
 
+
+# the ten driver-registered correctness views (TESTDATA.md)
+_SF_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def run_sf_oracle_block(sf_dir: str, jsonl_path: str) -> None:
+    """Time the DuckDB oracle for every sf query that has one, in the
+    SAME boot as the Spark timings (VERDICT r09 item 4: three rounds of
+    cross-boot drift forensics because the sf block measured only the
+    engine; the gate block never needed adjudication because it measures
+    both engines minutes apart).  Results stream to ``jsonl_path`` one
+    line per query so a kill keeps the completed rows; the parent
+    merges them into BENCH_SF.json as per-query oracle_s/ratio.
+
+    Per-query cap via duckdb's interrupt (a pair-family oracle that is
+    cheap at the sf0.01 correctness scale can be minutes at sf0.1) —
+    an interrupted query records a disclosed timeout, not a stall."""
+    import threading
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    oracles = entry_mod.oracle_sql()
+    sf = _read_json(os.path.join(_REPO, "BENCH_SF.json")) or {}
+    names = list((sf.get("queries") or {}).keys()) or sorted(oracles)
+    con = duckdb.connect()
+    for t in _SF_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    cap = float(os.environ.get("TRCK_SPARK_SF_ORACLE_CAP_S", "90"))
+    with open(jsonl_path, "w") as f:
+        for name in names:
+            sql = oracles.get(name)
+            if not sql:
+                f.write(json.dumps({
+                    "name": name, "oracle_s": None,
+                    "note": "no oracle (bench-only surface)",
+                }) + "\n")
+                f.flush()
+                continue
+            row: dict = {"name": name}
+            timer = threading.Timer(cap, con.interrupt)
+            timer.start()
+            try:
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                r1 = time.time() - t0
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                r2 = time.time() - t0
+                row["oracle_s"] = round(min(r1, r2), 3)
+                row["oracle_runs"] = [round(r1, 3), round(r2, 3)]
+            except Exception as e:
+                row["oracle_s"] = None
+                row["error"] = f"{type(e).__name__}: {e}"
+            finally:
+                timer.cancel()
+            f.write(json.dumps(row) + "\n")
+            f.flush()
+            print(f"# sf oracle {name}: {row.get('oracle_s')}s",
+                  file=sys.stderr)
+
+
+def _merge_sf_oracle(jsonl_path: str) -> None:
+    """Fold the oracle child's per-query timings into BENCH_SF.json as
+    oracle_s + ratio next to each Spark timing."""
+    sf_path = os.path.join(_REPO, "BENCH_SF.json")
+    sf = _read_json(sf_path)
+    if not sf:
+        return
+    rows: dict = {}
+    try:
+        with open(jsonl_path) as f:
+            for ln in f:
+                ln = ln.strip()
+                if ln:
+                    r = json.loads(ln)
+                    rows[r["name"]] = r
+    except (OSError, ValueError):
+        return
+    per_query: dict = {}
+    for name, spark_s in (sf.get("queries") or {}).items():
+        r = rows.get(name)
+        if not r:
+            continue
+        entry = {k: r[k] for k in ("oracle_s", "oracle_runs", "error",
+                                   "note") if k in r}
+        if r.get("oracle_s"):
+            entry["ratio"] = round(spark_s / r["oracle_s"], 2)
+        per_query[name] = entry
+    sf["sf_oracle"] = {
+        "protocol": "DuckDB best-of-2 per query over the same sf "
+                    "parquet, measured in the same boot (drift "
+                    "normalization — VERDICT r09 item 4; per-query "
+                    f"interrupt cap {os.environ.get('TRCK_SPARK_SF_ORACLE_CAP_S', '90')}s)",
+        "per_query": per_query,
+    }
+    _atomic_write_json(sf_path, sf)
+
+
+def _contract_from_artifacts(blocks: dict, with_gate: bool) -> dict:
+    """Assemble the stdout contract line purely from the checkpointed
+    artifacts — callable at any time, including from the SIGTERM
+    handler, so the driver always gets a parseable line."""
+    sf = _read_json(os.path.join(_REPO, "BENCH_SF.json")) or {}
     result = {
         "metric": "bench_total",
-        "value": total,
+        "value": sf.get("value"),
         "unit": "sec",
-        "queries": timings,
-        "sf": float(sf),
-        "trails_per_sec": round(n_trails / b1, 1),
-        "events_per_sec": round(n_events / b1, 1),
-        "ts_dtype": ts_dtype,
+        "queries": sf.get("queries") or {},
+        "sf": sf.get("sf"),
+        "trails_per_sec": sf.get("trails_per_sec"),
+        "events_per_sec": sf.get("events_per_sec"),
+        "ts_dtype": sf.get("ts_dtype"),
+        "detail": "BENCH_SF.json",
     }
-    # full per-query map + detailed gate summary -> their own committed
-    # artifact; the stdout contract line carries only the timings dict
-    # and the four boolean bars, staying well inside the driver's tail
-    # capture (round 3 and round 6 both lost the per-query history to
-    # an overgrown line — VERDICT r06 item 1)
-    detail = dict(result)
-    detail["sf_protocol"] = {
-        "statistic": "steady-state median for the slow family, "
-        "best-of-2 for the sub-second rest; full run lists below",
-        "median_queries": sorted(MEDIAN_QUERIES),
-    }
-    detail["sf_runs"] = run_lists
-    detail["sf_stats"] = sf_stats
-    gate_summary = _gate_summary(baseline)
-    if gate_summary is not None:
-        detail["gate"] = gate_summary
+    if with_gate:
+        gate = _read_json(os.path.join(_REPO, "BENCH_GATE.json"))
+        result["gate"] = _gate_bars(gate)
+    result["blocks"] = blocks
+    return result
+
+
+def _install_term_handler(blocks: dict, with_gate: bool) -> None:
+    """On SIGTERM (the driver's timeout sends TERM first), kill the
+    active child group, emit the contract line from the checkpointed
+    artifacts, and exit — the round's signal survives the kill."""
+    import signal
+
+    def _h(signum, frame):
+        print("# SIGTERM — emitting contract from checkpointed "
+              "artifacts", file=sys.stderr)
+        pid = _ACTIVE_CHILD.get("pid")
+        if pid:
+            try:
+                os.killpg(os.getpgid(pid), signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+        blocks["killed"] = "sigterm"
+        try:
+            print(json.dumps(_contract_from_artifacts(blocks, with_gate)))
+            sys.stdout.flush()
+        except Exception:
+            pass
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _h)
+
+
+def main() -> None:
+    me = os.path.abspath(__file__)
+    if "--prepare" in sys.argv:
+        # Build every dataset/store cache in a THROWAWAY JVM so the
+        # measuring gate child opens warm caches with a clean heap.
+        # Round 9 measured the cost of not doing this: a gate child
+        # that had just built the 160M stores (incl. the write-time
+        # sketch pass over ~160M pairs) ran the window-sort-heavy
+        # attribution bar at 24.7s vs 4.4-4.8s in a fresh JVM on the
+        # same cached store — the round-6 "flat block inherits a
+        # fragmented heap" contamination, now on the gate side.
+        from trck_spark.session import get_spark
+
+        spark = get_spark("trck_spark_prepare")
+        spark.sparkContext.setLogLevel("ERROR")
+        _open_perf(spark, GATE_EVENTS)
+        _open_perf_segmented(spark, GATE_EVENTS)
+        _open_perf(spark, 20_000_000)  # streaming benches
+        n_pair = int(os.environ.get("SPARK_GRAFT_PAIR_DOCS", 5_000_000))
+        if n_pair > 0:
+            from trck_spark.benchdata import (
+                ensure_docs_dataset,
+                ensure_embeddings_dataset,
+            )
+
+            docs_path = os.path.join(_CACHE_DIR, f"docs_{n_pair}")
+            ensure_docs_dataset(spark, docs_path, n_docs=n_pair)
+            ensure_embeddings_dataset(
+                spark, docs_path, n_vecs=max(n_pair // 5, 1_000)
+            )
+        _log_peak_rss("prepare child")
+        return
+
+    if "--gate" in sys.argv:
+        out_path = None
+        if "--out" in sys.argv:
+            out_path = sys.argv[sys.argv.index("--out") + 1]
+        gate = run_gate_suite(out_path)
+        if out_path is None:
+            print(json.dumps(gate, indent=1, default=str))
+        _log_peak_rss("gate child")
+        return
+
+    if "--flat" in sys.argv:
+        # flat-layout block in a fresh JVM: patch the gate artifact.
+        # Any failure must leave a traceback on stderr (the parent tees
+        # it into flat_error_detail) plus the peak-RSS line — round 6's
+        # flat child died rc=1 with zero diagnostics.
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+        try:
+            with open(out_path) as f:
+                gate = json.load(f)
+            from trck_spark.session import get_spark
+
+            spark = get_spark("trck_spark_flat")
+            spark.sparkContext.setLogLevel("ERROR")
+            gate.pop("flat_error", None)
+            gate.pop("flat_error_detail", None)
+            run_flat_block(spark, gate)
+            _atomic_write_json(out_path, gate)
+        except BaseException:
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            _log_peak_rss("flat child (failed)")
+            raise
+        _log_peak_rss("flat child")
+        return
+
+    if "--pair" in sys.argv:
+        # pair-scale family in its own fresh 48g JVM, patching
+        # BENCH_GATE.json per-operator (VERDICT r09 item 1b: its death
+        # must never take the gate bars with it)
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+        from trck_spark.session import get_spark
+
+        spark = get_spark("trck_spark_pair")
+        spark.sparkContext.setLogLevel("ERROR")
+
+        def ckpt_pair(ps: dict):
+            gate = _read_json(out_path) or {}
+            gate["pair_scale"] = ps
+            _atomic_write_json(out_path, gate)
+
+        n_pair = int(os.environ.get("SPARK_GRAFT_PAIR_DOCS", 5_000_000))
+        try:
+            ps = run_pair_scale_bench(spark, n_pair, ckpt=ckpt_pair)
+            ps["status"] = "complete"
+            ckpt_pair(ps)
+        except BaseException as e:
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            gate = _read_json(out_path) or {}
+            ps = gate.get("pair_scale") or {}
+            ps["error"] = f"{type(e).__name__}: {e}"
+            ckpt_pair(ps)
+            _log_peak_rss("pair child (failed)")
+            raise
+        _log_peak_rss("pair child")
+        return
+
+    if "--sf" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+        run_sf_block(sf_dir, out_path)
+        return
+
+    if "--sforacle" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+        run_sf_oracle_block(sf_dir, out_path)
+        return
+
+    # ----------------------------------------------------- parent
+    # Pure orchestrator: every measurement runs in a fresh-JVM child
+    # with a budget-derived timeout; every artifact is checkpointed by
+    # the child that owns it; the contract line is assembled from the
+    # artifacts at the end (or from the SIGTERM handler), so no kill
+    # point can erase the round's signal (VERDICT r09 item 1).
+    # Block order is cheapest-and-most-gating first: sf contract data,
+    # its same-boot oracle ratios, then the 160M gate family with the
+    # pair-scale block last.
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    with_gate = os.environ.get("SPARK_GRAFT_SKIP_BASELINE") != "1"
+    blocks: dict = {}
     sf_path = os.path.join(_REPO, "BENCH_SF.json")
-    try:
-        with open(sf_path, "w") as f:
-            f.write(json.dumps(detail, indent=1) + "\n")
-        result["detail"] = "BENCH_SF.json"
-    except OSError as e:
-        print(f"# BENCH_SF.json write failed: {e}", file=sys.stderr)
-    if baseline is not None:
-        result["gate"] = _gate_bars(baseline)
+    _atomic_write_json(sf_path, {"status": "running"})
+    _install_term_handler(blocks, with_gate)
+    print(f"# bench budget: {_BUDGET_S:.0f}s total", file=sys.stderr)
+
+    env = dict(os.environ)
+    sfp, sf_tail = _run_child(
+        [sys.executable, me, "--sf", "--out", sf_path],
+        env=env,
+        timeout=max(420, min(2400, _remaining() - _FINAL_RESERVE_S - 60)),
+    )
+    blocks["sf"] = "ok" if sfp.returncode == 0 else f"rc={sfp.returncode}"
+    if sfp.returncode != 0:
+        print(f"# sf subprocess rc={sfp.returncode}", file=sys.stderr)
+
+    # same-boot DuckDB ratios for the sf block (VERDICT r09 item 4)
+    rem = _remaining() - _FINAL_RESERVE_S
+    if rem > 300:
+        jsonl = os.path.join(_CACHE_DIR, "sf_oracle.jsonl")
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        orp, _ot = _run_child(
+            [sys.executable, me, "--sforacle", "--out", jsonl],
+            env=env, timeout=max(240, min(900, rem - 60)),
+        )
+        _merge_sf_oracle(jsonl)
+        blocks["sf_oracle"] = (
+            "ok" if orp.returncode == 0 else f"rc={orp.returncode}"
+        )
+    else:
+        blocks["sf_oracle"] = f"skipped: {rem:.0f}s left"
+        print(f"# sf oracle SKIPPED ({blocks['sf_oracle']})",
+              file=sys.stderr)
+
+    baseline = None
+    if with_gate:
+        rem = _remaining() - _FINAL_RESERVE_S
+        if rem > 420:
+            try:
+                baseline = _gate_subprocess()
+            except Exception as e:
+                baseline = {"error": f"{type(e).__name__}: {e}"}
+                print(f"# baseline gate failed: {e}", file=sys.stderr)
+            blocks["gate"] = (baseline or {}).get("status") or (
+                "error" if baseline and "error" in baseline else "missing"
+            )
+            if baseline and baseline.get("skipped"):
+                blocks["gate_skipped"] = sorted(baseline["skipped"])
+        else:
+            blocks["gate"] = f"skipped: {rem:.0f}s left"
+            print(f"# gate family SKIPPED ({blocks['gate']})",
+                  file=sys.stderr)
+
+    # fold the compact gate summary into BENCH_SF.json (committed
+    # artifact of record for the sf side)
+    sf_detail = _read_json(sf_path)
+    if sf_detail is not None and baseline is not None:
+        sf_detail["gate"] = _gate_summary(baseline)
+        _atomic_write_json(sf_path, sf_detail)
+
+    result = _contract_from_artifacts(blocks, with_gate)
     line = json.dumps(result)
     print(line)
-    print(f"# contract line: {len(line)} bytes", file=sys.stderr)
+    print(f"# contract line: {len(line)} bytes; budget spent "
+          f"{time.time() - _T0:.0f}s of {_BUDGET_S:.0f}s",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

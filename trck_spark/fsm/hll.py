@@ -209,6 +209,96 @@ def hll_register_update(data: bytes) -> tuple[int, int]:
     return idx, rank
 
 
+# rank at p=14 is in [1, 19]; 6 bits leaves headroom and keeps the
+# packed form a small positive int32
+RR_RANK_BITS = 6
+RR_RANK_MASK = (1 << RR_RANK_BITS) - 1
+
+
+def hll_rr_from_uuids(uuids) -> "object":
+    """Packed ``(register << RR_RANK_BITS) | rank`` int32 per uuid — the
+    write-time materialized form of
+    ``hll_register_update(cookie_display_hex(uuid))`` (reference hash
+    semantics hyperloglog.c:256-296).
+
+    The store persists this as a per-row ``__hll_rr`` column so any
+    cookie-uniques scan (the ts-bounded boundary slice above all) stays
+    entirely JVM-side: ``groupBy(code, rr >> 6).agg(max(rr & 63))`` is
+    byte-identical to the Python murmur fold, with zero Arrow transfer
+    of cookie strings.
+
+    Vectorized end to end for the two display forms
+    (:func:`cookie_display_hex`): strict 32-hex uuids lowercase
+    through; other ASCII uuids byte-truncate/zero-pad to 16 bytes and
+    hex-expand via a nibble LUT.  Rows that defeat the vector paths
+    (non-ASCII input, or fromhex's space-tolerant corner) fall back to
+    the scalar hash — identical output, just slower."""
+    import numpy as np
+
+    arr = [
+        u if isinstance(u, str) else ("" if u is None else str(u))
+        for u in uuids
+    ]
+    n = len(arr)
+    out = np.zeros(n, dtype=np.int32)
+    if n == 0:
+        return out
+
+    def _scalar(i: int) -> None:
+        idx, rank = hll_register_update(
+            cookie_display_hex(arr[i]).encode()
+        )
+        out[i] = (idx << RR_RANK_BITS) | rank
+
+    try:
+        # S33 so a true 32-byte row is distinguishable from truncation
+        enc33 = np.array(arr, dtype="S33")
+    except UnicodeEncodeError:
+        for i in range(n):
+            _scalar(i)
+        return out
+    lens = np.char.str_len(enc33)
+    u8 = np.ascontiguousarray(enc33.view(np.uint8).reshape(n, -1)[:, :33])
+    head32 = u8[:, :32]
+    is_hex_byte = np.zeros(256, dtype=bool)
+    for ch in b"0123456789abcdefABCDEF":
+        is_hex_byte[ch] = True
+    is32 = lens == 32
+    strict_hex = is32 & is_hex_byte[head32].all(axis=1)
+    # bytes.fromhex ignores ASCII spaces, so a 32-char mixed hex/space
+    # string CAN parse — route those rare rows through the scalar form
+    # rather than replicating fromhex's grouping rules vectorized
+    has_space = (head32 == 0x20).any(axis=1)
+    suspect = is32 & has_space & ~strict_hex
+    disp = np.empty(n, dtype="S32")
+    if strict_hex.any():
+        disp[strict_hex] = np.char.lower(enc33[strict_hex].astype("S32"))
+    bmask = ~strict_hex & ~suspect
+    if bmask.any():
+        b16 = u8[bmask][:, :16]  # shorter rows are already \0-padded
+        lut = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+        hx = np.empty((int(bmask.sum()), 32), dtype=np.uint8)
+        hx[:, 0::2] = lut[b16 >> 4]
+        hx[:, 1::2] = lut[b16 & 0x0F]
+        disp[bmask] = hx.reshape(-1).view("S32")
+    blocks = disp.view(np.uint64).reshape(n, 4)
+    h = _murmur_h1_32_vec(blocks)
+    idx = (h & np.uint64(HLL_M - 1)).astype(np.int64)
+    low32 = ((h | np.uint64(HLL_M - 1)) & np.uint64(0xFFFFFFFF)).astype(
+        np.uint32
+    )
+    bl = np.full(n, 14, dtype=np.int64)
+    for k in range(14, 32):
+        bl += (low32 >= np.uint32(1 << k)).astype(np.int64)
+    rank = 33 - bl
+    packed = ((idx << RR_RANK_BITS) | rank).astype(np.int32)
+    out[:] = packed
+    if suspect.any():
+        for i in np.flatnonzero(suspect):
+            _scalar(int(i))
+    return out
+
+
 class Hll:
     """Dense p=14 sketch for driver-side assembly and tests."""
 
