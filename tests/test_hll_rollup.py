@@ -612,3 +612,68 @@ def test_ensure_rollups_backfills_hll(spark, tmp_path):
     assert m2["hll_rollups"] == golden
     rs, _ = _run(spark, open_trail_store(spark, path))
     assert isinstance(rs, TrckLocalResultSet)
+
+
+def test_hll_rr_column_written_and_jvm_boundary_plan(spark, tmp_path):
+    """Round 10: stores persist the packed (register << 6 | rank) of
+    each row's cookie (__hll_rr, store._hll_rr_expr), and a ts-bounded
+    uniques boundary scan runs entirely JVM-side
+    (scope["boundary_plan"] == "jvm_rr") with results byte-identical to
+    the legacy Python murmur fold and the FSM path."""
+    from trck_spark.store import read_manifest
+
+    path = str(tmp_path / "rrseg")
+    store = _time_sliced_store(spark, path)
+    m = read_manifest(path)
+    assert m["hll_rr_col"] == "__hll_rr"
+    assert "__hll_rr" in store.columns
+    prog = TS_PROG.format(lo=50, hi=250)
+    rs, out = _run(spark, store, prog)
+    assert rs._ts_scope.get("boundary_plan") == "jvm_rr"
+    # legacy layout (no materialized column): same wire hex
+    legacy_path = str(tmp_path / "legacyseg")
+    os.environ["TRCK_SPARK_NO_HLL_RR"] = "1"
+    try:
+        legacy = _time_sliced_store(spark, legacy_path)
+    finally:
+        del os.environ["TRCK_SPARK_NO_HLL_RR"]
+    assert read_manifest(legacy_path)["hll_rr_col"] is None
+    assert "__hll_rr" not in legacy.columns
+    rs_l, out_l = _run(spark, legacy, prog)
+    assert rs_l._ts_scope.get("boundary_plan") is None
+    assert out == out_l
+    _, out_fsm = _run(
+        spark, store, prog,
+        env={"TRCK_SPARK_NO_ROLLUP": "1", "TRCK_SPARK_NO_FASTPATH": "1"},
+    )
+    assert out == out_fsm
+
+
+def test_hll_rr_mixed_segments_fall_back(spark, tmp_path):
+    """A boundary that includes a legacy segment (no __hll_rr column)
+    must take the Python fold for the whole boundary — never a
+    null-filled union — and still match the FSM path."""
+    from trck_spark.store import append_trail_store
+
+    path = str(tmp_path / "mixedseg")
+    rows = _time_rows()
+    bounds = [0, 100, 200, 300]
+    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        part = [r for r in rows if lo <= r[1] < hi]
+        if i == 2:  # newest segment written by an older build
+            os.environ["TRCK_SPARK_NO_HLL_RR"] = "1"
+        try:
+            store = append_trail_store(
+                spark.createDataFrame(part, SCHEMA), path, seq_col="seq"
+            )
+        finally:
+            os.environ.pop("TRCK_SPARK_NO_HLL_RR", None)
+    prog = TS_PROG.format(lo=50, hi=250)
+    rs, out = _run(spark, store, prog)
+    assert rs._ts_scope["boundary_parts"] == [0, 2]
+    assert rs._ts_scope.get("boundary_plan") is None  # legacy fold
+    _, out_fsm = _run(
+        spark, store, prog,
+        env={"TRCK_SPARK_NO_ROLLUP": "1", "TRCK_SPARK_NO_FASTPATH": "1"},
+    )
+    assert out == out_fsm

@@ -815,3 +815,113 @@ start ->
     # entry 1: click@200 (dup dropped via carry) + click@300 = 2;
     # entry 2: click@300 only = 1
     assert total == 3
+
+
+def test_streaming_uniques_matches_batch_hll(spark, tmp_path):
+    """streaming_uniques (VERDICT r09 item 5): ^hll register state
+    carried across micro-batches through the downstream streaming
+    aggregation's state store must equal the batch engine's sketch over
+    the same events — wire-hex identical, for both a single-tuple
+    program and a foreach grid, regardless of trigger slicing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trck_spark.engine import TrckSparkEngine
+    from trck_spark.streaming import HllStreamCollector, streaming_uniques
+
+    src = tmp_path / "uniq_src"
+    src.mkdir()
+    import random
+
+    random.seed(11)
+    all_rows = []
+    for i in range(3):
+        rows = {
+            "uuid": [], "timestamp": [], "seq": [], "event_type": [],
+        }
+        for j in range(60):
+            u = f"user{random.randrange(25)}"
+            rows["uuid"].append(u)
+            rows["timestamp"].append(1000 * i + j)
+            rows["seq"].append(j)
+            rows["event_type"].append(
+                random.choice(["click", "view", "buy"])
+            )
+        pq.write_table(pa.table(rows), str(src / f"part{i}.parquet"))
+        for k in range(60):
+            all_rows.append(
+                (rows["uuid"][k], rows["timestamp"][k], rows["seq"][k],
+                 rows["event_type"][k])
+            )
+        _pin_mtime(src / f"part{i}.parquet", 1_000_000 + i)
+
+    batch_df = spark.createDataFrame(
+        all_rows, "uuid string, timestamp long, seq long, event_type string"
+    )
+    schema = spark.read.parquet(str(src)).schema
+
+    PROG = """
+start ->
+    receive
+        event_type = "click" -> yield cookie to ^uniq, repeat
+        * -> repeat
+"""
+    FOREACH_PROG = """
+foreach %t
+    start ->
+        receive
+            event_type = %t -> yield cookie to ^u, repeat
+            * -> repeat
+"""
+    cases = [
+        (PROG, {}, "^uniq"),
+        (FOREACH_PROG, {"foreach_values": ["click", "view", "buy"]},
+         "^u"),
+    ]
+    for prog, kw, var in cases:
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        updates = streaming_uniques(
+            sdf, prog, uuid_col="uuid", ts_col="timestamp",
+            seq_col="seq", **kw,
+        )
+        coll = HllStreamCollector()
+        q = (
+            updates.writeStream.foreachBatch(
+                lambda bdf, _bid: coll.update(bdf)
+            )
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        rs = TrckSparkEngine(spark).run(
+            batch_df, prog, uuid_col="uuid", ts_col="timestamp",
+            seq_col="seq",
+        )
+        partials = rs.collect_partials()
+        batch_hex = {}
+        for ti, res in partials.items():
+            for v, d in res.hlls.items():
+                from trck_spark.fsm.hll import Hll
+
+                s = Hll()
+                if hasattr(d, "hex"):
+                    batch_hex[(ti, v)] = d.hex
+                    continue
+                for reg, rank in d.items():
+                    s.set_register(int(reg), int(rank))
+                batch_hex[(ti, v)] = s.to_hex()
+        stream_hex = {k: coll.to_hex(*k) for k in coll.keys()}
+        assert stream_hex == {
+            k: v for k, v in batch_hex.items() if k in stream_hex
+        }
+        # no sketch lost: every non-empty batch sketch is present
+        from trck_spark.fsm.hll import EMPTY_HLL_HEX
+
+        for k, v in batch_hex.items():
+            if v != EMPTY_HLL_HEX:
+                assert k in stream_hex, k

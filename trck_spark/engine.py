@@ -890,6 +890,69 @@ class TrckSparkEngine:
                 code_col = F.coalesce(
                     mapping[F.col(f0).cast("string")], F.lit(0)
                 )
+            n_slots = len(union) + 1
+            use_rr = all(
+                "__hll_rr" in part_frames[i].columns for i in boundary
+            )
+            if use_rr:
+                # stores written with the materialized packed register
+                # column (store._hll_rr_expr) keep the whole boundary
+                # scan JVM-side: filter + two-level hash aggregate on
+                # (code, register) with max(rank), all inside
+                # whole-stage codegen — no cookie strings cross into
+                # Python, and the exchange carries at most
+                # codes x 16384 partial rows.  Byte-identical to the
+                # murmur fold below (the column IS that fold,
+                # precomputed at write).
+                from trck_spark.fsm.hll import (
+                    HLL_M,
+                    RR_RANK_BITS,
+                    RR_RANK_MASK,
+                    Hll,
+                )
+
+                agg_pdf = (
+                    sub.filter(
+                        (F.col(ts_col).cast("long") >= lo)
+                        & (F.col(ts_col).cast("long") <= hi)
+                    )
+                    .groupBy(
+                        code_col.cast("int").alias("c"),
+                        F.shiftright(
+                            "__hll_rr", RR_RANK_BITS
+                        ).alias("reg"),
+                    )
+                    .agg(
+                        F.max(
+                            F.col("__hll_rr").bitwiseAND(
+                                F.lit(RR_RANK_MASK)
+                            )
+                        ).alias("rank")
+                    )
+                    .toPandas()
+                )
+                import numpy as np
+
+                cs = agg_pdf["c"].to_numpy()
+                regs = agg_pdf["reg"].to_numpy()
+                ranks = agg_pdf["rank"].to_numpy()
+                for c in np.unique(cs):
+                    m = cs == c
+                    arr = np.zeros(HLL_M, np.uint8)
+                    arr[regs[m]] = ranks[m]  # (c, reg) unique post-agg
+                    s = Hll()
+                    s.M = bytearray(arr.tobytes())
+                    b_code_regs[int(c)] = s.to_hex()
+                return (
+                    covered_hex,
+                    b_code_regs,
+                    {
+                        "covered_parts": len(covered_entries),
+                        "boundary_parts": list(boundary),
+                        "boundary_files": boundary_files,
+                        "boundary_plan": "jvm_rr",
+                    },
+                )
             pairs = sub.filter(
                 (F.col(ts_col).cast("long") >= lo)
                 & (F.col(ts_col).cast("long") <= hi)
@@ -897,8 +960,6 @@ class TrckSparkEngine:
                 F.col(uuid_col).cast("string").alias("u"),
                 code_col.cast("int").alias("c"),
             )
-
-            n_slots = len(union) + 1
             # JVM-side pre-reduction: (cookie, set of matched codes) —
             # the bucketed store scan is already hash-partitioned by
             # uuid, so this HashAggregate runs with NO exchange, and

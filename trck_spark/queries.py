@@ -279,13 +279,22 @@ def _segmented_events_store(spark, sf_dir):
     if is_trail_store(path):
         from trck_spark.store import ensure_rollups, read_manifest
 
-        # upgrade a cache dir written by an older layout in place (adds
-        # missing rollups / zone maps / hll sketches; no data rewrite)
-        if "hll_rollups" not in read_manifest(path):
-            ensure_rollups(spark, path)
-        store = open_trail_store(spark, path)
-        _SEG_STORES[memo_key] = store
-        return store
+        if not read_manifest(path).get("hll_rr_col"):
+            # pre-r10 layout (no materialized __hll_rr column): the
+            # ts-bounded uniques boundary scan would take the Python
+            # fold — rebuild so repeat runs measure the shipped layout
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            # upgrade a cache dir written by an older layout in place
+            # (adds missing rollups / zone maps / hll sketches; no data
+            # rewrite)
+            if "hll_rollups" not in read_manifest(path):
+                ensure_rollups(spark, path)
+            store = open_trail_store(spark, path)
+            _SEG_STORES[memo_key] = store
+            return store
     events = load_events(spark, sf_dir).select(
         "uuid", "timestamp", "event_id", "event_type"
     )

@@ -117,6 +117,26 @@ def _table_name(path: str) -> str:
     return f"trailstore_{slug}"
 
 
+def _hll_rr_expr(uuid_col: str):
+    """Arrow-batched column expression for the packed cookie register
+    update (fsm/hll.hll_rr_from_uuids) — one vectorized murmur pass per
+    batch, applied once at write time."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # no type hints: the module's `from __future__ import annotations`
+    # would stringify them beyond pyspark's inference
+    @pandas_udf("int", PandasUDFType.SCALAR)
+    def _rr(u):
+        import pandas as pd
+
+        from trck_spark.fsm.hll import hll_rr_from_uuids
+
+        return pd.Series(hll_rr_from_uuids(u.tolist()))
+
+    return _rr(F.col(uuid_col).cast("string"))
+
+
 def write_trail_store(df, path: str, uuid_col: str = "uuid",
                       ts_col: str = "timestamp", seq_col: str | None = "seq",
                       n_buckets: int = 32, dict_fields="auto",
@@ -169,6 +189,20 @@ def write_trail_store(df, path: str, uuid_col: str = "uuid",
     dicts = _dict_lexicons(df, candidates, dict_max)
     if dicts:
         df = _with_dict_codes(df, dicts)
+    hll_rr_col = None
+    if not os.environ.get("TRCK_SPARK_NO_HLL_RR"):
+        # materialize the packed (register << 6 | rank) of each row's
+        # cookie at WRITE time (fsm/hll.hll_rr_from_uuids): murmur of a
+        # cookie is not expressible in Spark SQL, so persisting its
+        # 4-byte relational form is what keeps every later uniques scan
+        # (ts-bounded boundary slices above all) pure JVM —
+        # groupBy(code, rr >> 6).max(rr & 63) with zero Arrow transfer.
+        # Recomputed unconditionally (a compaction input may carry a
+        # stale or partially-null column from a mixed-layout union).
+        hll_rr_col = "__hll_rr"
+        df = df.drop(hll_rr_col).withColumn(
+            hll_rr_col, _hll_rr_expr(uuid_col)
+        )
     table = _table_name(path)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     (
@@ -199,6 +233,7 @@ def write_trail_store(df, path: str, uuid_col: str = "uuid",
         "hll_rollups": _field_hll_rollups(
             spark.table(table), dicts, uuid_col
         ),
+        "hll_rr_col": hll_rr_col,
         "schema_ddl": _schema_ddl(df),
     }
     with open(os.path.join(path, MANIFEST), "w") as f:
@@ -423,54 +458,77 @@ def _field_hll_rollups(table_df, dicts: dict, uuid_col: str) -> dict:
     if not fields:
         return {}
     t0 = time.time()
-    pairs = (
-        table_df.select(
-            F.col(uuid_col).cast("string").alias("u"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(f).alias("f"),
-                            F.coalesce(
-                                F.col("__c_" + f), F.lit(0)
-                            ).alias("c"),
-                        )
-                        for f in fields
-                    ]
-                )
-            ).alias("p"),
-        )
-        .select("u", "p.f", "p.c")
-        .distinct()
+    exploded = table_df.select(
+        F.col(uuid_col).cast("string").alias("u"),
+        *(["__hll_rr"] if "__hll_rr" in table_df.columns else []),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("f"),
+                        F.coalesce(
+                            F.col("__c_" + f), F.lit(0)
+                        ).alias("c"),
+                    )
+                    for f in fields
+                ]
+            )
+        ).alias("p"),
     )
+    if "__hll_rr" in table_df.columns:
+        # the written table already carries the packed (reg, rank) per
+        # row: the rollup is ONE whole-stage-codegen aggregation —
+        # max(rank) by (field, code, register) — with no distinct pass
+        # and no Python hashing at all.  Idempotent register max makes
+        # the raw event stream equivalent to the distinct-pair form.
+        from trck_spark.fsm.hll import RR_RANK_BITS, RR_RANK_MASK
 
-    def _updates(batches):
-        import pandas as pd
+        agg = (
+            exploded.groupBy(
+                F.col("p.f").alias("f"),
+                F.col("p.c").alias("c"),
+                F.shiftright("__hll_rr", RR_RANK_BITS).alias("reg"),
+            )
+            .agg(
+                F.max(
+                    F.col("__hll_rr").bitwiseAND(F.lit(RR_RANK_MASK))
+                ).alias("rank")
+            )
+        ).persist()
+    else:
+        # legacy layout (no materialized register column): distinct
+        # (value, cookie) pairs then a vectorized murmur fold
+        pairs = exploded.select("u", "p.f", "p.c").distinct()
 
-        from trck_spark.fsm.hll import (
-            cookie_display_hex,
-            hll_register_updates_vec,
-        )
+        def _updates(batches):
+            import pandas as pd
 
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            disp = [cookie_display_hex(u) for u in pdf["u"]]
-            reg, rank = hll_register_updates_vec(disp)
-            yield pd.DataFrame(
-                {
-                    "f": pdf["f"].values,
-                    "c": pdf["c"].values,
-                    "reg": reg,
-                    "rank": rank,
-                }
+            from trck_spark.fsm.hll import (
+                cookie_display_hex,
+                hll_register_updates_vec,
             )
 
-    agg = (
-        pairs.mapInPandas(_updates, "f string, c int, reg int, rank int")
-        .groupBy("f", "c", "reg")
-        .agg(F.max("rank").alias("rank"))
-    ).persist()
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                disp = [cookie_display_hex(u) for u in pdf["u"]]
+                reg, rank = hll_register_updates_vec(disp)
+                yield pd.DataFrame(
+                    {
+                        "f": pdf["f"].values,
+                        "c": pdf["c"].values,
+                        "reg": reg,
+                        "rank": rank,
+                    }
+                )
+
+        agg = (
+            pairs.mapInPandas(
+                _updates, "f string, c int, reg int, rank int"
+            )
+            .groupBy("f", "c", "reg")
+            .agg(F.max("rank").alias("rank"))
+        ).persist()
     try:
         n_rows = agg.count()
         if n_rows > HLL_ROLLUP_ROWS_MAX:

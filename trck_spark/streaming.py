@@ -550,3 +550,89 @@ def aggregate_partials(partials_df):
     return partials_df.groupBy("tuple_id", "var", "key", "reg").agg(
         F.sum("n").alias("sum_n"), F.max("n").alias("max_n")
     )
+
+
+def streaming_uniques(events_sdf, program_text_or_ir, **kw):
+    """Incremental uniques over a live stream (VERDICT r09 item 5):
+    ``^hll`` partial rows from :func:`streaming_partials` flow into a
+    downstream STREAMING aggregation whose state store maintains the
+    register-max monoid per (tuple_id, var, register) — the streaming
+    form of the reference's cross-DB sketch merge (match_traildb.c:
+    403-411 merges per-DB results through the same monoid; a stream is
+    the one-db-per-period ingestion workflow in the limit, and the
+    TrailStore's segment-manifest sketch merge is the at-rest twin).
+
+    Returns a streaming DataFrame of ``(tuple_id, var, reg, rank)``
+    updates; run it with ``outputMode("update")`` so each micro-batch
+    emits only the registers it changed, and fold the batches with
+    :class:`HllStreamCollector` (or any sink) to read current sketches.
+    Sketch adds are idempotent and register max is commutative, so the
+    collected state equals the batch engine's sketch over the same
+    events regardless of how triggers slice the stream.
+
+    Accepts every :func:`streaming_partials` keyword (side inputs,
+    dedup scoping, finalize timeouts, ``foreach_values`` for foreach
+    grids over an unbounded stream)."""
+    from pyspark.sql import functions as F
+
+    parts = streaming_partials(events_sdf, program_text_or_ir, **kw)
+    out = (
+        parts.filter(F.col("reg").isNotNull())
+        .groupBy("tuple_id", "var", "reg")
+        .agg(F.max("n").alias("rank"))
+    )
+    side = getattr(parts, "_trck_static_side", None)
+    if side is not None:
+        out._trck_static_side = side
+    return out
+
+
+class HllStreamCollector:
+    """foreachBatch sink state for :func:`streaming_uniques`: dense
+    registers per (tuple_id, var), folded from the update-mode rows;
+    wire hex and estimates on demand.  Driver-side memory is bounded by
+    tuples x vars x 16 KiB — the same footprint the batch engine's
+    local result set holds."""
+
+    def __init__(self) -> None:
+        self._regs: dict = {}
+
+    def update(self, batch_df) -> None:
+        """Fold one micro-batch of (tuple_id, var, reg, rank) updates.
+        The batch is bounded by the registers that CHANGED, never the
+        stream size."""
+        import numpy as np
+
+        from trck_spark.fsm.hll import HLL_M
+
+        for r in batch_df.collect():
+            k = (int(r["tuple_id"]), r["var"])
+            arr = self._regs.get(k)
+            if arr is None:
+                arr = self._regs[k] = np.zeros(HLL_M, np.uint8)
+            reg, rank = int(r["reg"]), int(r["rank"])
+            if arr[reg] < rank:
+                arr[reg] = rank
+
+    def keys(self):
+        return sorted(self._regs)
+
+    def to_hex(self, tuple_id: int, var: str) -> str:
+        from trck_spark.fsm.hll import EMPTY_HLL_HEX, Hll
+
+        arr = self._regs.get((tuple_id, var))
+        if arr is None:
+            return EMPTY_HLL_HEX
+        s = Hll()
+        s.M = bytearray(arr.tobytes())
+        return s.to_hex()
+
+    def estimate(self, tuple_id: int, var: str) -> float:
+        from trck_spark.fsm.hll import Hll
+
+        arr = self._regs.get((tuple_id, var))
+        if arr is None:
+            return 0.0
+        s = Hll()
+        s.M = bytearray(arr.tobytes())
+        return s.estimate()
