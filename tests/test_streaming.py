@@ -618,15 +618,22 @@ def test_state_blob_migration_and_versioning():
 
     ms = {0: (1, [], [])}
     # oldest layout: (machine_states, last_ts)
-    assert _load_state(pickle.dumps((ms, 42))) == (ms, 42, None, None)
+    assert _load_state(pickle.dumps((ms, 42))) == (ms, 42, None, None, set())
     # round-6 layout: (machine_states, last_ts, eff)
     assert _load_state(pickle.dumps((ms, 42, "effid"))) == (
-        ms, 42, "effid", None,
+        ms, 42, "effid", None, set(),
     )
     # current layout round-trips (bytearray, as applyInPandasWithState
-    # hands the blob back)
+    # hands the blob back); the r10 emit-once set is an OPTIONAL key —
+    # blobs written without it load as empty
     blob = bytearray(_dump_state(ms, 42, "effid", (42, ("v",), ())))
-    assert _load_state(blob) == (ms, 42, "effid", (42, ("v",), ()))
+    assert _load_state(blob) == (ms, 42, "effid", (42, ("v",), ()), set())
+    blob2 = bytearray(
+        _dump_state(ms, 42, "effid", None, {(3, "^u"), (1, "^u")})
+    )
+    assert _load_state(blob2) == (
+        ms, 42, "effid", None, {(1, "^u"), (3, "^u")},
+    )
     # a FUTURE version and a foreign blob both fail loudly
     with pytest.raises(ValueError, match="version"):
         _load_state(pickle.dumps({"v": 99}))

@@ -866,7 +866,16 @@ class TrckSparkEngine:
                 sub = sub.unionByName(
                     part_frames[i], allowMissingColumns=True
                 )
-            boundary_files = list(sub.inputFiles())
+            # memoized next to the covered merge: the union's file
+            # listing is a py4j + filesystem round-trip per run on an
+            # IMMUTABLE boundary set (segments never change once
+            # written) — the scan below re-executes every run either
+            # way, so only the fixed plan-prep cost is cached
+            fcache = manifest.setdefault("_ts_hll_files_cache", {})
+            boundary_files = fcache.get(ck)
+            if boundary_files is None:
+                boundary_files = list(sub.inputFiles())
+                fcache[ck] = boundary_files
             # The boundary sketch is the register-max over DISTINCT
             # (value, cookie) pairs with an in-bound event — the same
             # vectorized pass the store write runs (_field_hll_rollups),
@@ -911,35 +920,46 @@ class TrckSparkEngine:
                     Hll,
                 )
 
-                agg_pdf = (
-                    sub.filter(
-                        (F.col(ts_col).cast("long") >= lo)
-                        & (F.col(ts_col).cast("long") <= hi)
+                # prepared-plan cache (engine-cache analog): repeat
+                # runs re-execute every stage on the SAME immutable
+                # boundary plan but skip the py4j Dataset construction
+                pcache = manifest.setdefault("_ts_hll_plan_cache", {})
+                agg_df = pcache.get(ck)
+                if agg_df is None:
+                    agg_df = (
+                        sub.filter(
+                            (F.col(ts_col).cast("long") >= lo)
+                            & (F.col(ts_col).cast("long") <= hi)
+                        )
+                        .groupBy(
+                            code_col.cast("int").alias("c"),
+                            F.shiftright(
+                                "__hll_rr", RR_RANK_BITS
+                            ).alias("reg"),
+                        )
+                        .agg(
+                            F.max(
+                                F.col("__hll_rr").bitwiseAND(
+                                    F.lit(RR_RANK_MASK)
+                                )
+                            ).alias("rank")
+                        )
                     )
-                    .groupBy(
-                        code_col.cast("int").alias("c"),
-                        F.shiftright(
-                            "__hll_rr", RR_RANK_BITS
-                        ).alias("reg"),
-                    )
-                    .agg(
-                        F.max(
-                            F.col("__hll_rr").bitwiseAND(
-                                F.lit(RR_RANK_MASK)
-                            )
-                        ).alias("rank")
-                    )
-                    .toPandas()
-                )
+                    pcache[ck] = agg_df
+                agg_pdf = agg_df.toPandas()
                 import numpy as np
 
-                cs = agg_pdf["c"].to_numpy()
-                regs = agg_pdf["reg"].to_numpy()
-                ranks = agg_pdf["rank"].to_numpy()
+                cs = agg_pdf["c"].to_numpy(np.int64)
+                regs = agg_pdf["reg"].to_numpy(np.int64)
+                ranks = agg_pdf["rank"].to_numpy(np.uint8)
+                # ONE flat scatter over all rows ((c, reg) unique
+                # post-agg), then per-code views — a per-code boolean
+                # mask loop re-scans the full row set codes times
+                # (~160M comparisons at 100 values x 16384 registers)
+                flat = np.zeros(n_slots * HLL_M, np.uint8)
+                flat[cs * HLL_M + regs] = ranks
                 for c in np.unique(cs):
-                    m = cs == c
-                    arr = np.zeros(HLL_M, np.uint8)
-                    arr[regs[m]] = ranks[m]  # (c, reg) unique post-agg
+                    arr = flat[int(c) * HLL_M:(int(c) + 1) * HLL_M]
                     s = Hll()
                     s.M = bytearray(arr.tobytes())
                     b_code_regs[int(c)] = s.to_hex()

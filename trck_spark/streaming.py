@@ -57,9 +57,12 @@ STREAM_END_TS = (1 << 63) - 1
 _STATE_VERSION = 2
 
 
-def _load_state(blob) -> tuple[dict, Any, Any, Any]:
-    """state blob -> (machine_states, last_ts, eff, prev_event),
-    migrating pre-versioning tuple layouts (prev_event/eff default None)."""
+def _load_state(blob) -> tuple[dict, Any, Any, Any, set]:
+    """state blob -> (machine_states, last_ts, eff, prev_event,
+    hll_emitted), migrating pre-versioning tuple layouts (prev_event /
+    eff default None; ``he`` — the emit-once set for cookie-only sketch
+    yields, r10 — is an OPTIONAL v2 key so older checkpoints resume
+    cleanly with an empty set)."""
     data = pickle.loads(bytes(blob))
     if isinstance(data, dict):
         v = data.get("v")
@@ -69,11 +72,14 @@ def _load_state(blob) -> tuple[dict, Any, Any, Any]:
                 f"supports ({_STATE_VERSION}); upgrade trck_spark or "
                 "restart the query from a fresh checkpoint"
             )
-        return data["ms"], data["ts"], data["eff"], data["prev"]
+        return (
+            data["ms"], data["ts"], data["eff"], data["prev"],
+            set(data.get("he") or ()),
+        )
     if isinstance(data, tuple) and len(data) == 2:
-        return data[0], data[1], None, None
+        return data[0], data[1], None, None, set()
     if isinstance(data, tuple) and len(data) == 3:
-        return data[0], data[1], data[2], None
+        return data[0], data[1], data[2], None, set()
     raise ValueError(
         "unrecognized streaming state blob (not a v2 dict or a known "
         "legacy tuple layout); the checkpoint was not written by "
@@ -81,16 +87,52 @@ def _load_state(blob) -> tuple[dict, Any, Any, Any]:
     )
 
 
-def _dump_state(machine_states, last_ts, eff, prev_event) -> bytes:
-    return pickle.dumps(
-        {
-            "v": _STATE_VERSION,
-            "ms": machine_states,
-            "ts": last_ts,
-            "eff": eff,
-            "prev": prev_event,
-        }
-    )
+def _dump_state(machine_states, last_ts, eff, prev_event,
+                hll_emitted=()) -> bytes:
+    out = {
+        "v": _STATE_VERSION,
+        "ms": machine_states,
+        "ts": last_ts,
+        "eff": eff,
+        "prev": prev_event,
+    }
+    if hll_emitted:
+        out["he"] = sorted(hll_emitted)
+    return pickle.dumps(out)
+
+
+def _cookie_only_hll_vars(ir) -> frozenset:
+    """``^hll`` vars whose EVERY yield across the whole program is the
+    bare ``cookie`` — for those, a trail contributes exactly ONE fixed
+    (register, rank) per (tuple, var) (the murmur of its own cookie),
+    so re-emitting it every micro-batch is pure downstream-merge noise.
+    The streaming step suppresses re-emission via a tiny per-trail
+    emitted-set carried in state (sketch adds are idempotent, so an
+    at-least-once replay after a failure stays correct)."""
+    found: dict = {}
+
+    def walk(x):
+        if isinstance(x, dict):
+            for k, v in x.items():
+                if k == "yield" and isinstance(v, list):
+                    for y in v:
+                        dst = y.get("dst") if isinstance(y, dict) else None
+                        if isinstance(dst, str) and dst.startswith("^"):
+                            src = y.get("src") or []
+                            ok = (
+                                len(src) == 1
+                                and isinstance(src[0], dict)
+                                and src[0].get("_k") == "field"
+                                and src[0].get("name") == "cookie"
+                            )
+                            found[dst] = found.get(dst, True) and ok
+                walk(v)
+        elif isinstance(x, list):
+            for v in x:
+                walk(v)
+
+    walk(ir)
+    return frozenset(v for v, ok in found.items() if ok)
 
 
 def _results_rows(uuid: str, agg: dict[int, Results]) -> list[tuple]:
@@ -209,6 +251,7 @@ def streaming_partials(
         program, params, lexicon_values=foreach_values
     )
     fields = probe.compiled.fields
+    cookie_hll_vars = _cookie_only_hll_vars(program.ir)
 
     spec_json = json.dumps(
         {
@@ -365,11 +408,12 @@ def streaming_partials(
         entrypoint = q.compiled.entrypoint
 
         if state.exists:
-            machine_states, last_ts, eff, prev_event = _load_state(
-                state.get[0]
-            )
+            (machine_states, last_ts, eff, prev_event,
+             hll_emitted) = _load_state(state.get[0])
         else:
-            machine_states, last_ts, eff, prev_event = {}, None, None, None
+            machine_states, last_ts, eff, prev_event, hll_emitted = (
+                {}, None, None, None, set()
+            )
         # reporting id: the (possibly rebound) effective uuid for window
         # entries — constant per (uuid, entry) group, read from the rows
         # (or, on a row-less timeout call, from the carried state) —
@@ -379,6 +423,24 @@ def streaming_partials(
 
         n_tuples = len(tuples_w) if tuples_w is not None else 1
         agg: dict[int, Results] = {}
+
+        def _suppress_reemits(rows):
+            # emit-once for cookie-only sketch yields (see
+            # _cookie_only_hll_vars): a trail's (register, rank) for
+            # such a var never changes, so rows already emitted in a
+            # committed batch are pure downstream-merge noise — at a
+            # 100-value grid they dominate the partial-row volume
+            if not cookie_hll_vars:
+                return rows
+            kept = []
+            for row in rows:
+                if row[4] is not None and row[2] in cookie_hll_vars:
+                    k = (row[1], row[2])
+                    if k in hll_emitted:
+                        continue
+                    hll_emitted.add(k)
+                kept.append(row)
+            return kept
 
         if state.hasTimedOut:
             # idle trail: fire pending timeout edges via the sentinel
@@ -402,7 +464,7 @@ def streaming_partials(
                     if not res.is_zero():
                         agg[ti] = res
             state.remove()
-            rows = _results_rows(uuid, agg)
+            rows = _suppress_reemits(_results_rows(uuid, agg))
             if rows:
                 yield pd.DataFrame(
                     rows,
@@ -486,6 +548,7 @@ def streaming_partials(
                 [tuple(o) for o in mstate.outers],
             )
 
+        rows = _suppress_reemits(_results_rows(uuid, agg))
         if finalize:
             state.remove()
         else:
@@ -497,6 +560,7 @@ def streaming_partials(
                             last_ts,
                             eff,
                             prev_event if dedup_carry else None,
+                            hll_emitted,
                         )
                     ),
                 )
@@ -513,7 +577,6 @@ def streaming_partials(
                 else wm + 1
             )
             state.setTimeoutTimestamp(max(deadline_ms, wm + 1))
-        rows = _results_rows(uuid, agg)
         if rows:
             yield pd.DataFrame(
                 rows, columns=["uuid", "tuple_id", "var", "key", "reg", "n"]
