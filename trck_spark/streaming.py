@@ -542,11 +542,22 @@ def streaming_partials(
                 )
             if not res.is_zero():
                 agg[ti] = res
-            machine_states[ti] = (
-                mstate.ri,
-                mstate.expires,
-                [tuple(o) for o in mstate.outers],
-            )
+            if mstate.is_initial(entrypoint):
+                # don't store states indistinguishable from a fresh
+                # machine (reference gen_is_initial_state,
+                # fsm2c.py:919-928): a missing entry already loads as
+                # State(entrypoint) above.  For repeat-only programs
+                # (counters/uniques grids) EVERY machine stays initial,
+                # so the per-trail state blob pickles an empty dict
+                # instead of grid-size tuples — state-store bytes and
+                # per-batch (un)pickle time stop scaling with the grid
+                machine_states.pop(ti, None)
+            else:
+                machine_states[ti] = (
+                    mstate.ri,
+                    mstate.expires,
+                    [tuple(o) for o in mstate.outers],
+                )
 
         rows = _suppress_reemits(_results_rows(uuid, agg))
         if finalize:
