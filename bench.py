@@ -45,12 +45,15 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 # rather than dying, and (d) checkpoints every artifact after every
 # completed block, so a kill at any point leaves a parseable, current
 # BENCH_GATE.json / BENCH_SF.json and the parent can always emit the
-# contract line.  Default 5400s: round 8 (the last rc=0 round) finished
-# well inside it, and the round-9 post-mortem put the driver's own
-# limit near 7200s.
+# contract line.  Default 4200s (VERDICT r10 item 2): the 5400s r10
+# default demonstrably overran the driver's outer timeout — the kill
+# landed mid-pair with sf + oracle + gate complete — so the default is
+# sized to what r10's evidence says fits (those blocks) plus bounded
+# pair headroom, and the pair protocol pre-degrades 3->1 runs before
+# launch when the remainder can't fit three.
 
 _T0 = time.time()
-_BUDGET_S = float(os.environ.get("TRCK_SPARK_BENCH_BUDGET_S", "5400"))
+_BUDGET_S = float(os.environ.get("TRCK_SPARK_BENCH_BUDGET_S", "4200"))
 # final BENCH_SF rewrite + contract print headroom
 _FINAL_RESERVE_S = 120.0
 
@@ -326,7 +329,17 @@ def _steady_state(run, max_runs: int = 12, plateau: float = 0.10,
 
     The tail itself is returned so callers can attach a confidence
     interval to statistics DERIVED from the means (the marginal
-    ratio's delta-method CI)."""
+    ratio's delta-method CI).
+
+    No-plateau guard (VERDICT r10 item 1a): on a bimodal /
+    non-plateauing query the within-1.5x-of-best subset can collapse to
+    the two luckiest runs (the r10 b_hll_store_ts run list
+    [2.19..8.00 s] reported a best-2-of-7 "median" of 1.95x where the
+    driver measured 4.42x).  When the subset holds fewer than
+    settle_runs+2 samples, or the last settle_runs+2 runs of the FULL
+    list still disperse beyond 1.5x (never settled), the reported
+    median/mean switch to the FULL run list and the result carries
+    ``no_plateau=True`` so the artifact discloses the regime."""
     import statistics
 
     run()  # untimed warm-up
@@ -355,8 +368,27 @@ def _steady_state(run, max_runs: int = 12, plateau: float = 0.10,
         best = min(best, cur)
     steady = [r for r in runs if r <= best * 1.5] or [best]
     tail = steady[-min(len(steady), settle_runs + 2):]
-    return (best, runs, round(statistics.median(tail), 3),
-            round(statistics.fmean(tail), 3), tail)
+    want = min(len(runs), settle_runs + 2)
+    last_window = runs[-want:]
+    no_plateau = len(steady) < want or (
+        len(last_window) >= 2
+        and max(last_window) > min(last_window) * 1.5
+    )
+    if no_plateau:
+        tail = list(runs)
+    res = _SteadyResult(
+        (best, runs, round(statistics.median(tail), 3),
+         round(statistics.fmean(tail), 3), tail)
+    )
+    res.no_plateau = no_plateau
+    return res
+
+
+class _SteadyResult(tuple):
+    """5-tuple (best, runs, median, mean, tail) plus a ``no_plateau``
+    disclosure attribute — unpacks exactly like the historical tuple."""
+
+    no_plateau = False
 
 
 def _median_ci(tail):
@@ -873,9 +905,8 @@ foreach %aeid
         hts_box["out"] = rs.collect_json()
         return time.time() - t0
 
-    hts_s, hts_runs, hts_med, _m, hts_tail = _steady_state(
-        one_hll_ts, settle_runs=2
-    )
+    hts_res = _steady_state(one_hll_ts, settle_runs=2)
+    hts_s, hts_runs, hts_med, _m, hts_tail = hts_res
     hts_oracle_rows: list = []
 
     def one_hll_ts_oracle():
@@ -918,6 +949,7 @@ foreach %aeid
         "values": len(exact_uts),
         "max_rel_err": round(max_rel_err_ts, 5),
         "match": max_rel_err_ts <= 0.04,
+        "no_plateau": hts_res.no_plateau,
     }
     print(
         f"# hll-store ts-bounded uniques: {hts_s:.3f}s best / "
@@ -962,9 +994,8 @@ foreach %aeid
         htn_box["out"] = rs.collect_json()
         return time.time() - t0
 
-    htn_s, htn_runs, htn_med, _m3, htn_tail = _steady_state(
-        one_hll_thin, settle_runs=2
-    )
+    htn_res = _steady_state(one_hll_thin, settle_runs=2)
+    htn_s, htn_runs, htn_med, _m3, htn_tail = htn_res
     htn_oracle_rows: list = []
 
     def one_hll_thin_oracle():
@@ -1007,6 +1038,7 @@ foreach %aeid
         "values": len(exact_utn),
         "max_rel_err": round(max_rel_err_tn, 5),
         "match": max_rel_err_tn <= 0.04,
+        "no_plateau": htn_res.no_plateau,
     }
     print(
         f"# hll-store ts-bounded uniques (thin boundary): {htn_s:.3f}s "
@@ -1850,7 +1882,7 @@ def run_pair_scale_bench(spark, n_docs: int = 5_000_000,
     return out
 
 
-def _run_child(cmd, env, timeout):
+def _run_child(cmd, env, timeout, block=None):
     """Run a child with PROCESS-GROUP cleanup and a captured output
     tail; returns (proc, tail_text).
 
@@ -1880,6 +1912,7 @@ def _run_child(cmd, env, timeout):
     # contract line, so a driver kill can't orphan a 32-thread JVM into
     # whatever the driver runs next
     _ACTIVE_CHILD["pid"] = proc.pid
+    _ACTIVE_CHILD["block"] = block
     tail: "collections.deque[str]" = collections.deque(maxlen=80)
 
     def _tee():
@@ -1906,10 +1939,11 @@ def _run_child(cmd, env, timeout):
         proc.wait()
         t.join(timeout=10)
         _ACTIVE_CHILD["pid"] = None
+        _ACTIVE_CHILD["block"] = None
     return proc, "".join(tail)[-2048:]
 
 
-_ACTIVE_CHILD: dict = {"pid": None}
+_ACTIVE_CHILD: dict = {"pid": None, "block": None}
 
 
 def _settle(label: str, max_wait: float = 300.0) -> None:
@@ -2002,6 +2036,7 @@ def _gate_subprocess() -> dict | None:
         prep, _pt = _run_child(
             [sys.executable, me, "--prepare"],
             env=penv, timeout=max(300, min(4200, rem - 900)),
+            block="prepare",
         )
         if prep.returncode != 0:
             print(
@@ -2021,6 +2056,7 @@ def _gate_subprocess() -> dict | None:
     proc, gate_tail = _run_child(
         [sys.executable, me, "--gate", "--out", out_path],
         env=env, timeout=max(420, min(5400, rem - 60)),
+        block="gate",
     )
     if proc.returncode != 0:
         print(f"# gate subprocess rc={proc.returncode}", file=sys.stderr)
@@ -2045,6 +2081,7 @@ def _gate_subprocess() -> dict | None:
         flat, flat_tail = _run_child(
             [sys.executable, me, "--flat", "--out", out_path],
             env=env, timeout=max(420, min(2700, rem - 60)),
+            block="flat",
         )
         if flat.returncode != 0:
             print(f"# flat subprocess rc={flat.returncode}",
@@ -2076,9 +2113,21 @@ def _gate_subprocess() -> dict | None:
             _settle("before pair child")
             print(f"# pair-scale child: {runs} run(s), "
                   f"{rem:.0f}s budget left", file=sys.stderr)
+            # stub BEFORE launch: a kill that lands on this child can
+            # never again leave the artifact with no pair_scale key at
+            # all (VERDICT r10 item 2) — the term handler upgrades
+            # this to status=killed, the child to complete/error
+            gate_stub = _read_json(out_path) or {}
+            gate_stub["pair_scale"] = {
+                "status": "running",
+                "protocol_runs": runs,
+                "degraded": runs < want,
+            }
+            _atomic_write_json(out_path, gate_stub)
             pair, pair_tail = _run_child(
                 [sys.executable, me, "--pair", "--out", out_path],
                 env=penv, timeout=max(600, rem - 60),
+                block="pair",
             )
             if pair.returncode != 0:
                 print(f"# pair subprocess rc={pair.returncode}",
@@ -2090,6 +2139,8 @@ def _gate_subprocess() -> dict | None:
                     f"pair subprocess exited rc={pair.returncode}",
                 )
                 ps["error_detail"] = pair_tail
+                if ps.get("status") in (None, "running"):
+                    ps["status"] = "error"
                 gate["pair_scale"] = ps
                 _atomic_write_json(out_path, gate)
 
@@ -2664,6 +2715,25 @@ def _install_term_handler(blocks: dict, with_gate: bool) -> None:
             except (ProcessLookupError, PermissionError):
                 pass
         blocks["killed"] = "sigterm"
+        # stamp the IN-FLIGHT block so the artifact says what died
+        # instead of omitting it silently (VERDICT r10 item 2: the r10
+        # pair child vanished with no pair_scale key and no marker)
+        in_flight = _ACTIVE_CHILD.get("block")
+        if in_flight:
+            blocks["killed_in_flight"] = in_flight
+            try:
+                gate_path = os.path.join(_REPO, "BENCH_GATE.json")
+                gate = _read_json(gate_path)
+                if gate is not None:
+                    if in_flight == "pair":
+                        ps = gate.get("pair_scale") or {}
+                        ps["status"] = "killed"
+                        gate["pair_scale"] = ps
+                    else:
+                        gate["killed_in_flight"] = in_flight
+                    _atomic_write_json(gate_path, gate)
+            except Exception:
+                pass
         try:
             print(json.dumps(_contract_from_artifacts(blocks, with_gate)))
             sys.stdout.flush()
@@ -2815,6 +2885,7 @@ def main() -> None:
         [sys.executable, me, "--sf", "--out", sf_path],
         env=env,
         timeout=max(420, min(2400, _remaining() - _FINAL_RESERVE_S - 60)),
+        block="sf",
     )
     blocks["sf"] = "ok" if sfp.returncode == 0 else f"rc={sfp.returncode}"
     if sfp.returncode != 0:
@@ -2828,6 +2899,7 @@ def main() -> None:
         orp, _ot = _run_child(
             [sys.executable, me, "--sforacle", "--out", jsonl],
             env=env, timeout=max(240, min(900, rem - 60)),
+            block="sf_oracle",
         )
         _merge_sf_oracle(jsonl)
         blocks["sf_oracle"] = (

@@ -122,3 +122,37 @@ def test_hll_estimate_accuracy():
         est = h.estimate()
         err = abs(est - n) / n
         assert err <= tol, f"n={n}: est={est:.1f} err={err:.4f}"
+
+
+def test_hll_rr_vectorized_matches_scalar_on_hostile_uuids():
+    """hll_rr_from_uuids must agree with the scalar
+    cookie_display_hex+hll_register_update fold on every input shape —
+    in particular 32-char uuids containing ASCII whitespace, which
+    bytes.fromhex SKIPS (all of " \\t\\n\\v\\f\\r"), so the display
+    form is the lowercased-hex path while a naive byte-truncate
+    vectorization would diverge (ADVICE r10: persisted __hll_rr vs FSM
+    fold plan-dependence)."""
+    from trck_spark.fsm.hll import (
+        hll_rr_from_uuids,
+        cookie_display_hex,
+        RR_RANK_BITS,
+    )
+
+    def scalar(u):
+        idx, rank = hll_register_update(cookie_display_hex(u).encode())
+        return (idx << RR_RANK_BITS) | rank
+
+    cases = ["0011223344556677889900aabbccdd\t\t"]
+    for ws in "\t\n\x0b\x0c\r ":
+        base = "00112233445566778899aabbccddee"
+        cases.append(base + ws + ws)           # parses via fromhex skip
+        cases.append(ws + base + ws)
+        cases.append(("0011" + ws + "2233445566778899aabbccddeeff")[:32])
+    cases += [
+        "00112233445566778899aabbccddeeff",    # strict lowercase hex
+        "ABCDEF00112233445566778899AABBCC",    # strict uppercase hex
+        "short", "", "ünïcode-uuid", "x" * 33, "x" * 32,
+    ]
+    vec = hll_rr_from_uuids(cases)
+    for i, u in enumerate(cases):
+        assert int(vec[i]) == scalar(u), repr(u)

@@ -694,9 +694,13 @@ class TrckSparkEngine:
             sub = sub.unionByName(part_frames[i], allowMissingColumns=True)
         # boundary frame keeps the store guarantees (ts_unique, union
         # dicts, per-segment db scoping) but NOT rollups/parts — the
-        # recursive run must take the scan path, not re-enter this tier
+        # recursive run must take the scan path, not re-enter this tier.
+        # Underscore keys (engine run-time caches, may hold py4j
+        # Datasets) never propagate into copies or serialization.
         sub_manifest = {
-            k: v for k, v in manifest.items() if k not in ("rollups", "parts")
+            k: v
+            for k, v in manifest.items()
+            if k not in ("rollups", "parts") and not k.startswith("_")
         }
         sub._trailstore_manifest = sub_manifest
         # fn_registry stays with the OUTER result set (finalize hooks run

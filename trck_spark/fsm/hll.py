@@ -265,10 +265,13 @@ def hll_rr_from_uuids(uuids) -> "object":
         is_hex_byte[ch] = True
     is32 = lens == 32
     strict_hex = is32 & is_hex_byte[head32].all(axis=1)
-    # bytes.fromhex ignores ASCII spaces, so a 32-char mixed hex/space
-    # string CAN parse — route those rare rows through the scalar form
-    # rather than replicating fromhex's grouping rules vectorized
-    has_space = (head32 == 0x20).any(axis=1)
+    # bytes.fromhex ignores ALL ASCII whitespace (space, \t\n\v\f\r),
+    # so a 32-char mixed hex/whitespace string CAN parse — route those
+    # rare rows through the scalar form rather than replicating
+    # fromhex's grouping rules vectorized
+    has_space = np.isin(
+        head32, np.frombuffer(b"\t\n\x0b\x0c\r ", dtype=np.uint8)
+    ).any(axis=1)
     suspect = is32 & has_space & ~strict_hex
     disp = np.empty(n, dtype="S32")
     if strict_hex.any():

@@ -15,6 +15,8 @@ is a no-op and oracles don't need to replicate it.
 
 from __future__ import annotations
 
+import os
+
 from trck_spark.engine import TrckSparkEngine
 
 # ---------------------------------------------------------------- loaders
@@ -279,10 +281,15 @@ def _segmented_events_store(spark, sf_dir):
     if is_trail_store(path):
         from trck_spark.store import ensure_rollups, read_manifest
 
-        if not read_manifest(path).get("hll_rr_col"):
+        if not read_manifest(path).get("hll_rr_col") and not os.environ.get(
+            "TRCK_SPARK_NO_HLL_RR"
+        ):
             # pre-r10 layout (no materialized __hll_rr column): the
             # ts-bounded uniques boundary scan would take the Python
-            # fold — rebuild so repeat runs measure the shipped layout
+            # fold — rebuild so repeat runs measure the shipped layout.
+            # Skipped under TRCK_SPARK_NO_HLL_RR: a rebuild can never
+            # satisfy the check then, so rebuilding would loop every
+            # fresh session (ADVICE r10)
             import shutil
 
             shutil.rmtree(path, ignore_errors=True)

@@ -30,6 +30,13 @@ import re
 
 MANIFEST = "_trailstore.json"
 
+
+def _dump_manifest(m: dict, f) -> None:
+    """json.dump a manifest, stripping underscore-prefixed keys: those
+    are engine run-time caches (may hold py4j Datasets — ADVICE r10)
+    and must never reach disk or a copy."""
+    json.dump({k: v for k, v in m.items() if not k.startswith("_")}, f)
+
 # per-field lexicon cap for auto dictionary encoding: fields above this
 # distinct-count stay plain strings (a 100 TB store's high-cardinality
 # fields would otherwise ship giant lexicons through every manifest)
@@ -237,7 +244,7 @@ def write_trail_store(df, path: str, uuid_col: str = "uuid",
         "schema_ddl": _schema_ddl(df),
     }
     with open(os.path.join(path, MANIFEST), "w") as f:
-        json.dump(manifest, f)
+        _dump_manifest(manifest, f)
     out = spark.table(table)
     out._trailstore_manifest = manifest
     return out
@@ -584,7 +591,7 @@ def append_trail_store(df, path: str, **kw):
     )
     m["segments"] = segs + [name]
     with open(os.path.join(path, MANIFEST), "w") as f:
-        json.dump(m, f)
+        _dump_manifest(m, f)
     return open_trail_store(df.sparkSession, path)
 
 
@@ -983,7 +990,7 @@ def ensure_rollups(spark, path: str) -> dict:
         m["ts_min"], m["ts_max"] = z["tmin"], z["tmax"]
     m["version"] = 3
     with open(os.path.join(path, MANIFEST), "w") as f:
-        json.dump(m, f)
+        _dump_manifest(m, f)
     if not segmented:
         table_df._trailstore_manifest = m
     return m
