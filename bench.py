@@ -97,6 +97,25 @@ GATE_EVENTS = int(os.environ.get("SPARK_GRAFT_GATE_EVENTS", 160_000_000))
 _CACHE_DIR = os.path.join(_REPO, ".bench_cache")
 
 
+def _has_hll_slices(seg_path: str, m: dict) -> bool:
+    """True when the base AND every segment of the cached store carry
+    the r11 sliced sketch sidecar (store._write_hll_slices) — a stale
+    cache would silently measure the pre-slice boundary plan."""
+    from trck_spark.store import read_manifest
+
+    if not m.get("hll_slices"):
+        return False
+    for s in m.get("segments") or []:
+        try:
+            if not read_manifest(os.path.join(seg_path, s)).get(
+                "hll_slices"
+            ):
+                return False
+        except FileNotFoundError:
+            return False
+    return True
+
+
 def _perf_paths(n_events: int) -> tuple[str, str]:
     tag = f"perf{n_events // 1_000_000}m"
     return (
@@ -207,14 +226,14 @@ def _open_perf_segmented(spark, n_events: int):
         "segments"
     ):
         m = read_manifest(seg_path)
-        if not m.get("hll_rr_col"):
-            # cached by a pre-r10 layout (no materialized __hll_rr
-            # column): the ts-bounded uniques boundary scan would fall
-            # back to the Python fold — rebuild so the gate measures
-            # the shipped layout
+        if not m.get("hll_rr_col") or not _has_hll_slices(seg_path, m):
+            # cached by a pre-r10/r11 layout (no materialized __hll_rr
+            # column, or no sliced sketch sidecar): the ts-bounded
+            # uniques boundary scan would miss the shipped plan —
+            # rebuild so the gate measures the shipped layout
             import shutil
 
-            print(f"# rebuilding {seg_path} (no __hll_rr layout)",
+            print(f"# rebuilding {seg_path} (stale store layout)",
                   file=sys.stderr)
             shutil.rmtree(seg_path, ignore_errors=True)
         else:
@@ -262,7 +281,9 @@ def _open_perf_segmented_thin(spark, n_events: int):
     seg_path = store_path + "_segthin"
     if is_trail_store(seg_path) and read_manifest(seg_path).get(
         "segments"
-    ) and read_manifest(seg_path).get("hll_rr_col"):
+    ) and read_manifest(seg_path).get("hll_rr_col") and _has_hll_slices(
+        seg_path, read_manifest(seg_path)
+    ):
         return open_trail_store(spark, seg_path)
     import shutil
 
@@ -2579,6 +2600,102 @@ _SF_TABLES = (
 )
 
 
+def _sf_bench_oracles() -> dict:
+    """DuckDB timing oracles for the bench-only sf rows (VERDICT r10
+    item 4: 9 of 32 sf rows carried ``oracle_s: null``).  These rows
+    are constituents of MERGED registry rows (text_metrics /
+    split_pack / ann_cosine_methods) or the ts slices of tagged store
+    rows — their VALUES are already pinned by the registry twins and
+    stress tests, so these oracles exist for the same-boot ratio
+    only."""
+    out: dict = {}
+    try:
+        from trck_spark.pipeline.text import (
+            lm_score_oracle_sql,
+            pii_stats_oracle_sql,
+            repetition_stats_oracle_sql,
+            text_quality_oracle_sql,
+        )
+
+        out["text_quality"] = text_quality_oracle_sql()
+        out["repetition_stats"] = repetition_stats_oracle_sql()
+        out["pii_stats"] = pii_stats_oracle_sql()
+        out["lm_score"] = lm_score_oracle_sql()
+    except ImportError:
+        pass
+    ts_pred = (
+        "epoch_ns(ts) // 1000000000 >= 1704500000 "
+        "AND epoch_ns(ts) // 1000000000 < 1706200000"
+    )
+    out["trck_count_by_type_store_ts"] = (
+        "SELECT event_type AS t, "
+        f"count(*) FILTER ({ts_pred})::BIGINT AS n "
+        "FROM events GROUP BY event_type ORDER BY t"
+    )
+    out["trck_uniques_hll_store_ts"] = (
+        "SELECT event_type AS t, "
+        f"count(DISTINCT CASE WHEN {ts_pred} THEN user_id END)::BIGINT "
+        "AS u FROM events GROUP BY event_type ORDER BY t"
+    )
+    # hash_split / sequence_pack: the two halves of the split_pack
+    # merged oracle, verbatim
+    out["hash_split"] = (
+        "SELECT doc_id, bucket, "
+        "CASE WHEN bucket < 98 THEN 'train' "
+        "WHEN bucket < 99 THEN 'val' ELSE 'test' END AS split "
+        "FROM (SELECT doc_id, "
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 "
+        "AS bucket FROM documents) t ORDER BY doc_id"
+    )
+    out["sequence_pack"] = r"""
+WITH docs AS (
+  SELECT doc_id,
+         len(string_split(
+           regexp_replace(lower(text), '\s+', ' ', 'g'), ' '))::BIGINT
+           AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard
+  FROM documents
+),
+cums AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard
+                             ORDER BY md5(doc_id::VARCHAR), doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM docs
+)
+SELECT doc_id, shard, (cum - n_tokens)::BIGINT AS start_offset, n_tokens,
+       floor((cum - n_tokens) / 512.0)::BIGINT AS bin_first,
+       floor((cum - 1) / 512.0)::BIGINT AS bin_last
+FROM cums
+ORDER BY shard, start_offset, doc_id
+"""
+    # ann_cosine_topk: the 'exact' branch of the ann_cosine_methods
+    # merged oracle, verbatim
+    out["ann_cosine_topk"] = """
+WITH q AS (
+  SELECT vec_id AS qid, [CAST(round(x::DOUBLE * 1000000) AS BIGINT) for x in embedding] AS v
+  FROM embeddings WHERE vec_id < 5
+),
+d AS (
+  SELECT vec_id AS did, [CAST(round(x::DOUBLE * 1000000) AS BIGINT) for x in embedding] AS v
+  FROM embeddings
+),
+s AS (
+  SELECT qid, did,
+         list_sum([q.v[i] * d.v[i] for i in generate_series(1, len(q.v))])::DOUBLE
+         / (sqrt(list_sum([q.v[i] * q.v[i] for i in generate_series(1, len(q.v))])::DOUBLE)
+            * sqrt(list_sum([d.v[i] * d.v[i] for i in generate_series(1, len(d.v))])::DOUBLE))
+         AS cos
+  FROM q, d WHERE qid <> did
+)
+SELECT qid, did, floor(cos * 1000000)::BIGINT AS score_e6
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS rn
+      FROM s)
+WHERE rn <= 5 ORDER BY qid, score_e6 DESC, did
+"""
+    return out
+
+
 def run_sf_oracle_block(sf_dir: str, jsonl_path: str) -> None:
     """Time the DuckDB oracle for every sf query that has one, in the
     SAME boot as the Spark timings (VERDICT r09 item 4: three rounds of
@@ -2597,7 +2714,8 @@ def run_sf_oracle_block(sf_dir: str, jsonl_path: str) -> None:
 
     import __spark_entry__ as entry_mod
 
-    oracles = entry_mod.oracle_sql()
+    oracles = dict(entry_mod.oracle_sql())
+    oracles.update(_sf_bench_oracles())
     sf = _read_json(os.path.join(_REPO, "BENCH_SF.json")) or {}
     names = list((sf.get("queries") or {}).keys()) or sorted(oracles)
     con = duckdb.connect()

@@ -615,10 +615,12 @@ def test_ensure_rollups_backfills_hll(spark, tmp_path):
 
 
 def test_hll_rr_column_written_and_jvm_boundary_plan(spark, tmp_path):
-    """Round 10: stores persist the packed (register << 6 | rank) of
-    each row's cookie (__hll_rr, store._hll_rr_expr), and a ts-bounded
-    uniques boundary scan runs entirely JVM-side
-    (scope["boundary_plan"] == "jvm_rr") with results byte-identical to
+    """Round 10/11: stores persist the packed (register << 6 | rank)
+    of each row's cookie (__hll_rr, store._hll_rr_expr), and a
+    ts-bounded uniques boundary scan takes the exchange-free
+    register-blob fold (scope["boundary_plan"] == "rr_fold": JVM
+    filter+projection, per-partition Arrow scatter-max, codes x
+    partitions blobs to the driver) with results byte-identical to
     the legacy Python murmur fold and the FSM path."""
     from trck_spark.store import read_manifest
 
@@ -629,7 +631,7 @@ def test_hll_rr_column_written_and_jvm_boundary_plan(spark, tmp_path):
     assert "__hll_rr" in store.columns
     prog = TS_PROG.format(lo=50, hi=250)
     rs, out = _run(spark, store, prog)
-    assert rs._ts_scope.get("boundary_plan") == "jvm_rr"
+    assert rs._ts_scope.get("boundary_plan") == "rr_fold"
     # legacy layout (no materialized column): same wire hex
     legacy_path = str(tmp_path / "legacyseg")
     os.environ["TRCK_SPARK_NO_HLL_RR"] = "1"
@@ -677,3 +679,77 @@ def test_hll_rr_mixed_segments_fall_back(spark, tmp_path):
         env={"TRCK_SPARK_NO_ROLLUP": "1", "TRCK_SPARK_NO_FASTPATH": "1"},
     )
     assert out == out_fsm
+
+
+def test_hll_sliced_sidecar_engages_and_matches(spark, tmp_path):
+    """Round 11: segments write a per-(code, time-slice) sketch sidecar
+    (store._write_hll_slices); a ts bound landing MID-segment answers
+    the covered slices from the sidecar and scans only the partial
+    slices (scope["slices_covered"]), byte-identical to a store written
+    without the sidecar, to the boundary-scan-only plan, and to the
+    FSM path."""
+    from trck_spark.store import read_manifest
+
+    path = str(tmp_path / "sliced")
+    store = _time_sliced_store(spark, path)
+    m = read_manifest(os.path.join(path, "segment_0001"))
+    assert "t" in (m.get("hll_slices") or {}), "sidecar meta missing"
+    sl = m["hll_slices"]["t"]
+    assert sl["n"] >= 2 and len(sl["bounds"]) == sl["n"] + 1
+    assert os.path.exists(
+        os.path.join(path, "segment_0001", sl["file"])
+    )
+    # bound strictly inside the LAST segment (index 2): its slices at
+    # the low edge are covered, the straddled slice scans
+    prog = TS_PROG.format(lo=50, hi=250)
+    rs, out = _run(spark, store, prog)
+    assert rs._ts_scope.get("boundary_plan") == "rr_fold"
+    assert rs._ts_scope.get("slices_covered"), rs._ts_scope
+    # same store WITHOUT the sidecar layer
+    nos_path = str(tmp_path / "nosl")
+    os.environ["TRCK_SPARK_NO_HLL_SLICES"] = "1"
+    try:
+        nos = _time_sliced_store(spark, nos_path)
+    finally:
+        del os.environ["TRCK_SPARK_NO_HLL_SLICES"]
+    assert not read_manifest(
+        os.path.join(nos_path, "segment_0001")
+    ).get("hll_slices")
+    rs_n, out_n = _run(spark, nos, prog)
+    assert rs_n._ts_scope.get("boundary_plan") == "rr_fold"
+    assert not rs_n._ts_scope.get("slices_covered")
+    assert out == out_n
+    # FSM ground truth
+    _, out_fsm = _run(
+        spark, store, prog,
+        env={"TRCK_SPARK_NO_ROLLUP": "1", "TRCK_SPARK_NO_FASTPATH": "1"},
+    )
+    assert out == out_fsm
+
+
+def test_hll_sliced_sidecar_exact_slice_alignment(spark, tmp_path):
+    """Bounds landing EXACTLY on slice edges: the scan ranges are the
+    exact complement (possibly empty — zero scan), still identical to
+    the no-sidecar answer."""
+    from trck_spark.store import read_manifest
+
+    path = str(tmp_path / "aligned")
+    store = _time_sliced_store(spark, path)
+    m = read_manifest(os.path.join(path, "segment_0001"))
+    sl = (m.get("hll_slices") or {}).get("t")
+    assert sl, "sidecar meta missing"
+    b = sl["bounds"]
+    # [segment start, one slice-end]: low edge aligned, high edge
+    # aligned -> the covered span needs NO partial scan on the low side
+    lo, hi = b[0], b[3] - 1
+    prog = TS_PROG.format(lo=lo, hi=hi + 1)  # program uses < hi+1
+    rs, out = _run(spark, store, prog)
+    assert rs._ts_scope.get("slices_covered"), rs._ts_scope
+    nos_path = str(tmp_path / "nosl2")
+    os.environ["TRCK_SPARK_NO_HLL_SLICES"] = "1"
+    try:
+        nos = _time_sliced_store(spark, nos_path)
+    finally:
+        del os.environ["TRCK_SPARK_NO_HLL_SLICES"]
+    _, out_n = _run(spark, nos, prog)
+    assert out == out_n

@@ -41,6 +41,10 @@ PARTIAL_SCHEMA = (
 )
 
 _QUERY_CACHE: dict = {}
+
+# cache-miss sentinel (None is a legitimate cached value: "no scan
+# needed, boundary fully covered by sliced sketches")
+_MISS = object()
 # a long-lived executor can see many distinct fn_registry objects
 # (repeated stream restarts each construct a fresh registry), and every
 # cached entry pins its registry alive — bound the cache pop-oldest
@@ -787,6 +791,92 @@ class TrckSparkEngine:
         rs._ts_scope = scope
         return rs
 
+    def _ts_hll_slice_plan(
+        self, parts_meta, boundary, f0: str, union, lo: int, hi: int,
+        n_slots: int,
+    ):
+        """Sliced-sidecar decomposition of the boundary scan:
+        (slice_mat, part_ranges, slices_covered).
+
+        slice_mat: (n_slots, 16384) uint8 register-max of every sidecar
+        slice fully inside [lo, hi] across all boundary parts (None
+        when no part contributed); part codes are remapped to union
+        codes via the part lexicon.  part_ranges[i]: the ts intervals
+        part i must still SCAN — the exact complement of its covered
+        slice span within [lo, hi] (empty list = no scan needed).
+        Parts without a sidecar (legacy layout, over-budget field) get
+        the full [lo, hi].  Pure plan-prep over immutable files —
+        cached on the manifest keyed like the covered merge."""
+        import numpy as np
+
+        from trck_spark.fsm.hll import HLL_M, _rle_decode_registers
+
+        uindex = {v: j + 1 for j, v in enumerate(union)}
+        slice_mat = None
+        part_ranges: dict[int, list] = {}
+        slices_cov: dict[str, list] = {}
+        for i in boundary:
+            pm = parts_meta[i]
+            sl = (pm.get("hll_slices") or {}).get(f0)
+            lex = (pm.get("hll_dicts") or {}).get(f0)
+            ppath = pm.get("path")
+            full = [(lo, hi)]
+            if not sl or lex is None or not ppath:
+                part_ranges[i] = full
+                continue
+            bounds = [int(x) for x in sl["bounds"]]
+            nsl = int(sl["n"])
+            # covered = suffix(bounds[k] >= lo) ∩ prefix(slice end <= hi)
+            # of a monotone bound list -> contiguous [k0, k1]
+            ks = [
+                k
+                for k in range(nsl)
+                if bounds[k] >= lo and bounds[k + 1] - 1 <= hi
+            ]
+            if not ks:
+                part_ranges[i] = full
+                continue
+            k0, k1 = ks[0], ks[-1]
+            try:
+                import pyarrow.parquet as pq
+
+                tbl = pq.read_table(
+                    _os.path.join(ppath, sl["file"]),
+                    filters=[
+                        ("f", "=", f0),
+                        ("slice", ">=", k0),
+                        ("slice", "<=", k1),
+                    ],
+                )
+            except Exception:
+                part_ranges[i] = full
+                continue
+            if slice_mat is None:
+                slice_mat = np.zeros((n_slots, HLL_M), np.uint8)
+            for c_local, blob in zip(
+                tbl.column("c").to_pylist(), tbl.column("regs").to_pylist()
+            ):
+                u = (
+                    0
+                    if c_local == 0
+                    else uindex.get(lex[c_local - 1])
+                )
+                if u is None:
+                    continue
+                regs = _rle_decode_registers(bytes(blob))
+                k = min(len(regs), HLL_M)
+                np.maximum(
+                    slice_mat[u][:k], regs[:k], out=slice_mat[u][:k]
+                )
+            rngs = []
+            if lo <= bounds[k0] - 1:
+                rngs.append((lo, bounds[k0] - 1))
+            if bounds[k1 + 1] <= hi:
+                rngs.append((bounds[k1 + 1], hi))
+            part_ranges[i] = rngs
+            slices_cov[str(i)] = [k0, k1]
+        return slice_mat, part_ranges, slices_cov
+
     def _ts_hll_code_sketches(
         self, events_df, params: dict | None, manifest: dict, f0: str,
         ts_conds: list, uuid_col: str, ts_col: str,
@@ -909,14 +999,24 @@ class TrckSparkEngine:
             )
             if use_rr:
                 # stores written with the materialized packed register
-                # column (store._hll_rr_expr) keep the whole boundary
-                # scan JVM-side: filter + two-level hash aggregate on
-                # (code, register) with max(rank), all inside
-                # whole-stage codegen — no cookie strings cross into
-                # Python, and the exchange carries at most
-                # codes x 16384 partial rows.  Byte-identical to the
-                # murmur fold below (the column IS that fold,
-                # precomputed at write).
+                # column (store._hll_rr_expr) take the register-blob
+                # fold: the JVM side is ONLY a pushed-down ts filter +
+                # 2-int projection (code, __hll_rr), and each scan
+                # partition folds its rows into one 16 KiB register
+                # blob per live code via a vectorized Arrow pass — so
+                # the data crossing any boundary is codes x partitions
+                # BLOBS (~3 k rows), not the values x 16384 x tasks
+                # partial-aggregate rows the groupBy(code, register)
+                # form shuffled (VERDICT r10 item 1b: at the
+                # adversarial 53 M-row boundary the partial agg barely
+                # reduced — the exchange carried ~input-size row
+                # counts, and the final agg collected values x 16384
+                # rows to the driver).  There is no exchange at all:
+                # sketch adds are idempotent and register-max is
+                # commutative, so per-partition partials merge on the
+                # driver with one numpy max per blob.  Byte-identical
+                # to the murmur fold below (the packed column IS that
+                # fold, precomputed at write).
                 from trck_spark.fsm.hll import (
                     HLL_M,
                     RR_RANK_BITS,
@@ -924,49 +1024,131 @@ class TrckSparkEngine:
                     Hll,
                 )
 
+                # sliced sidecar (store._write_hll_slices): for each
+                # boundary part that carries per-(code, time-slice)
+                # sketches, the slices fully inside [lo, hi] answer
+                # from the sidecar blobs and only the 1-2 PARTIAL
+                # slices at the bound's edges scan — the boundary cost
+                # becomes proportional to a slice (1/16 segment), not
+                # the segment, no matter where the bound lands.
+                # Idempotent register max makes slice/scan overlap
+                # harmless; only a coverage GAP could be wrong, and the
+                # ranges below are exact complements of the covered
+                # slice span.
+                scache = manifest.setdefault("_ts_hll_slice_cache", {})
+                slice_hit = scache.get(ck)
+                if slice_hit is None:
+                    slice_hit = self._ts_hll_slice_plan(
+                        parts_meta, boundary, f0, union, lo, hi, n_slots
+                    )
+                    scache[ck] = slice_hit
+                slice_mat, part_ranges, slices_cov = slice_hit
+
                 # prepared-plan cache (engine-cache analog): repeat
                 # runs re-execute every stage on the SAME immutable
                 # boundary plan but skip the py4j Dataset construction
                 pcache = manifest.setdefault("_ts_hll_plan_cache", {})
-                agg_df = pcache.get(ck)
-                if agg_df is None:
-                    agg_df = (
-                        sub.filter(
-                            (F.col(ts_col).cast("long") >= lo)
-                            & (F.col(ts_col).cast("long") <= hi)
+                miss = pcache.get(ck, _MISS) is _MISS
+                fold_df = None if miss else pcache[ck]
+                frames = []
+                if miss:
+                    for i in boundary:
+                        rngs = part_ranges.get(i, [(lo, hi)])
+                        if not rngs:
+                            continue  # part fully covered by slices
+                        tsl = F.col(ts_col).cast("long")
+                        cond = None
+                        for a, b in rngs:
+                            piece = (tsl >= a) & (tsl <= b)
+                            cond = piece if cond is None else cond | piece
+                        frames.append(part_frames[i].filter(cond))
+                    if not frames:
+                        pcache[ck] = None
+                if miss and frames:
+                    subf = frames[0]
+                    for fr in frames[1:]:
+                        subf = subf.unionByName(
+                            fr, allowMissingColumns=True
                         )
-                        .groupBy(
-                            code_col.cast("int").alias("c"),
-                            F.shiftright(
-                                "__hll_rr", RR_RANK_BITS
-                            ).alias("reg"),
-                        )
-                        .agg(
-                            F.max(
-                                F.col("__hll_rr").bitwiseAND(
-                                    F.lit(RR_RANK_MASK)
-                                )
-                            ).alias("rank")
-                        )
+                    rr_pairs = subf.select(
+                        code_col.cast("int").alias("c"),
+                        F.col("__hll_rr").alias("rr"),
                     )
-                    pcache[ck] = agg_df
-                agg_pdf = agg_df.toPandas()
+                    ns = n_slots
+
+                    def _fold_rr(batches):
+                        # per-partition scatter-max of the packed
+                        # (reg << 6 | rank) ints into a flat
+                        # (codes x 16384) uint8 accumulator; within a
+                        # (code, reg) cell max(packed) == the packed
+                        # value carrying max(rank), so one pass over
+                        # the raw ints needs no pre-aggregation
+                        import numpy as np
+                        import pandas as pd
+
+                        flat = None
+                        for pdf in batches:
+                            if not len(pdf):
+                                continue
+                            if flat is None:
+                                flat = np.zeros(ns * HLL_M, np.uint8)
+                            rr = pdf["rr"].to_numpy(np.int64)
+                            keys = (
+                                pdf["c"].to_numpy(np.int64) * HLL_M
+                                + (rr >> RR_RANK_BITS)
+                            )
+                            np.maximum.at(
+                                flat,
+                                keys,
+                                (rr & RR_RANK_MASK).astype(np.uint8),
+                            )
+                        if flat is None:
+                            return
+                        regs2d = flat.reshape(ns, HLL_M)
+                        live = np.flatnonzero(regs2d.any(axis=1))
+                        if not len(live):
+                            return
+                        yield pd.DataFrame(
+                            {
+                                "c": live.astype("int32"),
+                                "regs": [
+                                    regs2d[c].tobytes() for c in live
+                                ],
+                            }
+                        )
+
+                    fold_df = rr_pairs.mapInPandas(
+                        _fold_rr, "c int, regs binary"
+                    )
+                    pcache[ck] = fold_df
                 import numpy as np
 
-                cs = agg_pdf["c"].to_numpy(np.int64)
-                regs = agg_pdf["reg"].to_numpy(np.int64)
-                ranks = agg_pdf["rank"].to_numpy(np.uint8)
-                # ONE flat scatter over all rows ((c, reg) unique
-                # post-agg), then per-code views — a per-code boolean
-                # mask loop re-scans the full row set codes times
-                # (~160M comparisons at 100 values x 16384 registers)
-                flat = np.zeros(n_slots * HLL_M, np.uint8)
-                flat[cs * HLL_M + regs] = ranks
-                for c in np.unique(cs):
-                    arr = flat[int(c) * HLL_M:(int(c) + 1) * HLL_M]
+                b_raw: dict[int, object] = {}
+                if fold_df is not None:
+                    for r in fold_df.collect():
+                        arr = np.frombuffer(
+                            bytes(r["regs"]), dtype=np.uint8
+                        )
+                        c = int(r["c"])
+                        prev = b_raw.get(c)
+                        b_raw[c] = (
+                            arr.copy()
+                            if prev is None
+                            else np.maximum(prev, arr)
+                        )
+                if slice_mat is not None:
+                    for c in np.flatnonzero(slice_mat.any(axis=1)):
+                        c = int(c)
+                        prev = b_raw.get(c)
+                        b_raw[c] = (
+                            slice_mat[c].copy()
+                            if prev is None
+                            else np.maximum(prev, slice_mat[c])
+                        )
+                for c, arr in b_raw.items():
                     s = Hll()
                     s.M = bytearray(arr.tobytes())
-                    b_code_regs[int(c)] = s.to_hex()
+                    b_code_regs[c] = s.to_hex()
                 return (
                     covered_hex,
                     b_code_regs,
@@ -974,7 +1156,8 @@ class TrckSparkEngine:
                         "covered_parts": len(covered_entries),
                         "boundary_parts": list(boundary),
                         "boundary_files": boundary_files,
-                        "boundary_plan": "jvm_rr",
+                        "boundary_plan": "rr_fold",
+                        "slices_covered": slices_cov or None,
                     },
                 )
             pairs = sub.filter(

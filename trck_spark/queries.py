@@ -281,15 +281,17 @@ def _segmented_events_store(spark, sf_dir):
     if is_trail_store(path):
         from trck_spark.store import ensure_rollups, read_manifest
 
-        if not read_manifest(path).get("hll_rr_col") and not os.environ.get(
-            "TRCK_SPARK_NO_HLL_RR"
-        ):
-            # pre-r10 layout (no materialized __hll_rr column): the
-            # ts-bounded uniques boundary scan would take the Python
-            # fold — rebuild so repeat runs measure the shipped layout.
-            # Skipped under TRCK_SPARK_NO_HLL_RR: a rebuild can never
-            # satisfy the check then, so rebuilding would loop every
-            # fresh session (ADVICE r10)
+        _m = read_manifest(path)
+        if (
+            not _m.get("hll_rr_col") or not _m.get("hll_slices")
+        ) and not os.environ.get("TRCK_SPARK_NO_HLL_RR"):
+            # pre-r10/r11 layout (no materialized __hll_rr column, or
+            # no sliced sketch sidecar): the ts-bounded uniques
+            # boundary scan would miss the shipped plan — rebuild so
+            # repeat runs measure the shipped layout.  Skipped under
+            # TRCK_SPARK_NO_HLL_RR: a rebuild can never satisfy the
+            # check then, so rebuilding would loop every fresh
+            # session (ADVICE r10)
             import shutil
 
             shutil.rmtree(path, ignore_errors=True)

@@ -72,10 +72,16 @@ def _load_state(blob) -> tuple[dict, Any, Any, Any, set]:
                 f"supports ({_STATE_VERSION}); upgrade trck_spark or "
                 "restart the query from a fresh checkpoint"
             )
-        return (
-            data["ms"], data["ts"], data["eff"], data["prev"],
-            set(data.get("he") or ()),
-        )
+        he: set = set()
+        if data.get("he2"):
+            import numpy as np
+
+            for var, blob in data["he2"].items():
+                for ti in np.frombuffer(blob, "<i4"):
+                    he.add((int(ti), var))
+        elif data.get("he"):
+            he = {(int(ti), var) for ti, var in data["he"]}
+        return data["ms"], data["ts"], data["eff"], data["prev"], he
     if isinstance(data, tuple) and len(data) == 2:
         return data[0], data[1], None, None, set()
     if isinstance(data, tuple) and len(data) == 3:
@@ -97,7 +103,19 @@ def _dump_state(machine_states, last_ts, eff, prev_event,
         "prev": prev_event,
     }
     if hll_emitted:
-        out["he"] = sorted(hll_emitted)
+        # compact var-keyed int32 arrays instead of a list of (ti, var)
+        # tuples: at a 100-value grid the emit-once set dominates the
+        # per-trail blob, and pickling ~100 tuples per trail per batch
+        # was the profiled (un)pickle floor (VERDICT r10 item 3)
+        import numpy as np
+
+        by_var: dict = {}
+        for ti, var in hll_emitted:
+            by_var.setdefault(var, []).append(ti)
+        out["he2"] = {
+            v: np.array(sorted(t), "<i4").tobytes()
+            for v, t in by_var.items()
+        }
     return pickle.dumps(out)
 
 
@@ -133,6 +151,52 @@ def _cookie_only_hll_vars(ir) -> frozenset:
 
     walk(ir)
     return frozenset(v for v, ok in found.items() if ok)
+
+
+_PRUNE_ABSENT = ("__absent__",)
+
+
+def _stream_prune_meta(q, fields: list) -> tuple:
+    """Per-batch grid-pruning plan for the stateful step — the
+    reference's GROUPBY_USED distinct-value memoization
+    (match_traildb.c:653-744) applied per (trail, micro-batch), with
+    the carried FSM state as an extra cache dimension.
+
+    Two grid tuples take IDENTICAL transitions through a batch when
+    (a) their projection keys over the batch's distinct field values
+    match (params.projection_key — values absent from the batch can
+    never satisfy an equality predicate, so all absent values are
+    interchangeable; the batch engine's run cache is built on exactly
+    this, differential-fuzzed both ways), and (b) their carried machine
+    states match.  The step then runs ONE machine per (projection,
+    state) group instead of one per grid tuple — at a 100-value grid
+    with a handful of values per trail-batch that is a ~20x cut in
+    run_machine calls.
+
+    Returns ("off",) | ("fast", field_index) | ("generic", {field:
+    index}): "fast" is the single-scalar-var special case where the
+    projection key reduces to value-present-or-absent on one field."""
+    program = q.program
+    gvars = program.groupby_vars or []
+    if getattr(q, "no_grid_prune", False) or not gvars:
+        return ("off",)
+    vf = program.var_fields
+    findex = {f: i for i, f in enumerate(fields)}
+    v0 = gvars[0]
+    if (
+        len(gvars) == 1
+        and not v0.startswith("#")
+        and v0 not in program.param_yield_vars
+        and vf.get(v0) not in (None, "timestamp")
+        and vf[v0] in findex
+    ):
+        return ("fast", findex[vf[v0]])
+    need = {}
+    for v in gvars:
+        f = vf.get(v)
+        if f is not None and f != "timestamp" and f in findex:
+            need[f] = findex[f]
+    return ("generic", need)
 
 
 def _results_rows(uuid: str, agg: dict[int, Results]) -> list[tuple]:
@@ -263,6 +327,12 @@ def streaming_partials(
             ]
             if tuples is not None
             else None,
+            # driver-side pruning toggle, shipped in the spec exactly
+            # like the batch engine does (engine._worker_query): the
+            # executors' env doesn't see driver changes
+            "no_grid_prune": bool(
+                os.environ.get("TRCK_SPARK_NO_GRID_PRUNE")
+            ),
         },
         default=str,
     )
@@ -517,8 +587,57 @@ def streaming_partials(
         if dedup_carry and raw:
             prev_event = raw[-1]
 
+        # per-batch grid pruning (see _stream_prune_meta): group the
+        # grid by (projection key over this batch's distinct values,
+        # carried state) and run ONE machine per group
+        gids = None
+        if tuples_w is not None and n_tuples > 1:
+            prune = getattr(q, "_stream_prune", None)
+            if prune is None:
+                prune = _stream_prune_meta(q, fields)
+                q._stream_prune = prune
+            if prune[0] == "fast":
+                fidx = prune[1]
+                dset = {v[fidx] for _ts, v in events}
+                tvals = getattr(q, "_stream_prune_vals", None)
+                if tvals is None:
+                    tvals = [tup[0] for tup in tuples_w]
+                    q._stream_prune_vals = tvals
+                gids = [
+                    val if val in dset else _PRUNE_ABSENT
+                    for val in tvals
+                ]
+            elif prune[0] == "generic":
+                from trck_spark.params import projection_key
+
+                trail_distinct = {
+                    f: {v[i] for _ts, v in events}
+                    for f, i in prune[1].items()
+                }
+                gids = [
+                    projection_key(q.program, tup, trail_distinct)
+                    for tup in tuples_w
+                ]
+        run_cache: dict = {}
         for ti in range(n_tuples):
             st = machine_states.get(ti)
+            if gids is not None:
+                stk = (
+                    None
+                    if st is None
+                    else (st[0], st[1], tuple(map(tuple, st[2])))
+                )
+                gk = (gids[ti], stk)
+                hit = run_cache.get(gk)
+                if hit is not None:
+                    res, new_st = hit
+                    if res is not None:
+                        agg[ti] = res
+                    if new_st is None:
+                        machine_states.pop(ti, None)
+                    else:
+                        machine_states[ti] = new_st
+                    continue
             mstate = State(entrypoint)
             if st is not None:
                 mstate.ri, mstate.expires, outers = st
@@ -552,11 +671,17 @@ def streaming_partials(
                 # instead of grid-size tuples — state-store bytes and
                 # per-batch (un)pickle time stop scaling with the grid
                 machine_states.pop(ti, None)
+                new_st = None
             else:
-                machine_states[ti] = (
+                new_st = (
                     mstate.ri,
                     mstate.expires,
                     [tuple(o) for o in mstate.outers],
+                )
+                machine_states[ti] = new_st
+            if gids is not None:
+                run_cache[gk] = (
+                    res if not res.is_zero() else None, new_st
                 )
 
         rows = _suppress_reemits(_results_rows(uuid, agg))
