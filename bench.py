@@ -1659,59 +1659,6 @@ def run_pair_scale_bench(spark, n_docs: int = 5_000_000,
             ckpt(dict(out))
     near_lo, orig_hi = truth["near_lo"], truth["orig_hi"]
 
-    mh_runs, el, pairs, n_pairs = _timed(
-        "minhash",
-        lambda: _dd.minhash_lsh_pairs(
-            spark, path, threshold=0.2, log_dropped=True
-        ),
-        lambda f: f.count(),
-    )
-    # untimed diagnostics on the same lineage
-    n_cands = pairs._trck_candidates.count()
-    dropped = pairs._trck_dropped_buckets
-    n_dropped = dropped.count() if dropped is not None else 0
-    found_near = pairs.filter(
-        (F.col("b") >= near_lo) & (F.col("a") == F.col("b") - near_lo)
-    ).count()
-    found_exact = pairs.filter(
-        (F.col("b") >= orig_hi) & (F.col("b") < near_lo)
-        & (F.col("a") == F.col("b") - orig_hi)
-    ).count()
-    _dd.release(pairs)
-    # The recall BAR is banding theory minus 3 sigma (VERDICT r05
-    # item 4): the planted near pairs perturb 9 of 28 3-gram shingles
-    # per side (generator positions 7/17/27), so J = 19/37 exactly, and
-    # 32x4 banding detects with p = 1 - (1 - J^4)^32 ~= 0.9003 — the
-    # measured 0.8999 of round 5 was theory, not a defect.  The bar is
-    # the binomial 3-sigma floor under that p at n_near trials; a fixed
-    # "0.9" bar was the round-4 wording accident this replaces.
-    import math
-
-    n_words, pert_pos = 30, (7, 17, 27)  # ensure_docs_dataset defaults
-    n_sh = n_words - 2
-    pert = {
-        s for p in pert_pos for s in range(p - 2, p + 1)
-        if 0 <= s <= n_words - 3
-    }
-    j_planted = (n_sh - len(pert)) / (n_sh + len(pert))
-    p_theory = 1 - (1 - j_planted ** _dd.ROWS_PER_BAND) ** _dd.N_BANDS
-    bar = p_theory - 3 * math.sqrt(
-        p_theory * (1 - p_theory) / max(truth["n_near"], 1)
-    )
-    near_recall = round(found_near / max(truth["n_near"], 1), 4)
-    out["minhash_lsh_pairs"] = {
-        "s": el, "runs": mh_runs, "docs_per_s": int(n_docs / el),
-        "n_pairs": n_pairs, "n_candidates": n_cands,
-        "dropped_buckets": n_dropped,
-        "near_recall": near_recall,
-        "near_recall_theory": round(p_theory, 4),
-        "near_recall_bar": round(bar, 4),
-        "near_recall_meets_bar": near_recall >= round(bar, 4),
-        "exact_recall": round(found_exact / max(truth["n_exact"], 1), 4),
-    }
-    _gc()
-    _ck()
-
     # --- simhash at candidate-dominated scale (VERDICT r05 item 5):
     # exact dups have hamming 0 and identical fingerprints, so the
     # 6-choose-3 multi-index MUST find every one (pigeonhole — a hard
@@ -1829,6 +1776,63 @@ def run_pair_scale_bench(spark, n_docs: int = 5_000_000,
         "s": el, "runs": ap_runs, "docs_per_s": int(n_docs / el),
         "survivors": n_surv, "expected_survivors": expected,
         "survivors_match": n_surv == expected,
+    }
+    _gc()
+    _ck()
+
+    # minhash runs LAST of the pair blocks (cheapest-first order,
+    # VERDICT r10 item 2/5): it is the most expensive operator, and a
+    # driver kill landing mid-family should cost the artifact ONE row,
+    # not every row behind it
+    mh_runs, el, pairs, n_pairs = _timed(
+        "minhash",
+        lambda: _dd.minhash_lsh_pairs(
+            spark, path, threshold=0.2, log_dropped=True
+        ),
+        lambda f: f.count(),
+    )
+    # untimed diagnostics on the same lineage
+    n_cands = pairs._trck_candidates.count()
+    dropped = pairs._trck_dropped_buckets
+    n_dropped = dropped.count() if dropped is not None else 0
+    found_near = pairs.filter(
+        (F.col("b") >= near_lo) & (F.col("a") == F.col("b") - near_lo)
+    ).count()
+    found_exact = pairs.filter(
+        (F.col("b") >= orig_hi) & (F.col("b") < near_lo)
+        & (F.col("a") == F.col("b") - orig_hi)
+    ).count()
+    _dd.release(pairs)
+    # The recall BAR is banding theory minus 3 sigma (VERDICT r05
+    # item 4): the planted near pairs perturb 9 of 28 3-gram shingles
+    # per side (generator positions 7/17/27), so J = 19/37 exactly, and
+    # 32x4 banding detects with p = 1 - (1 - J^4)^32 ~= 0.9003 — the
+    # measured 0.8999 of round 5 was theory, not a defect.  The bar is
+    # the binomial 3-sigma floor under that p at n_near trials; a fixed
+    # "0.9" bar was the round-4 wording accident this replaces.
+    import math
+
+    n_words, pert_pos = 30, (7, 17, 27)  # ensure_docs_dataset defaults
+    n_sh = n_words - 2
+    pert = {
+        s for p in pert_pos for s in range(p - 2, p + 1)
+        if 0 <= s <= n_words - 3
+    }
+    j_planted = (n_sh - len(pert)) / (n_sh + len(pert))
+    p_theory = 1 - (1 - j_planted ** _dd.ROWS_PER_BAND) ** _dd.N_BANDS
+    bar = p_theory - 3 * math.sqrt(
+        p_theory * (1 - p_theory) / max(truth["n_near"], 1)
+    )
+    near_recall = round(found_near / max(truth["n_near"], 1), 4)
+    out["minhash_lsh_pairs"] = {
+        "s": el, "runs": mh_runs, "docs_per_s": int(n_docs / el),
+        "n_pairs": n_pairs, "n_candidates": n_cands,
+        "dropped_buckets": n_dropped,
+        "near_recall": near_recall,
+        "near_recall_theory": round(p_theory, 4),
+        "near_recall_bar": round(bar, 4),
+        "near_recall_meets_bar": near_recall >= round(bar, 4),
+        "exact_recall": round(found_exact / max(truth["n_exact"], 1), 4),
     }
     _gc()
     _ck()

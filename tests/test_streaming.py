@@ -932,3 +932,104 @@ foreach %t
         for k, v in batch_hex.items():
             if v != EMPTY_HLL_HEX:
                 assert k in stream_hex, k
+
+
+def test_streaming_grid_pruning_equivalence_with_carried_state(
+    spark, tmp_path
+):
+    """Round 11 per-batch grid pruning (_stream_prune_meta / the
+    (projection key, carried state) run cache): a stateful foreach
+    funnel whose machines LEAVE the initial state mid-stream must
+    produce identical partial monoid rows with pruning on and off —
+    the state dimension of the cache key is what keeps two tuples with
+    equal projections but different carried machines apart."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trck_spark.streaming import streaming_partials
+
+    src = tmp_path / "prune_src"
+    src.mkdir()
+    import random
+
+    random.seed(23)
+    vals = [f"v{k}" for k in range(12)]
+    for i in range(3):
+        rows = {"uuid": [], "timestamp": [], "seq": [], "t": [],
+                "kind": []}
+        for j in range(80):
+            rows["uuid"].append(f"user{random.randrange(10)}")
+            rows["timestamp"].append(1000 * i + j)
+            rows["seq"].append(j)
+            rows["t"].append(random.choice(vals))
+            rows["kind"].append(random.choice(["a", "b"]))
+        pq.write_table(pa.table(rows), str(src / f"p{i}.parquet"))
+        _pin_mtime(src / f"p{i}.parquet", 1_000_000 + i)
+    schema = spark.read.parquet(str(src)).schema
+
+    PROG = """
+foreach %v
+    start ->
+        receive
+            t = %v, kind = "a" -> armed
+            * -> repeat
+    armed ->
+        receive
+            t = %v, kind = "b" -> yield $conv, start
+            * -> armed
+        after 2m -> start
+"""
+
+    def run(env):
+        for k, v in env.items():
+            os.environ[k] = v
+        try:
+            sdf = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            )
+            out = streaming_partials(
+                sdf, PROG, uuid_col="uuid", ts_col="timestamp",
+                seq_col="seq", foreach_values=vals,
+            )
+            rows: list = []
+            q = (
+                out.writeStream.foreachBatch(
+                    lambda bdf, _b: rows.extend(
+                        tuple(r) for r in bdf.collect()
+                    )
+                )
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300)
+            return sorted(rows)
+        finally:
+            for k in env:
+                del os.environ[k]
+
+    assert run({}) == run({"TRCK_SPARK_NO_GRID_PRUNE": "1"})
+
+
+def test_state_blob_legacy_he_key_migrates():
+    """r10 checkpoints stored the emit-once set as a list of
+    (tuple_id, var) pairs under "he"; r11 packs it var-keyed ("he2").
+    Both load."""
+    import pickle
+
+    from trck_spark.streaming import (
+        _STATE_VERSION,
+        _dump_state,
+        _load_state,
+    )
+
+    legacy = pickle.dumps({
+        "v": _STATE_VERSION, "ms": {}, "ts": 5, "eff": None,
+        "prev": None, "he": [(0, "^u"), (7, "^u")],
+    })
+    assert _load_state(legacy)[4] == {(0, "^u"), (7, "^u")}
+    blob = _dump_state({}, 5, None, None, {(3, "^x"), (1, "^x"), (2, "^y")})
+    assert pickle.loads(blob).get("he2")  # compact form on the wire
+    assert _load_state(blob)[4] == {(1, "^x"), (3, "^x"), (2, "^y")}

@@ -678,7 +678,12 @@ def _write_hll_slices(
     tmin = int(ts_min)
     slots_list = [len(dicts[f]) + 1 for f in fields]
     sel = table_df.select(
-        F.col(ts_col).cast("long").alias("__t"),
+        # null ts (never produced by the trck writers, but possible in
+        # arbitrary input) lands in slice 0 so its cookie still counts,
+        # matching the part-level rollup which ignores ts entirely
+        F.coalesce(F.col(ts_col).cast("long"), F.lit(tmin)).alias(
+            "__t"
+        ),
         F.col("__hll_rr").alias("__rr"),
         *[
             F.coalesce(F.col("__c_" + f), F.lit(0)).alias("__c_" + f)
