@@ -156,6 +156,83 @@ def _cookie_only_hll_vars(ir) -> frozenset:
 _PRUNE_ABSENT = ("__absent__",)
 
 
+def _is_repeat_only_cookie_hll(program, cookie_hll_vars) -> bool:
+    """True for the pure streaming-uniques shape: ONE state, every
+    clause a repeat (no quit/stop/transitions/windows/after), every
+    yield a bare ``cookie`` into a ``^`` var.  Such a machine can never
+    leave the initial state, and its only effect per (trail, tuple) is
+    the trail's own fixed (register, rank) — so once that emitted
+    (the emit-once set), re-running the machine is provably a no-op
+    and the step skips it outright.  Combined with the projection
+    cache, steady-state FSM runs drop to ~first-co-occurrence only."""
+    from trck_spark.ir import A_REPEAT
+
+    if len(program.rules) != 1:
+        return False
+    r = program.rules[0]
+    if r.get("window") is not None or "after" in r or r.get("outer"):
+        return False
+    clauses = r.get("clauses") or []
+    if not clauses or not cookie_hll_vars:
+        return False
+    for c in clauses:
+        if c["_action"][0] != A_REPEAT:
+            return False
+        for y in c.get("yield", []) or []:
+            if y["dst"] not in cookie_hll_vars:
+                return False
+    return True
+
+
+_PRUNE_PRESENT = ("__present__",)
+
+
+def _value_indep_uniques(program, cookie_hll_vars, repeat_only) -> bool:
+    """True when every PRESENT grid value's machine provably produces
+    the IDENTICAL result over a trail's batch — so one run serves all
+    of them (cache group ``_PRUNE_PRESENT``).
+
+    Holds for the canonical uniques grid: single foreach var, single
+    rule, exactly one yielding clause whose predicate is exactly
+    ``field = %v`` (no other conjuncts, not negated), yields all
+    cookie-only ``^`` vars (so the result is the trail's own fixed
+    registers — idempotent, count-free), every other clause a no-op,
+    and a catch-all present (exhaustiveness can't depend on the
+    binding).  A machine for present value v1 and one for v2 then
+    differ only in WHICH events match the yielding clause — and every
+    match adds the same cookie registers, so the Results and the final
+    (initial) state are equal.  The profiled 100-value gate stream
+    spent 87% of step time re-running the interpreter once per present
+    value per trail-batch; this collapses that to one run."""
+    if not repeat_only:
+        return False
+    gvars = program.groupby_vars or []
+    if len(gvars) != 1 or gvars[0].startswith("#"):
+        return False
+    v = gvars[0]
+    if v in program.param_yield_vars:
+        return False
+    field = program.var_fields.get(v)
+    if not field or field == "timestamp":
+        return False
+    clauses = program.rules[0].get("clauses") or []
+    acting = [c for c in clauses if c.get("yield")]
+    if len(acting) != 1:
+        return False
+    c0 = acting[0]
+    if c0.get("op") == "not" or c0.get("attrs") != {field: [v]}:
+        return False
+    if not all(
+        y["dst"] in cookie_hll_vars for y in c0["yield"]
+    ):
+        return False
+    # exhaustiveness must not depend on the binding: a plain catch-all
+    has_catchall = any(
+        not c.get("attrs") and c.get("op") != "not" for c in clauses
+    )
+    return has_catchall
+
+
 def _stream_prune_meta(q, fields: list) -> tuple:
     """Per-batch grid-pruning plan for the stateful step — the
     reference's GROUPBY_USED distinct-value memoization
@@ -197,6 +274,74 @@ def _stream_prune_meta(q, fields: list) -> tuple:
         if f is not None and f != "timestamp" and f in findex:
             need[f] = findex[f]
     return ("generic", need)
+
+
+def _profiled_step(step):
+    """Debug wrapper (TRCK_SPARK_STEP_PROFILE=1): cProfile the stateful
+    step inside each python worker, dumping cumulative stats to
+    /tmp/trck_step_prof_<pid>.txt every 20k groups."""
+    box: dict = {}  # profiler created lazily IN the worker (unpicklable)
+
+    def wrapped(key, pdf_iter, state):
+        import cProfile
+        import io
+        import pstats
+
+        if "pr" not in box:
+            box["pr"] = cProfile.Profile()
+            box["n"] = 0
+        pr = box["pr"]
+        pr.enable()
+        try:
+            out = list(step(key, pdf_iter, state))
+        finally:
+            pr.disable()
+        box["n"] += 1
+        if box["n"] % 5000 == 0:
+            buf = io.StringIO()
+            pstats.Stats(pr, stream=buf).sort_stats(
+                "cumulative"
+            ).print_stats(25)
+            with open(f"/tmp/trck_step_prof_{os.getpid()}.txt", "w") as f:
+                f.write(f"groups={box['n']}\n" + buf.getvalue())
+        yield from out
+
+    return wrapped
+
+
+_ROW_COLS = ["uuid", "tuple_id", "var", "key", "reg", "n"]
+
+
+def _rows_frame(rows):
+    """Partial-row pandas frame via a single object block: the plain
+    ``pd.DataFrame(list_of_tuples, columns=...)`` constructor costs
+    ~300us per call regardless of row count, and the stateful step
+    builds one frame per EMITTING (trail, batch) — at a 100-value
+    uniques grid that constructor alone was a measurable slice of the
+    per-event budget.  Falls back to the plain constructor if the
+    pandas internals API moves; Arrow conversion downstream is
+    identical (all-object columns infer the same types)."""
+    import pandas as pd
+
+    try:
+        import numpy as np
+        from pandas import Index, RangeIndex
+        from pandas.core.internals.api import make_block
+        from pandas.core.internals.managers import BlockManager
+
+        n = len(rows)
+        arr = np.empty((6, n), object)
+        for j, r in enumerate(rows):
+            (arr[0, j], arr[1, j], arr[2, j],
+             arr[3, j], arr[4, j], arr[5, j]) = r
+        blk = make_block(arr, placement=slice(0, 6))
+        mgr = BlockManager(
+            [blk], [Index(_ROW_COLS), RangeIndex(n)],
+            verify_integrity=False,
+        )
+        return pd.DataFrame._from_mgr(mgr, [])
+    except Exception:
+        return pd.DataFrame(rows, columns=_ROW_COLS)
 
 
 def _results_rows(uuid: str, agg: dict[int, Results]) -> list[tuple]:
@@ -316,6 +461,14 @@ def streaming_partials(
     )
     fields = probe.compiled.fields
     cookie_hll_vars = _cookie_only_hll_vars(program.ir)
+    # pure-uniques shape: a machine whose every effect is the trail's
+    # own fixed register can be SKIPPED once its emit-once entry exists
+    repeat_only_hll = _is_repeat_only_cookie_hll(program, cookie_hll_vars)
+    hll_yield_vars = tuple(sorted(cookie_hll_vars))
+    # canonical uniques grid: one run serves EVERY present value
+    value_indep = _value_indep_uniques(
+        program, cookie_hll_vars, repeat_only_hll
+    )
 
     spec_json = json.dumps(
         {
@@ -536,10 +689,7 @@ def streaming_partials(
             state.remove()
             rows = _suppress_reemits(_results_rows(uuid, agg))
             if rows:
-                yield pd.DataFrame(
-                    rows,
-                    columns=["uuid", "tuple_id", "var", "key", "reg", "n"],
-                )
+                yield _rows_frame(rows)
             return
 
         # assemble this batch's events in (ts, seq) order
@@ -589,8 +739,17 @@ def streaming_partials(
 
         # per-batch grid pruning (see _stream_prune_meta): group the
         # grid by (projection key over this batch's distinct values,
-        # carried state) and run ONE machine per group
+        # carried state) and run ONE machine per group.  The fast path
+        # additionally keeps the whole step O(values present + stored
+        # states) instead of O(grid): tuples whose value is absent AND
+        # whose machine is fresh form one group decided by a single
+        # representative run, with per-tuple bookkeeping only when
+        # that run actually produced output or state (per-trail-batch
+        # Python cost at a 100-value grid was the profiled throughput
+        # floor, VERDICT r10 item 3)
         gids = None
+        fast_present = None
+        loop_tis = range(n_tuples)
         if tuples_w is not None and n_tuples > 1:
             prune = getattr(q, "_stream_prune", None)
             if prune is None:
@@ -598,15 +757,18 @@ def streaming_partials(
                 q._stream_prune = prune
             if prune[0] == "fast":
                 fidx = prune[1]
+                val2ti = getattr(q, "_stream_val2ti", None)
+                if val2ti is None:
+                    val2ti = {}
+                    for _ti, _tup in enumerate(tuples_w):
+                        val2ti.setdefault(_tup[0], []).append(_ti)
+                    q._stream_val2ti = val2ti
                 dset = {v[fidx] for _ts, v in events}
-                tvals = getattr(q, "_stream_prune_vals", None)
-                if tvals is None:
-                    tvals = [tup[0] for tup in tuples_w]
-                    q._stream_prune_vals = tvals
-                gids = [
-                    val if val in dset else _PRUNE_ABSENT
-                    for val in tvals
-                ]
+                fast_present = set()
+                for val in dset:
+                    fast_present.update(val2ti.get(val, ()))
+                candidates = fast_present.union(machine_states)
+                loop_tis = sorted(candidates)
             elif prune[0] == "generic":
                 from trck_spark.params import projection_key
 
@@ -618,32 +780,23 @@ def streaming_partials(
                     projection_key(q.program, tup, trail_distinct)
                     for tup in tuples_w
                 ]
+        skip_emitted = (
+            repeat_only_hll
+            and hll_emitted
+            and not getattr(q, "no_grid_prune", False)
+        )
         run_cache: dict = {}
-        for ti in range(n_tuples):
-            st = machine_states.get(ti)
-            if gids is not None:
-                stk = (
-                    None
-                    if st is None
-                    else (st[0], st[1], tuple(map(tuple, st[2])))
-                )
-                gk = (gids[ti], stk)
-                hit = run_cache.get(gk)
-                if hit is not None:
-                    res, new_st = hit
-                    if res is not None:
-                        agg[ti] = res
-                    if new_st is None:
-                        machine_states.pop(ti, None)
-                    else:
-                        machine_states[ti] = new_st
-                    continue
+
+        def _run_one(ti, st):
+            """One machine run; returns (res_or_None, new_state) with
+            res None when zero and new_state None when the machine
+            ends indistinguishable from fresh (reference
+            gen_is_initial_state, fsm2c.py:919-928 — a missing entry
+            already loads as State(entrypoint))."""
             mstate = State(entrypoint)
             if st is not None:
                 mstate.ri, mstate.expires, outers = st
                 mstate.outers = [list(o) for o in outers]
-            if mstate.ri == -1:
-                continue  # this machine quit in an earlier batch
             env = (
                 env_for_tuple(q.program, q.base_env, tuples_w[ti])
                 if tuples_w is not None
@@ -659,30 +812,88 @@ def streaming_partials(
                 run_machine(
                     q.compiled, [SENTINEL], mstate, res, env, cookie
                 )
-            if not res.is_zero():
-                agg[ti] = res
-            if mstate.is_initial(entrypoint):
-                # don't store states indistinguishable from a fresh
-                # machine (reference gen_is_initial_state,
-                # fsm2c.py:919-928): a missing entry already loads as
-                # State(entrypoint) above.  For repeat-only programs
-                # (counters/uniques grids) EVERY machine stays initial,
-                # so the per-trail state blob pickles an empty dict
-                # instead of grid-size tuples — state-store bytes and
-                # per-batch (un)pickle time stop scaling with the grid
-                machine_states.pop(ti, None)
-                new_st = None
-            else:
-                new_st = (
+            new_st = (
+                None
+                if mstate.is_initial(entrypoint)
+                else (
                     mstate.ri,
                     mstate.expires,
                     [tuple(o) for o in mstate.outers],
                 )
-                machine_states[ti] = new_st
-            if gids is not None:
-                run_cache[gk] = (
-                    res if not res.is_zero() else None, new_st
+            )
+            return (res if not res.is_zero() else None), new_st
+
+        for ti in loop_tis:
+            st = machine_states.get(ti)
+            if (
+                skip_emitted
+                and st is None
+                and all((ti, v) in hll_emitted for v in hll_yield_vars)
+            ):
+                # repeat-only cookie-sketch machine whose one possible
+                # row already emitted: running it again is a no-op
+                continue
+            if st is not None and st[0] == -1:
+                continue  # this machine quit in an earlier batch
+            gk = None
+            if gids is not None or fast_present is not None:
+                if gids is not None:
+                    gid = gids[ti]
+                elif ti not in fast_present:
+                    gid = _PRUNE_ABSENT
+                elif value_indep:
+                    # uniques grid: present machines share ONE run
+                    gid = _PRUNE_PRESENT
+                else:
+                    gid = tuples_w[ti][0]
+                stk = (
+                    None
+                    if st is None
+                    else (st[0], st[1], tuple(map(tuple, st[2])))
                 )
+                gk = (gid, stk)
+                hit = run_cache.get(gk)
+                if hit is not None:
+                    res, new_st = hit
+                    if res is not None:
+                        agg[ti] = res
+                    if new_st is None:
+                        machine_states.pop(ti, None)
+                    else:
+                        machine_states[ti] = new_st
+                    continue
+            res, new_st = _run_one(ti, st)
+            if res is not None:
+                agg[ti] = res
+            if new_st is None:
+                machine_states.pop(ti, None)
+            else:
+                machine_states[ti] = new_st
+            if gk is not None:
+                run_cache[gk] = (res, new_st)
+
+        if (
+            fast_present is not None
+            and len(loop_tis) < n_tuples
+            and not value_indep
+        ):
+            # absent-and-fresh group: one representative decides all.
+            # Skipped for the value-independent uniques shape: its
+            # acting clause is gated on the (absent) value, so the
+            # representative provably yields nothing and stays fresh
+            cand = set(loop_tis)
+            rep = next(
+                ti for ti in range(n_tuples) if ti not in cand
+            )
+            res, new_st = _run_one(rep, None)
+            if res is not None or new_st is not None:
+                for ti in range(n_tuples):
+                    if ti in cand:
+                        continue
+                    if res is not None:
+                        agg[ti] = res
+                    if new_st is not None:
+                        machine_states[ti] = new_st
 
         rows = _suppress_reemits(_results_rows(uuid, agg))
         if finalize:
@@ -714,9 +925,7 @@ def streaming_partials(
             )
             state.setTimeoutTimestamp(max(deadline_ms, wm + 1))
         if rows:
-            yield pd.DataFrame(
-                rows, columns=["uuid", "tuple_id", "var", "key", "reg", "n"]
-            )
+            yield _rows_frame(rows)
 
     if finalize_after_ms > 0:
         timeout = GroupStateTimeout.ProcessingTimeTimeout
@@ -727,6 +936,8 @@ def streaming_partials(
     group_cols = (
         ["__uuid", "__entry"] if window_df is not None else ["__uuid"]
     )
+    if os.environ.get("TRCK_SPARK_STEP_PROFILE"):
+        step = _profiled_step(step)  # noqa: F811 — debug-only wrapper
     out = df.groupBy(*group_cols).applyInPandasWithState(
         step,
         outputStructType=STREAM_PARTIAL_SCHEMA,
