@@ -368,9 +368,12 @@ def test_hll_ts_scoped_param_bounds(spark, tmp_path):
 
 
 def test_hll_ts_scoped_single_store(spark, tmp_path):
-    """A NON-segmented store answers the trivial decompositions from its
-    own zone map (bound covers all / misses all); a partial overlap is
-    exactly the plain scan, so the tier declines."""
+    """A NON-segmented store answers the trivial decompositions from
+    its own zone map (bound covers all / misses all).  Round 11: with
+    the sliced sketch sidecar a PARTIAL overlap also takes the tier
+    (covered slices from the sidecar + partial-slice scan) — the
+    compacted-store shape keeps the incremental-uniques cost model;
+    without the sidecar the tier declines exactly as before."""
     from trck_spark.engine import TrckLocalResultSet
     from trck_spark.store import write_trail_store
 
@@ -382,12 +385,25 @@ def test_hll_ts_scoped_single_store(spark, tmp_path):
     assert isinstance(rs, TrckLocalResultSet)
     assert rs._ts_scope["covered_parts"] == 1
     rs_p, out_p = _run(spark, store, TS_PROG.format(lo=150, hi=1000))
-    assert not isinstance(rs_p, TrckLocalResultSet)
+    assert isinstance(rs_p, TrckLocalResultSet)
+    assert rs_p._ts_scope.get("slices_covered"), rs_p._ts_scope
     _, out_p_fsm = _run(
         spark, store, TS_PROG.format(lo=150, hi=1000),
         env={"TRCK_SPARK_NO_FASTPATH": "1"},
     )
     assert out_p == out_p_fsm
+    # legacy layout (no sidecar): partial overlap still declines
+    os.environ["TRCK_SPARK_NO_HLL_SLICES"] = "1"
+    try:
+        plain = write_trail_store(
+            spark.createDataFrame(_time_rows(20, 8), SCHEMA),
+            str(tmp_path / "one_nosl"), seq_col="seq",
+        )
+    finally:
+        del os.environ["TRCK_SPARK_NO_HLL_SLICES"]
+    rs_n, out_n = _run(spark, plain, TS_PROG.format(lo=150, hi=1000))
+    assert not isinstance(rs_n, TrckLocalResultSet)
+    assert out_n == out_p
 
 
 def test_hll_ts_scoped_zone_map_less_part_is_boundary(spark, tmp_path):
@@ -753,3 +769,29 @@ def test_hll_sliced_sidecar_exact_slice_alignment(spark, tmp_path):
         del os.environ["TRCK_SPARK_NO_HLL_SLICES"]
     _, out_n = _run(spark, nos, prog)
     assert out == out_n
+
+
+def test_hll_sliced_sidecar_compacted_store(spark, tmp_path):
+    """Round 11: a COMPACTED (single) store keeps the incremental-
+    uniques cost model — a partial ts bound answers its covered slices
+    from the sidecar (scope["slices_covered"]) and scans only the
+    partial slices, byte-identical to the segmented store and the FSM
+    path.  Pre-r11 a single-store partial overlap lost the tier."""
+    from trck_spark.engine import TrckLocalResultSet
+    from trck_spark.store import compact_trail_store
+
+    segp = str(tmp_path / "seg")
+    seg = _time_sliced_store(spark, segp)
+    comp = compact_trail_store(spark, segp, str(tmp_path / "comp"))
+    prog = TS_PROG.format(lo=60, hi=240)
+    rs_c, out_c = _run(spark, comp, prog)
+    assert isinstance(rs_c, TrckLocalResultSet)
+    assert rs_c._ts_scope.get("slices_covered"), rs_c._ts_scope
+    assert rs_c._ts_scope.get("boundary_plan") == "rr_fold"
+    _, out_s = _run(spark, seg, prog)
+    assert out_c == out_s
+    _, out_f = _run(
+        spark, comp, prog,
+        env={"TRCK_SPARK_NO_ROLLUP": "1", "TRCK_SPARK_NO_FASTPATH": "1"},
+    )
+    assert out_c == out_f

@@ -909,6 +909,8 @@ class TrckSparkEngine:
                 "ts_max": manifest.get("ts_max"),
                 "hll_rollups": manifest.get("hll_rollups") or {},
                 "hll_dicts": {f0: union},
+                "hll_slices": manifest.get("hll_slices") or {},
+                "path": manifest.get("_path"),
             }]
             part_frames = [events_df]
         if not part_frames or len(parts_meta) != len(part_frames):
@@ -935,7 +937,21 @@ class TrckSparkEngine:
             else:
                 boundary.append(i)
         if single and boundary:
-            return None  # whole-store boundary == the plain scan
+            # a whole-store boundary used to be exactly the plain scan
+            # — but a sliced sketch sidecar (r11) changes that: when
+            # the bound fully covers >= 1 slice, those slices answer
+            # from the sidecar and only the partial slices scan, so a
+            # SINGLE (e.g. compacted) store keeps the incremental-
+            # uniques cost model instead of losing the tier entirely
+            sl0 = (parts_meta[0].get("hll_slices") or {}).get(f0)
+            if not sl0 or not parts_meta[0].get("path"):
+                return None
+            b0 = [int(x) for x in sl0["bounds"]]
+            if not any(
+                b0[k] >= lo and b0[k + 1] - 1 <= hi
+                for k in range(int(sl0["n"]))
+            ):
+                return None  # no covered slice: it IS the plain scan
         # the covered merge is pure plan-prep over immutable manifests
         # (202 Python RLE decodes at 100 values x 2 parts ~= 0.5 s):
         # memoize it ON the manifest like the engine memoizes compiled

@@ -258,6 +258,7 @@ def write_trail_store(df, path: str, uuid_col: str = "uuid",
     }
     with open(os.path.join(path, MANIFEST), "w") as f:
         _dump_manifest(manifest, f)
+    manifest["_path"] = os.path.abspath(path)  # run-time-only key
     out = spark.table(table)
     out._trailstore_manifest = manifest
     return out
@@ -1255,7 +1256,12 @@ def _schema_ddl(df) -> str:
 
 def read_manifest(path: str) -> dict:
     with open(os.path.join(path, MANIFEST)) as f:
-        return json.load(f)
+        m = json.load(f)
+    # run-time-only key (underscore: stripped from dumps/copies): lets
+    # the engine find a SINGLE store's sliced sketch sidecar without a
+    # second path channel
+    m["_path"] = os.path.abspath(path)
+    return m
 
 
 def is_trail_store(path: str) -> bool:
