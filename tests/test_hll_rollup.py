@@ -188,8 +188,6 @@ def test_hll_rollup_multiple_vars_and_gates(spark, tmp_path):
         PROG.replace(
             "yield cookie to ^uniq", "yield cookie to ^uniq, yield $n"
         ),
-        # extra conjunct filters below the sketch
-        PROG.replace("t = %v", "t = %v, timestamp >= 105"),
     ]
     for prog in declining:
         rs_d, out_d = _run(spark, store, prog)
@@ -198,6 +196,18 @@ def test_hll_rollup_multiple_vars_and_gates(spark, tmp_path):
             spark, store, prog, env={"TRCK_SPARK_NO_FASTPATH": "1"}
         )
         assert out_d == out_fsm_d, prog
+
+    # Round 11: a timestamp lower bound is SCOPE, not an un-provable
+    # extra conjunct — the sliced sketch sidecar serves a partial ts
+    # bound even on a single store (tier taken), byte-equal to the FSM.
+    # Pre-r11 this shape declined; the sidecar made it answerable.
+    prog_ts = PROG.replace("t = %v", "t = %v, timestamp >= 105")
+    rs_ts, out_ts = _run(spark, store, prog_ts)
+    assert isinstance(rs_ts, TrckLocalResultSet), prog_ts
+    _, out_fsm_ts = _run(
+        spark, store, prog_ts, env={"TRCK_SPARK_NO_FASTPATH": "1"}
+    )
+    assert out_ts == out_fsm_ts
 
     # side inputs rebind/limit cookies: tier must decline
     from trck_spark.engine import TrckSparkEngine
