@@ -1090,6 +1090,49 @@ class TrckSparkEngine:
                         code_col.cast("int").alias("c"),
                         F.col("__hll_rr").alias("rr"),
                     )
+                    # Scale-adaptive Python-stream count: each
+                    # mapInPandas PARTITION pays a fixed worker-stream
+                    # setup (~0.2 s measured, per parent partition —
+                    # a coalesce placed downstream of the fold cannot
+                    # amortize it), and a union of bucketed segment
+                    # scans opens >= minPartitionNum streams PER
+                    # SEGMENT even when the boundary holds a few MB.
+                    # Coalesce the fold input to ceil(scanned file
+                    # bytes / 1 MB), clamped to [1, cores].  The tiny
+                    # per-stream target is deliberate: the bucketed
+                    # store's dictionary/RLE parquet decodes 10-20x
+                    # its disk bytes (a ~90 MB segment holds 53 M
+                    # rows), so any boundary bigger than ~cores MB
+                    # keeps FULL parallelism — measured: 64 MB and
+                    # even 4 MB targets under-parallelized the
+                    # adversarial 53 M-row gate boundary (0.70 s at 32
+                    # streams -> 1.1-1.4 s at 2-17).  Only a genuinely
+                    # small boundary (the sf-scale store, a thin
+                    # slice-complement) collapses to 1-3 streams,
+                    # where the ~0.2 s per-stream worker setup — paid
+                    # per PARENT partition, so a downstream coalesce
+                    # cannot amortize it — dominated the row (1.02 s
+                    # -> 0.43 s at sf0.1).  Partitioning cannot change
+                    # the answer (register max is commutative and
+                    # idempotent), pinned by the fold-path tests.
+                    try:
+                        tot_b = 0
+                        for fp in boundary_files:
+                            p = (
+                                fp[len("file:"):]
+                                if fp.startswith("file:")
+                                else fp
+                            )
+                            tot_b += _os.path.getsize(p)
+                        par = (
+                            self.spark.sparkContext.defaultParallelism
+                        )
+                        n_str = max(
+                            1, min(par, -(-tot_b // (1 << 20)))
+                        )
+                        rr_pairs = rr_pairs.coalesce(int(n_str))
+                    except Exception:
+                        pass  # sizing is best-effort; plan unchanged
                     ns = n_slots
 
                     def _fold_rr(batches):
