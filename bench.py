@@ -226,20 +226,24 @@ def _open_perf_segmented(spark, n_events: int):
         "segments"
     ):
         m = read_manifest(seg_path)
-        if not m.get("hll_rr_col") or not _has_hll_slices(seg_path, m):
-            # cached by a pre-r10/r11 layout (no materialized __hll_rr
-            # column, or no sliced sketch sidecar): the ts-bounded
-            # uniques boundary scan would miss the shipped plan —
-            # rebuild so the gate measures the shipped layout
+        if not m.get("hll_rr_col"):
+            # cached by a pre-r10 layout (no materialized __hll_rr
+            # column): the rr_fold boundary plan needs the PERSISTED
+            # column, which only a rewrite can add — rebuild so the
+            # gate measures the shipped layout
             import shutil
 
             print(f"# rebuilding {seg_path} (stale store layout)",
                   file=sys.stderr)
             shutil.rmtree(seg_path, ignore_errors=True)
         else:
-            if "hll_rollups" not in m:
-                # backfill the cookie sketches (and any missing
-                # rollups/zone maps) in place
+            if "hll_rollups" not in m or not _has_hll_slices(
+                seg_path, m
+            ):
+                # backfill the cookie sketches / sliced sidecar (and
+                # any missing rollups/zone maps) in place — one scan
+                # per segment instead of the full rewrite an r10
+                # cache previously forced
                 from trck_spark.store import ensure_rollups
 
                 ensure_rollups(spark, seg_path)

@@ -805,3 +805,86 @@ def test_hll_sliced_sidecar_compacted_store(spark, tmp_path):
         env={"TRCK_SPARK_NO_ROLLUP": "1", "TRCK_SPARK_NO_FASTPATH": "1"},
     )
     assert out_c == out_f
+
+
+def test_ensure_rollups_backfills_sliced_sidecar(spark, tmp_path):
+    """Round 11 continuation: ensure_rollups retro-writes the sliced
+    sketch sidecar for an r10-layout store (persisted __hll_rr column,
+    no sidecar) in place — one scan per part, no data rewrite — and
+    the backfilled store's ts-bounded uniques query engages the slice
+    plan with results byte-identical to the FSM path.  A pre-r10
+    store (no register column) is left alone: the sidecar is only
+    consulted on the rr_fold plan, so writing one would be dead
+    bytes."""
+    from trck_spark.engine import TrckLocalResultSet
+    from trck_spark.store import (
+        MANIFEST, ensure_rollups, open_trail_store, read_manifest,
+        write_trail_store,
+    )
+
+    path = str(tmp_path / "r10seg")
+    _time_sliced_store(spark, path)
+    # simulate the r10 cache: strip the sidecar meta + files from the
+    # base and every segment (the column stays in the data)
+    part_dirs = [path] + [
+        os.path.join(path, s)
+        for s in read_manifest(path).get("segments", [])
+    ]
+    golden_rollups = {}
+    for d in part_dirs:
+        mp = os.path.join(d, MANIFEST)
+        with open(mp) as f:
+            m = json.load(f)
+        golden_rollups[d] = m["hll_rollups"]
+        sl = m.pop("hll_slices")
+        for meta in sl.values():
+            fp = os.path.join(d, meta["file"])
+            if os.path.exists(fp):
+                import shutil
+
+                shutil.rmtree(fp)
+        with open(mp, "w") as f:
+            json.dump(m, f)
+    ensure_rollups(spark, path)
+    for d in part_dirs:
+        m2 = read_manifest(d)
+        assert "t" in (m2.get("hll_slices") or {}), (d, m2.get("hll_slices"))
+        sl = m2["hll_slices"]["t"]
+        assert sl["n"] >= 2 and len(sl["bounds"]) == sl["n"] + 1
+        assert os.path.exists(os.path.join(d, sl["file"]))
+        # existing sketch rollups are kept, not recomputed
+        assert m2["hll_rollups"] == golden_rollups[d]
+    store = open_trail_store(spark, path)
+    prog = TS_PROG.format(lo=50, hi=250)
+    rs, out = _run(spark, store, prog)
+    assert isinstance(rs, TrckLocalResultSet)
+    assert rs._ts_scope.get("boundary_plan") == "rr_fold"
+    assert rs._ts_scope.get("slices_covered"), rs._ts_scope
+    _, out_fsm = _run(
+        spark, store, prog,
+        env={"TRCK_SPARK_NO_ROLLUP": "1", "TRCK_SPARK_NO_FASTPATH": "1"},
+    )
+    assert out == out_fsm
+
+    # pre-r10 layout: no persisted register column -> no sidecar write
+    nor_path = str(tmp_path / "norr")
+    os.environ["TRCK_SPARK_NO_HLL_RR"] = "1"
+    try:
+        write_trail_store(
+            spark.createDataFrame(_time_rows(), SCHEMA), nor_path,
+            seq_col="seq",
+        )
+    finally:
+        del os.environ["TRCK_SPARK_NO_HLL_RR"]
+    mp = os.path.join(nor_path, MANIFEST)
+    with open(mp) as f:
+        m = json.load(f)
+    m.pop("hll_slices", None)
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    ensure_rollups(spark, nor_path)
+    m3 = read_manifest(nor_path)
+    assert "hll_slices" not in m3
+    from trck_spark.store import HLL_SLICE_FILE
+
+    assert not os.path.exists(os.path.join(nor_path, HLL_SLICE_FILE))

@@ -1195,8 +1195,10 @@ def compact_trail_store(spark, src_path: str, dest_path: str):
 
 def ensure_rollups(spark, path: str) -> dict:
     """Upgrade a pre-v3 store manifest in place with the per-field
-    rollups AND the [ts_min, ts_max] zone map (one scan each; no data
-    rewrite) and return the manifest.
+    rollups, the [ts_min, ts_max] zone map, the cookie-sketch rollups
+    AND — when the stored data already carries the packed ``__hll_rr``
+    register column (r10 layout) — the time-sliced sketch sidecar
+    (one scan each; no data rewrite) and return the manifest.
 
     On a SEGMENTED store, upgrades the base and every segment (the
     segmented open merges per-segment rollups value-keyed at read
@@ -1207,7 +1209,14 @@ def ensure_rollups(spark, path: str) -> dict:
     different revisions at manifest version 3, so a store can carry
     rollups (the ts-scoped tier's gates pass) but no ts_min/ts_max —
     the engine then treats the part as boundary (full scan), and this
-    backfill restores the pruning."""
+    backfill restores the pruning.  The sidecar backfill restores the
+    incremental ts-bounded uniques cost model for stores written
+    between the register column (r10) and the sidecar (r11) without
+    the full rewrite those layouts previously required; stores without
+    the persisted register column keep the legacy boundary scan — the
+    sidecar is only consulted on the rr_fold plan, so writing one
+    there would be dead bytes — and need a rewrite (compaction) to
+    join the tier."""
     from pyspark.sql import functions as F
 
     m = read_manifest(path)
@@ -1216,7 +1225,13 @@ def ensure_rollups(spark, path: str) -> dict:
     need_rollups = "rollups" not in m
     need_zone = "ts_min" not in m or "ts_max" not in m
     need_hll = "hll_rollups" not in m
-    if not (need_rollups or need_zone or need_hll):
+    need_slices = (
+        "hll_slices" not in m
+        and bool(m.get("hll_rr_col"))
+        and not os.environ.get("TRCK_SPARK_NO_HLL_ROLLUP")
+        and not os.environ.get("TRCK_SPARK_NO_HLL_SLICES")
+    )
+    if not (need_rollups or need_zone or need_hll or need_slices):
         return m
     segmented = bool(m.get("segments"))
     if segmented:
@@ -1229,16 +1244,34 @@ def ensure_rollups(spark, path: str) -> dict:
         table_df = open_trail_store(spark, path)
     if need_rollups:
         m["rollups"] = _field_rollups(table_df, m.get("dicts") or {})
-    if need_hll:
-        m["hll_rollups"] = _field_hll_rollups(
-            table_df, m.get("dicts") or {}, m["uuid_col"]
-        )
     if need_zone:
         z = table_df.agg(
             F.min(F.col(m["ts_col"]).cast("long")).alias("tmin"),
             F.max(F.col(m["ts_col"]).cast("long")).alias("tmax"),
         ).first()
         m["ts_min"], m["ts_max"] = z["tmin"], z["tmax"]
+    slice_rollups: dict = {}
+    if need_slices and m["hll_rr_col"] in table_df.columns:
+        m["hll_slices"], slice_rollups = _write_hll_slices(
+            table_df, m.get("dicts") or {}, m["ts_col"],
+            m.get("ts_min"), m.get("ts_max"), path,
+        )
+    if need_hll:
+        # mirror the write path: part-level sketches derive from the
+        # sidecar when it was just written, one extra aggregation
+        # covers only the leftover fields
+        hll_rollups = dict(slice_rollups)
+        leftover = [
+            f for f in (m.get("dicts") or {}) if f not in hll_rollups
+        ]
+        if leftover:
+            hll_rollups.update(
+                _field_hll_rollups(
+                    table_df, m.get("dicts") or {}, m["uuid_col"],
+                    only_fields=None if not hll_rollups else leftover,
+                )
+            )
+        m["hll_rollups"] = hll_rollups
     m["version"] = 3
     with open(os.path.join(path, MANIFEST), "w") as f:
         _dump_manifest(m, f)
