@@ -1033,3 +1033,67 @@ def test_state_blob_legacy_he_key_migrates():
     blob = _dump_state({}, 5, None, None, {(3, "^x"), (1, "^x"), (2, "^y")})
     assert pickle.loads(blob).get("he2")  # compact form on the wire
     assert _load_state(blob)[4] == {(1, "^x"), (3, "^x"), (2, "^y")}
+
+
+def test_hll_stream_collector_vectorized_fold_matches_row_loop():
+    """The collector's Arrow+numpy fold (guide: no driver row loops)
+    must produce exactly the registers the original per-row loop
+    produced — random multi-var batches with duplicate (tuple_id, reg)
+    keys at conflicting ranks, folded across several update calls."""
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+
+    from trck_spark.fsm.hll import HLL_M
+    from trck_spark.streaming import HllStreamCollector
+
+    rnd = random.Random(17)
+
+    class _ArrowBatch:
+        def __init__(self, rows):
+            self._rows = rows
+
+        def toArrow(self):
+            return pa.table(
+                {
+                    "tuple_id": [r[0] for r in self._rows],
+                    "var": [r[1] for r in self._rows],
+                    "reg": [r[2] for r in self._rows],
+                    "rank": [r[3] for r in self._rows],
+                }
+            )
+
+    vec = HllStreamCollector()
+    ref: dict = {}
+    for _batch in range(4):
+        rows = [
+            (
+                rnd.randrange(5),
+                rnd.choice(["^u", "^v"]),
+                rnd.randrange(HLL_M),
+                rnd.randrange(1, 65),
+            )
+            for _ in range(3000)
+        ]
+        vec.update(_ArrowBatch(rows))
+        for ti, v, reg, rank in rows:  # the original loop, inlined
+            arr = ref.setdefault((ti, v), np.zeros(HLL_M, np.uint8))
+            if arr[reg] < rank:
+                arr[reg] = rank
+    assert vec.keys() == sorted(ref)
+    for k in ref:
+        assert np.array_equal(vec._regs[k], ref[k]), k
+
+    # empty batch is a no-op
+    vec.update(_ArrowBatch([]))
+    assert vec.keys() == sorted(ref)
+
+    # single-var batch exercises the slice(None) fast path
+    one = HllStreamCollector()
+    rows1 = [(0, "^u", r % HLL_M, (r % 64) + 1) for r in range(500)]
+    one.update(_ArrowBatch(rows1))
+    ref1 = np.zeros(HLL_M, np.uint8)
+    for _ti, _v, reg, rank in rows1:
+        ref1[reg] = max(ref1[reg], rank)
+    assert np.array_equal(one._regs[(0, "^u")], ref1)
