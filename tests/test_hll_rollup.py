@@ -888,3 +888,138 @@ def test_ensure_rollups_backfills_sliced_sidecar(spark, tmp_path):
     from trck_spark.store import HLL_SLICE_FILE
 
     assert not os.path.exists(os.path.join(nor_path, HLL_SLICE_FILE))
+
+
+def test_rr_fold_driver_merge_cap(spark, tmp_path):
+    """VERDICT r11 item 2 (bounded driver merge): when the estimated
+    collect (streams x codes x 16 KiB) exceeds the cap, the boundary
+    fold inserts ONE blob-level groupBy("c") register-max merge before
+    the driver collect, so driver bytes stay O(codes x 16 KiB)
+    regardless of cluster parallelism.  Forced here with a tiny cap:
+    the capped plan carries the grouped-merge stage, the default plan
+    keeps the exchange-free shape, and the answers are byte-identical
+    to each other and to the FSM path (register max is associative, so
+    a two-level fold cannot change a register)."""
+    import contextlib
+    import io
+
+    from trck_spark.store import open_trail_store
+
+    path = str(tmp_path / "cap")
+    store = _time_sliced_store(spark, path)
+    prog = TS_PROG.format(lo=50, hi=250)
+    rs, out = _run(spark, store, prog)  # default: cap not engaged
+
+    def _boundary_plans(st):
+        pc = st._trailstore_manifest.get("_ts_hll_plan_cache") or {}
+        texts = []
+        for df in pc.values():
+            if df is None:
+                continue
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            texts.append(buf.getvalue())
+        return "\n".join(texts)
+
+    default_plan = _boundary_plans(store)
+    assert "MapInPandas" in default_plan
+    assert "FlatMapGroupsInPandas" not in default_plan
+
+    # fresh open so the plan cache cannot serve the uncapped plan
+    store2 = open_trail_store(spark, path)
+    rs2, out2 = _run(
+        spark, store2, prog,
+        env={"TRCK_SPARK_RR_FOLD_DRIVER_MAX_MB": "0.0001"},
+    )
+    assert out2 == out
+    capped_plan = _boundary_plans(store2)
+    assert "FlatMapGroupsInPandas" in capped_plan
+
+    _, out_fsm = _run(
+        spark, store, prog,
+        env={"TRCK_SPARK_NO_ROLLUP": "1", "TRCK_SPARK_NO_FASTPATH": "1"},
+    )
+    assert out == out_fsm
+
+
+def test_sidecar_parallel_reads_match_serial(spark, tmp_path):
+    """VERDICT r11 item 6 (executor-side sidecar reads): past
+    TRCK_SPARK_SIDECAR_DRIVER_PARTS boundary parts the slice-plan
+    sidecar blobs are read by a small parallelized job instead of
+    serial driver I/O.  A 6-segment store whose segments all span the
+    full time range makes EVERY part boundary (6 > the default 4, so
+    the default run takes the parallel path); a fresh open forced
+    serial must answer byte-identically, as must the FSM path."""
+    from trck_spark.engine import TrckLocalResultSet
+    from trck_spark.store import append_trail_store, open_trail_store
+
+    rows = _time_rows(n_users=36, per_user=6, seed=29)
+    path = str(tmp_path / "many")
+    store = None
+    for k in range(6):  # uuid-sliced appends: every segment spans time
+        part = [r for i, r in enumerate(rows) if i % 6 == k]
+        store = append_trail_store(
+            spark.createDataFrame(part, SCHEMA), path, seq_col="seq"
+        )
+    prog = TS_PROG.format(lo=50, hi=250)
+    rs, out = _run(spark, store, prog)  # 6 boundary parts -> parallel
+    assert isinstance(rs, TrckLocalResultSet)
+    assert len(rs._ts_scope["boundary_parts"]) == 6
+    assert rs._ts_scope.get("slices_covered"), rs._ts_scope
+
+    store2 = open_trail_store(spark, path)
+    rs2, out2 = _run(
+        spark, store2, prog,
+        env={"TRCK_SPARK_SIDECAR_DRIVER_PARTS": "1000"},  # force serial
+    )
+    assert out2 == out
+    assert rs2._ts_scope.get("slices_covered") == rs._ts_scope.get(
+        "slices_covered"
+    )
+
+    _, out_fsm = _run(
+        spark, store, prog,
+        env={"TRCK_SPARK_NO_ROLLUP": "1", "TRCK_SPARK_NO_FASTPATH": "1"},
+    )
+    assert out == out_fsm
+
+
+def test_ensure_rollups_missing_rr_column_converges(spark, tmp_path):
+    """ADVICE r11 (store.py): a manifest that claims hll_rr_col while
+    the table data lacks the column used to leave need_slices true
+    forever — every session re-opened the table and rewrote the
+    manifest as a perpetual no-op retry.  ensure_rollups now persists
+    hll_slices = {} (the always-present write_trail_store key) so
+    presence checks converge: the second call must return without
+    touching the manifest."""
+    from trck_spark.store import (
+        MANIFEST, ensure_rollups, read_manifest, write_trail_store,
+    )
+
+    path = str(tmp_path / "norrcol")
+    os.environ["TRCK_SPARK_NO_HLL_RR"] = "1"
+    try:
+        write_trail_store(
+            spark.createDataFrame(_time_rows(), SCHEMA), path,
+            seq_col="seq",
+        )
+    finally:
+        del os.environ["TRCK_SPARK_NO_HLL_RR"]
+    mp = os.path.join(path, MANIFEST)
+    with open(mp) as f:
+        m = json.load(f)
+    # simulate the drifted cache: manifest claims the column, data
+    # lacks it, sidecar key absent
+    m["hll_rr_col"] = "__hll_rr"
+    m.pop("hll_slices", None)
+    with open(mp, "w") as f:
+        json.dump(m, f)
+
+    m1 = ensure_rollups(spark, path)
+    assert m1.get("hll_slices") == {}
+    assert read_manifest(path).get("hll_slices") == {}
+    mtime1 = os.path.getmtime(mp)
+    m2 = ensure_rollups(spark, path)  # converged: early return
+    assert m2.get("hll_slices") == {}
+    assert os.path.getmtime(mp) == mtime1

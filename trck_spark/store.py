@@ -1251,11 +1251,19 @@ def ensure_rollups(spark, path: str) -> dict:
         ).first()
         m["ts_min"], m["ts_max"] = z["tmin"], z["tmax"]
     slice_rollups: dict = {}
-    if need_slices and m["hll_rr_col"] in table_df.columns:
-        m["hll_slices"], slice_rollups = _write_hll_slices(
-            table_df, m.get("dicts") or {}, m["ts_col"],
-            m.get("ts_min"), m.get("ts_max"), path,
-        )
+    if need_slices:
+        if m["hll_rr_col"] in table_df.columns:
+            m["hll_slices"], slice_rollups = _write_hll_slices(
+                table_df, m.get("dicts") or {}, m["ts_col"],
+                m.get("ts_min"), m.get("ts_max"), path,
+            )
+        else:
+            # manifest claims hll_rr_col but the table data lacks the
+            # column (ADVICE r11): persist the always-present empty
+            # key (matching write_trail_store) so callers' presence
+            # checks converge instead of re-opening the table and
+            # rewriting the manifest as a perpetual no-op retry
+            m["hll_slices"] = {}
     if need_hll:
         # mirror the write path: part-level sketches derive from the
         # sidecar when it was just written, one extra aggregation
