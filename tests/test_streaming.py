@@ -1097,3 +1097,115 @@ def test_hll_stream_collector_vectorized_fold_matches_row_loop():
     for _ti, _v, reg, rank in rows1:
         ref1[reg] = max(ref1[reg], rank)
     assert np.array_equal(one._regs[(0, "^u")], ref1)
+
+
+def test_rows_frame_fast_path_canary():
+    """VERDICT r11 item 8: _rows_frame's single-object-block
+    constructor rides pandas private internals (make_block /
+    BlockManager / _from_mgr) with a silent fallback — this canary
+    fails LOUDLY when the pinned pandas stops taking the fast path
+    (an environment bump would otherwise quietly cost ~300us per
+    emitting (bucket, batch) back), and pins the fast frame equal to
+    the plain constructor's."""
+    import pandas as pd
+
+    import trck_spark.streaming as S
+
+    rows = [
+        ("u1", 0, "$c", None, None, 3),
+        ("u2", 7, "^h", None, 11, 5),
+        ("u3", 2, "#s", b"key", None, 1),
+    ]
+    df = S._rows_frame(rows)
+    assert S._ROWS_FRAME_PATH == "fast", (
+        "pandas internals moved: _rows_frame is taking the slow "
+        "fallback constructor on the pinned pandas "
+        f"({pd.__version__}) — re-port the fast path or accept the "
+        "regression explicitly"
+    )
+    ref = pd.DataFrame(rows, columns=S._ROW_COLS)
+    assert list(df.columns) == list(ref.columns)
+
+    def _norm(frame):
+        # the plain constructor coerces None -> NaN in mixed numeric
+        # columns; both are null once Arrow-converted downstream
+        return [
+            [None if pd.isna(x) else x for x in row]
+            for row in frame.values.tolist()
+        ]
+
+    assert _norm(df) == _norm(ref)
+    assert len(df) == 3 and list(df.index) == [0, 1, 2]
+
+
+def test_bucketed_step_equals_per_trail_grouping(spark, tmp_path):
+    """r12 secondary grouping: the bucketed stateful step
+    (hash(uuid) % N groups, trails iterated inside the step) must
+    produce the identical partial-row multiset as the per-trail
+    grouping (state_buckets=0) — same stateful foreach funnel as the
+    grid-pruning equivalence test, machines leaving the initial state
+    mid-stream, across several micro-batches.  Run at N=4 buckets so
+    multiple trails genuinely share a bucket."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trck_spark.streaming import streaming_partials
+
+    src = tmp_path / "bkt_src"
+    src.mkdir()
+    import random
+
+    random.seed(31)
+    vals = [f"v{k}" for k in range(10)]
+    for i in range(3):
+        rows = {"uuid": [], "timestamp": [], "seq": [], "t": [],
+                "kind": []}
+        for j in range(80):
+            rows["uuid"].append(f"user{random.randrange(12)}")
+            rows["timestamp"].append(1000 * i + j)
+            rows["seq"].append(j)
+            rows["t"].append(random.choice(vals))
+            rows["kind"].append(random.choice(["a", "b"]))
+        pq.write_table(pa.table(rows), str(src / f"p{i}.parquet"))
+        _pin_mtime(src / f"p{i}.parquet", 1_000_000 + i)
+    schema = spark.read.parquet(str(src)).schema
+
+    PROG = """
+foreach %v
+    start ->
+        receive
+            t = %v, kind = "a" -> armed
+            * -> repeat
+    armed ->
+        receive
+            t = %v, kind = "b" -> yield $conv, start
+            * -> armed
+        after 2m -> start
+"""
+
+    def run(n_buckets):
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = streaming_partials(
+            sdf, PROG, uuid_col="uuid", ts_col="timestamp",
+            seq_col="seq", foreach_values=vals,
+            state_buckets=n_buckets,
+        )
+        rows: list = []
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, _b: rows.extend(
+                    tuple(r) for r in bdf.collect()
+                )
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return sorted(rows)
+
+    assert run(4) == run(0)

@@ -56,6 +56,14 @@ STREAM_END_TS = (1 << 63) - 1
 # opaque unpack ValueError on resume-from-old-checkpoint.
 _STATE_VERSION = 2
 
+# Versioned BUCKET state blob (r12 secondary grouping): {"bv": 3,
+# "t": {skey: v2 trail blob}, "dl": {skey: deadline_ms},
+# "pt": {skey: last_data_ms}} — one blob per hash(uuid)%N bucket, each
+# trail's entry the unchanged v2 per-trail layout.  Distinguished from
+# v2 blobs by the "bv" key, so per-trail-grouping checkpoints migrate
+# in place when buckets are disabled.
+_BUCKET_STATE_VERSION = 3
+
 
 def _load_state(blob) -> tuple[dict, Any, Any, Any, set]:
     """state blob -> (machine_states, last_ts, eff, prev_event,
@@ -312,6 +320,9 @@ def _profiled_step(step):
 _ROW_COLS = ["uuid", "tuple_id", "var", "key", "reg", "n"]
 
 
+_ROWS_FRAME_PATH = None  # "fast" | "fallback" — canary observability
+
+
 def _rows_frame(rows):
     """Partial-row pandas frame via a single object block: the plain
     ``pd.DataFrame(list_of_tuples, columns=...)`` constructor costs
@@ -320,7 +331,11 @@ def _rows_frame(rows):
     uniques grid that constructor alone was a measurable slice of the
     per-event budget.  Falls back to the plain constructor if the
     pandas internals API moves; Arrow conversion downstream is
-    identical (all-object columns infer the same types)."""
+    identical (all-object columns infer the same types).  The taken
+    path is recorded in ``_ROWS_FRAME_PATH`` so the canary test
+    (tests/test_streaming.py) fails LOUDLY when an environment bump
+    silently forfeits the fast constructor (VERDICT r11 item 8)."""
+    global _ROWS_FRAME_PATH
     import pandas as pd
 
     try:
@@ -339,8 +354,11 @@ def _rows_frame(rows):
             [blk], [Index(_ROW_COLS), RangeIndex(n)],
             verify_integrity=False,
         )
-        return pd.DataFrame._from_mgr(mgr, [])
+        out = pd.DataFrame._from_mgr(mgr, [])
+        _ROWS_FRAME_PATH = "fast"
+        return out
     except Exception:
+        _ROWS_FRAME_PATH = "fallback"
         return pd.DataFrame(rows, columns=_ROW_COLS)
 
 
@@ -374,8 +392,19 @@ def streaming_partials(
     fn_registry: dict | None = None,
     dedup_cols: list | str | None = None,
     dedup_carry: bool = False,
+    state_buckets: int | None = None,
 ):
     """streaming events DataFrame -> streaming partial-monoid rows.
+
+    state_buckets: secondary-grouping width for the stateful step —
+    trails are grouped by ``hash(uuid) % state_buckets`` and iterated
+    inside the step, amortizing applyInPandasWithState's fixed
+    per-group cost over bucket-many trails (identical results: state,
+    dedup scoping and finalization deadlines stay per-trail inside the
+    bucket blob).  Default (None): ``TRCK_SPARK_STREAM_BUCKETS`` or
+    ``max(32, 4 x defaultParallelism)``.  Pass 0 to group per trail
+    (required to RESUME a pre-bucketing checkpoint: its state keys are
+    uuids, which only the per-trail grouping can address).
 
     foreach_values: for implicit-foreach programs the lexicon cannot be
     computed from an unbounded stream; pass the value list explicitly.
@@ -624,30 +653,86 @@ def streaming_partials(
 
     has_window = window_df is not None
 
-    def step(key, pdf_iter, state: "GroupState") -> Iterator[Any]:
-        import pandas as pd
+    # ---- secondary grouping (VERDICT r11 item 1) ---------------------
+    # applyInPandasWithState pays a fixed per-GROUP harness cost every
+    # micro-batch (Arrow->pandas conversion, state (de)serialization,
+    # the Python invocation itself) — profiled at ~35% of step time on
+    # a 100k-trail stream where each group held ~200 events.  Group by
+    # hash(uuid) % N buckets instead of bare uuid and iterate the
+    # trails INSIDE the step: the per-group cost amortizes over
+    # bucket-many trails while per-trail FSM state, dedup scoping,
+    # emit-once sets and idle-finalization deadlines stay keyed per
+    # trail inside the bucket blob (inner blobs are the unchanged v2
+    # per-trail layout).  Trails with no events in a batch pass
+    # through as opaque pre-pickled bytes — no per-trail
+    # re-(de)serialization.  N scales with the session's parallelism
+    # (guide §2.2) and is env/kwarg-overridable; 0 restores per-trail
+    # grouping (pre-bucketing checkpoints resume there via the
+    # v2-blob migration in the step).
+    n_buckets = state_buckets
+    if n_buckets is None:
+        envv = os.environ.get("TRCK_SPARK_STREAM_BUCKETS")
+        if envv is not None:
+            n_buckets = int(envv)
+        else:
+            try:
+                n_buckets = 4 * int(
+                    events_sdf.sparkSession.sparkContext
+                    .defaultParallelism
+                )
+            except Exception:
+                n_buckets = 32
+            n_buckets = max(32, n_buckets)
+    bucketed = bool(n_buckets) and int(n_buckets) > 0
 
+    def step(key, pdf_iter, state: "GroupState") -> Iterator[Any]:
         q, tuples_w = _worker_query(spec_json, fn_registry)
         entrypoint = q.compiled.entrypoint
-
-        if state.exists:
-            (machine_states, last_ts, eff, prev_event,
-             hll_emitted) = _load_state(state.get[0])
-        else:
-            machine_states, last_ts, eff, prev_event, hll_emitted = (
-                {}, None, None, None, set()
-            )
-        # reporting id: the (possibly rebound) effective uuid for window
-        # entries — constant per (uuid, entry) group, read from the rows
-        # (or, on a row-less timeout call, from the carried state) —
-        # the original uuid otherwise
-        uuid = eff if (has_window and eff is not None) else key[0]
-        cookie = _cookie_from_uuid(uuid)
-
         n_tuples = len(tuples_w) if tuples_w is not None else 1
-        agg: dict[int, Results] = {}
 
-        def _suppress_reemits(rows):
+        # ---- bucket state: {skey: v2 trail blob} + per-trail timer
+        # maps.  skey = uuid ((uuid, entry) under a window_df); the
+        # inner blobs are exactly the per-trail v2 layout
+        # (_dump_state), so per-trail semantics and checkpoint
+        # migrations are unchanged.
+        trails: dict = {}
+        dl: dict = {}  # event-time finalize deadline (ms) per trail
+        pt: dict = {}  # processing-time last-data stamp (ms) per trail
+        if state.exists:
+            raw0 = bytes(state.get[0])
+            data = pickle.loads(raw0)
+            if isinstance(data, dict) and "bv" in data:
+                if data["bv"] != _BUCKET_STATE_VERSION:
+                    raise ValueError(
+                        f"streaming bucket-state version {data['bv']!r}"
+                        " is newer than this build supports "
+                        f"({_BUCKET_STATE_VERSION}); upgrade trck_spark"
+                        " or restart from a fresh checkpoint"
+                    )
+                trails = data["t"]
+                dl = data.get("dl") or {}
+                pt = data.get("pt") or {}
+            else:
+                # pre-bucketing checkpoint (per-trail grouping mode):
+                # the whole blob is ONE v2/legacy trail keyed by the
+                # group key itself
+                sk0 = tuple(key) if has_window else key[0]
+                trails = {sk0: raw0}
+                if use_event_time:
+                    lt = _load_state(raw0)[1]
+                    dl[sk0] = (
+                        (lt + finalize_idle_gap) * 1000
+                        if lt is not None
+                        else state.getCurrentWatermarkMs() + 1
+                    )
+                elif finalize_after_ms > 0:
+                    import time as _time
+
+                    pt[sk0] = int(_time.time() * 1000)
+
+        out_rows: list = []
+
+        def _hll_filter(rows, hll_emitted):
             # emit-once for cookie-only sketch yields (see
             # _cookie_only_hll_vars): a trail's (register, rank) for
             # such a var never changes, so rows already emitted in a
@@ -665,8 +750,17 @@ def streaming_partials(
                 kept.append(row)
             return kept
 
-        if state.hasTimedOut:
+        def _finalize_trail(skey, blob):
             # idle trail: fire pending timeout edges via the sentinel
+            (machine_states, _lt, eff, _prev,
+             hll_emitted) = _load_state(blob)
+            uuid = (
+                eff
+                if (has_window and eff is not None)
+                else (skey[0] if isinstance(skey, tuple) else skey)
+            )
+            cookie = _cookie_from_uuid(uuid)
+            agg: dict[int, Results] = {}
             for ti in range(n_tuples):
                 st = machine_states.get(ti)
                 if st is None:
@@ -674,10 +768,14 @@ def streaming_partials(
                 mstate = State(entrypoint)
                 mstate.ri, mstate.expires, outers = st
                 mstate.outers = [list(o) for o in outers]
-                if mstate.ri != -1 and finalize_needed(mstate, entrypoint):
+                if mstate.ri != -1 and finalize_needed(
+                    mstate, entrypoint
+                ):
                     res = Results()
                     env = (
-                        env_for_tuple(q.program, q.base_env, tuples_w[ti])
+                        env_for_tuple(
+                            q.program, q.base_env, tuples_w[ti]
+                        )
                         if tuples_w is not None
                         else q.base_env
                     )
@@ -686,246 +784,352 @@ def streaming_partials(
                     )
                     if not res.is_zero():
                         agg[ti] = res
-            state.remove()
-            rows = _suppress_reemits(_results_rows(uuid, agg))
-            if rows:
-                yield _rows_frame(rows)
-            return
+            out_rows.extend(
+                _hll_filter(_results_rows(uuid, agg), hll_emitted)
+            )
 
-        # assemble this batch's events in (ts, seq) order
-        rows_in: list = []
+        # ---- gather this batch's events per trail --------------------
+        per_trail: dict = {}
+        eff_map: dict = {}
         for pdf in pdf_iter:
-            if has_window and eff is None and len(pdf):
-                eff = pdf["__eff"].iloc[0]
-                uuid = eff
-                cookie = _cookie_from_uuid(uuid)
+            n = len(pdf)
+            if not n:
+                continue
             tss = pdf["__ts"].tolist()
             seqs = pdf["__seq"].tolist()
             fcols = [pdf["__f_" + f].tolist() for f in fields]
-            if fcols:
-                vals = list(zip(*fcols))
-            else:
-                vals = [()] * len(pdf)
+            vals = list(zip(*fcols)) if fcols else [()] * n
             dcols = [pdf["__d_" + c].tolist() for c in extra_dedup]
-            if dcols:
-                dks = list(zip(*dcols))
-            else:
-                dks = [()] * len(pdf)
-            rows_in.extend(zip(tss, seqs, vals, dks))
-        rows_in.sort(key=lambda r: (r[0], r[1]))
-        batch_max = max(
-            (ts for ts, _s, _v, _d in rows_in if ts < STREAM_END_TS),
-            default=None,
-        )
-        if batch_max is not None:
-            last_ts = batch_max if last_ts is None else max(
-                last_ts, batch_max
-            )
-        # events at ts >= STREAM_END_TS are explicit end-of-trail markers:
-        # they trigger finalization (pending `after` edges fire), mirroring
-        # the reference's end-of-run sentinel (match_traildb.c:902-944)
-        finalize = any(ts >= STREAM_END_TS for ts, _s, _v, _d in rows_in)
-        raw = [
-            (ts, v, d) for ts, _s, v, d in rows_in if ts < STREAM_END_TS
-        ]
-        events = [
-            (ts, v)
-            for ts, v, _d in dedup_consecutive(
-                raw, prev=prev_event if dedup_carry else None
-            )
-        ]
-        if dedup_carry and raw:
-            prev_event = raw[-1]
-
-        # per-batch grid pruning (see _stream_prune_meta): group the
-        # grid by (projection key over this batch's distinct values,
-        # carried state) and run ONE machine per group.  The fast path
-        # additionally keeps the whole step O(values present + stored
-        # states) instead of O(grid): tuples whose value is absent AND
-        # whose machine is fresh form one group decided by a single
-        # representative run, with per-tuple bookkeeping only when
-        # that run actually produced output or state (per-trail-batch
-        # Python cost at a 100-value grid was the profiled throughput
-        # floor, VERDICT r10 item 3)
-        gids = None
-        fast_present = None
-        loop_tis = range(n_tuples)
-        if tuples_w is not None and n_tuples > 1:
-            prune = getattr(q, "_stream_prune", None)
-            if prune is None:
-                prune = _stream_prune_meta(q, fields)
-                q._stream_prune = prune
-            if prune[0] == "fast":
-                fidx = prune[1]
-                val2ti = getattr(q, "_stream_val2ti", None)
-                if val2ti is None:
-                    val2ti = {}
-                    for _ti, _tup in enumerate(tuples_w):
-                        val2ti.setdefault(_tup[0], []).append(_ti)
-                    q._stream_val2ti = val2ti
-                dset = {v[fidx] for _ts, v in events}
-                fast_present = set()
-                for val in dset:
-                    fast_present.update(val2ti.get(val, ()))
-                candidates = fast_present.union(machine_states)
-                loop_tis = sorted(candidates)
-            elif prune[0] == "generic":
-                from trck_spark.params import projection_key
-
-                trail_distinct = {
-                    f: {v[i] for _ts, v in events}
-                    for f, i in prune[1].items()
-                }
-                gids = [
-                    projection_key(q.program, tup, trail_distinct)
-                    for tup in tuples_w
-                ]
-        skip_emitted = (
-            repeat_only_hll
-            and hll_emitted
-            and not getattr(q, "no_grid_prune", False)
-        )
-        run_cache: dict = {}
-
-        def _run_one(ti, st):
-            """One machine run; returns (res_or_None, new_state) with
-            res None when zero and new_state None when the machine
-            ends indistinguishable from fresh (reference
-            gen_is_initial_state, fsm2c.py:919-928 — a missing entry
-            already loads as State(entrypoint))."""
-            mstate = State(entrypoint)
-            if st is not None:
-                mstate.ri, mstate.expires, outers = st
-                mstate.outers = [list(o) for o in outers]
-            env = (
-                env_for_tuple(q.program, q.base_env, tuples_w[ti])
-                if tuples_w is not None
-                else q.base_env
-            )
-            res = Results()
-            aborted = run_machine(
-                q.compiled, events, mstate, res, env, cookie
-            )
-            if finalize and not aborted and finalize_needed(
-                mstate, entrypoint
-            ):
-                run_machine(
-                    q.compiled, [SENTINEL], mstate, res, env, cookie
-                )
-            new_st = (
-                None
-                if mstate.is_initial(entrypoint)
-                else (
-                    mstate.ri,
-                    mstate.expires,
-                    [tuple(o) for o in mstate.outers],
-                )
-            )
-            return (res if not res.is_zero() else None), new_st
-
-        for ti in loop_tis:
-            st = machine_states.get(ti)
-            if (
-                skip_emitted
-                and st is None
-                and all((ti, v) in hll_emitted for v in hll_yield_vars)
-            ):
-                # repeat-only cookie-sketch machine whose one possible
-                # row already emitted: running it again is a no-op
-                continue
-            if st is not None and st[0] == -1:
-                continue  # this machine quit in an earlier batch
-            gk = None
-            if gids is not None or fast_present is not None:
-                if gids is not None:
-                    gid = gids[ti]
-                elif ti not in fast_present:
-                    gid = _PRUNE_ABSENT
-                elif value_indep:
-                    # uniques grid: present machines share ONE run
-                    gid = _PRUNE_PRESENT
-                else:
-                    gid = tuples_w[ti][0]
-                stk = (
-                    None
-                    if st is None
-                    else (st[0], st[1], tuple(map(tuple, st[2])))
-                )
-                gk = (gid, stk)
-                hit = run_cache.get(gk)
-                if hit is not None:
-                    res, new_st = hit
-                    if res is not None:
-                        agg[ti] = res
-                    if new_st is None:
-                        machine_states.pop(ti, None)
-                    else:
-                        machine_states[ti] = new_st
-                    continue
-            res, new_st = _run_one(ti, st)
-            if res is not None:
-                agg[ti] = res
-            if new_st is None:
-                machine_states.pop(ti, None)
-            else:
-                machine_states[ti] = new_st
-            if gk is not None:
-                run_cache[gk] = (res, new_st)
-
-        if (
-            fast_present is not None
-            and len(loop_tis) < n_tuples
-            and not value_indep
-        ):
-            # absent-and-fresh group: one representative decides all.
-            # Skipped for the value-independent uniques shape: its
-            # acting clause is gated on the (absent) value, so the
-            # representative provably yields nothing and stays fresh
-            cand = set(loop_tis)
-            rep = next(
-                ti for ti in range(n_tuples) if ti not in cand
-            )
-            res, new_st = _run_one(rep, None)
-            if res is not None or new_st is not None:
-                for ti in range(n_tuples):
-                    if ti in cand:
-                        continue
-                    if res is not None:
-                        agg[ti] = res
-                    if new_st is not None:
-                        machine_states[ti] = new_st
-
-        rows = _suppress_reemits(_results_rows(uuid, agg))
-        if finalize:
-            state.remove()
-        else:
-            state.update(
-                (
-                    bytearray(
-                        _dump_state(
-                            machine_states,
-                            last_ts,
-                            eff,
-                            prev_event if dedup_carry else None,
-                            hll_emitted,
+            dks = list(zip(*dcols)) if dcols else [()] * n
+            effs = pdf["__eff"].tolist() if has_window else None
+            if bucketed:
+                uu = pdf["__uuid"].tolist()
+                if has_window:
+                    ee = pdf["__entry"].tolist()
+                    for j in range(n):
+                        sk = (uu[j], int(ee[j]))
+                        per_trail.setdefault(sk, []).append(
+                            (tss[j], seqs[j], vals[j], dks[j])
                         )
-                    ),
+                        if sk not in eff_map:
+                            eff_map[sk] = effs[j]
+                else:
+                    for j in range(n):
+                        per_trail.setdefault(uu[j], []).append(
+                            (tss[j], seqs[j], vals[j], dks[j])
+                        )
+            else:
+                sk = tuple(key) if has_window else key[0]
+                per_trail.setdefault(sk, []).extend(
+                    zip(tss, seqs, vals, dks)
                 )
+                if has_window and sk not in eff_map:
+                    eff_map[sk] = effs[0]
+
+        now_ms = None
+        if finalize_after_ms > 0 and (per_trail or trails):
+            import time as _time
+
+            now_ms = int(_time.time() * 1000)
+
+        def _run_trail(skey, rows_in, blob):
+            """One trail's data step: appends its emitted rows to
+            out_rows, returns (new_trail_blob | None, last_ts)."""
+            if blob is not None:
+                (machine_states, last_ts, eff, prev_event,
+                 hll_emitted) = _load_state(blob)
+            else:
+                machine_states, last_ts, eff, prev_event, hll_emitted = (
+                    {}, None, None, None, set()
+                )
+            # reporting id: the (possibly rebound) effective uuid for
+            # window entries — constant per (uuid, entry) — else the
+            # original uuid
+            if has_window and eff is None:
+                eff = eff_map.get(skey)
+            uuid = (
+                eff
+                if (has_window and eff is not None)
+                else (skey[0] if isinstance(skey, tuple) else skey)
             )
-        if finalize_after_ms > 0:
-            state.setTimeoutDuration(finalize_after_ms)
-        elif use_event_time and not finalize:
-            # finalize when the watermark passes the trail's last event
-            # by the idle gap (must stay strictly above the watermark)
-            wm = state.getCurrentWatermarkMs()
-            deadline_ms = (
-                (last_ts + finalize_idle_gap) * 1000
-                if last_ts is not None
-                else wm + 1
+            cookie = _cookie_from_uuid(uuid)
+            agg: dict[int, Results] = {}
+
+            # this batch's events in (ts, seq) order
+            rows_in.sort(key=lambda r: (r[0], r[1]))
+            batch_max = max(
+                (ts for ts, _s, _v, _d in rows_in if ts < STREAM_END_TS),
+                default=None,
             )
-            state.setTimeoutTimestamp(max(deadline_ms, wm + 1))
-        if rows:
-            yield _rows_frame(rows)
+            if batch_max is not None:
+                last_ts = batch_max if last_ts is None else max(
+                    last_ts, batch_max
+                )
+            # events at ts >= STREAM_END_TS are explicit end-of-trail
+            # markers: they trigger finalization (pending `after` edges
+            # fire), mirroring the reference's end-of-run sentinel
+            # (match_traildb.c:902-944)
+            finalize = any(
+                ts >= STREAM_END_TS for ts, _s, _v, _d in rows_in
+            )
+            raw = [
+                (ts, v, d)
+                for ts, _s, v, d in rows_in
+                if ts < STREAM_END_TS
+            ]
+            events = [
+                (ts, v)
+                for ts, v, _d in dedup_consecutive(
+                    raw, prev=prev_event if dedup_carry else None
+                )
+            ]
+            if dedup_carry and raw:
+                prev_event = raw[-1]
+
+            # per-batch grid pruning (see _stream_prune_meta): group
+            # the grid by (projection key over this batch's distinct
+            # values, carried state) and run ONE machine per group.
+            # The fast path additionally keeps the whole step O(values
+            # present + stored states) instead of O(grid): tuples
+            # whose value is absent AND whose machine is fresh form
+            # one group decided by a single representative run, with
+            # per-tuple bookkeeping only when that run actually
+            # produced output or state (per-trail-batch Python cost at
+            # a 100-value grid was the profiled throughput floor,
+            # VERDICT r10 item 3)
+            gids = None
+            fast_present = None
+            loop_tis = range(n_tuples)
+            if tuples_w is not None and n_tuples > 1:
+                prune = getattr(q, "_stream_prune", None)
+                if prune is None:
+                    prune = _stream_prune_meta(q, fields)
+                    q._stream_prune = prune
+                if prune[0] == "fast":
+                    fidx = prune[1]
+                    val2ti = getattr(q, "_stream_val2ti", None)
+                    if val2ti is None:
+                        val2ti = {}
+                        for _ti, _tup in enumerate(tuples_w):
+                            val2ti.setdefault(_tup[0], []).append(_ti)
+                        q._stream_val2ti = val2ti
+                    dset = {v[fidx] for _ts, v in events}
+                    fast_present = set()
+                    for val in dset:
+                        fast_present.update(val2ti.get(val, ()))
+                    candidates = fast_present.union(machine_states)
+                    loop_tis = sorted(candidates)
+                elif prune[0] == "generic":
+                    from trck_spark.params import projection_key
+
+                    trail_distinct = {
+                        f: {v[i] for _ts, v in events}
+                        for f, i in prune[1].items()
+                    }
+                    gids = [
+                        projection_key(q.program, tup, trail_distinct)
+                        for tup in tuples_w
+                    ]
+            skip_emitted = (
+                repeat_only_hll
+                and hll_emitted
+                and not getattr(q, "no_grid_prune", False)
+            )
+            run_cache: dict = {}
+
+            def _run_one(ti, st):
+                """One machine run; returns (res_or_None, new_state)
+                with res None when zero and new_state None when the
+                machine ends indistinguishable from fresh (reference
+                gen_is_initial_state, fsm2c.py:919-928 — a missing
+                entry already loads as State(entrypoint))."""
+                mstate = State(entrypoint)
+                if st is not None:
+                    mstate.ri, mstate.expires, outers = st
+                    mstate.outers = [list(o) for o in outers]
+                env = (
+                    env_for_tuple(q.program, q.base_env, tuples_w[ti])
+                    if tuples_w is not None
+                    else q.base_env
+                )
+                res = Results()
+                aborted = run_machine(
+                    q.compiled, events, mstate, res, env, cookie
+                )
+                if finalize and not aborted and finalize_needed(
+                    mstate, entrypoint
+                ):
+                    run_machine(
+                        q.compiled, [SENTINEL], mstate, res, env, cookie
+                    )
+                new_st = (
+                    None
+                    if mstate.is_initial(entrypoint)
+                    else (
+                        mstate.ri,
+                        mstate.expires,
+                        [tuple(o) for o in mstate.outers],
+                    )
+                )
+                return (res if not res.is_zero() else None), new_st
+
+            for ti in loop_tis:
+                st = machine_states.get(ti)
+                if (
+                    skip_emitted
+                    and st is None
+                    and all(
+                        (ti, v) in hll_emitted for v in hll_yield_vars
+                    )
+                ):
+                    # repeat-only cookie-sketch machine whose one
+                    # possible row already emitted: a provable no-op
+                    continue
+                if st is not None and st[0] == -1:
+                    continue  # this machine quit in an earlier batch
+                gk = None
+                if gids is not None or fast_present is not None:
+                    if gids is not None:
+                        gid = gids[ti]
+                    elif ti not in fast_present:
+                        gid = _PRUNE_ABSENT
+                    elif value_indep:
+                        # uniques grid: present machines share ONE run
+                        gid = _PRUNE_PRESENT
+                    else:
+                        gid = tuples_w[ti][0]
+                    stk = (
+                        None
+                        if st is None
+                        else (st[0], st[1], tuple(map(tuple, st[2])))
+                    )
+                    gk = (gid, stk)
+                    hit = run_cache.get(gk)
+                    if hit is not None:
+                        res, new_st = hit
+                        if res is not None:
+                            agg[ti] = res
+                        if new_st is None:
+                            machine_states.pop(ti, None)
+                        else:
+                            machine_states[ti] = new_st
+                        continue
+                res, new_st = _run_one(ti, st)
+                if res is not None:
+                    agg[ti] = res
+                if new_st is None:
+                    machine_states.pop(ti, None)
+                else:
+                    machine_states[ti] = new_st
+                if gk is not None:
+                    run_cache[gk] = (res, new_st)
+
+            if (
+                fast_present is not None
+                and len(loop_tis) < n_tuples
+                and not value_indep
+            ):
+                # absent-and-fresh group: one representative decides
+                # all.  Skipped for the value-independent uniques
+                # shape: its acting clause is gated on the (absent)
+                # value, so the representative provably yields nothing
+                # and stays fresh
+                cand = set(loop_tis)
+                rep = next(
+                    ti for ti in range(n_tuples) if ti not in cand
+                )
+                res, new_st = _run_one(rep, None)
+                if res is not None or new_st is not None:
+                    for ti in range(n_tuples):
+                        if ti in cand:
+                            continue
+                        if res is not None:
+                            agg[ti] = res
+                        if new_st is not None:
+                            machine_states[ti] = new_st
+
+            out_rows.extend(
+                _hll_filter(_results_rows(uuid, agg), hll_emitted)
+            )
+            if finalize:
+                return None, last_ts
+            return (
+                _dump_state(
+                    machine_states,
+                    last_ts,
+                    eff,
+                    prev_event if dedup_carry else None,
+                    hll_emitted,
+                ),
+                last_ts,
+            )
+
+        for sk in sorted(per_trail):
+            new_blob, last_ts = _run_trail(
+                sk, per_trail[sk], trails.get(sk)
+            )
+            if new_blob is None:
+                trails.pop(sk, None)
+                dl.pop(sk, None)
+                pt.pop(sk, None)
+            else:
+                trails[sk] = new_blob
+                if use_event_time:
+                    # finalize when the watermark passes the trail's
+                    # last event by the idle gap
+                    dl[sk] = (
+                        (last_ts + finalize_idle_gap) * 1000
+                        if last_ts is not None
+                        else state.getCurrentWatermarkMs() + 1
+                    )
+                if now_ms is not None:
+                    pt[sk] = now_ms
+
+        # ---- idle-trail finalization sweep: trails whose deadline
+        # passed and that received no events this batch (per-trail
+        # analog of the per-group timer the pre-bucketing step used)
+        if trails and (use_event_time or now_ms is not None):
+            if use_event_time:
+                wm = state.getCurrentWatermarkMs()
+                due = [
+                    sk
+                    for sk, d in dl.items()
+                    if d <= wm and sk not in per_trail
+                ]
+            else:
+                due = [
+                    sk
+                    for sk, p in pt.items()
+                    if now_ms - p >= finalize_after_ms
+                    and sk not in per_trail
+                ]
+            for sk in sorted(due):
+                blob = trails.pop(sk, None)
+                dl.pop(sk, None)
+                pt.pop(sk, None)
+                if blob is not None:
+                    _finalize_trail(sk, blob)
+
+        # ---- store bucket state + arm the bucket timer ---------------
+        if trails:
+            out_state: dict = {"bv": _BUCKET_STATE_VERSION, "t": trails}
+            if dl:
+                out_state["dl"] = dl
+            if pt:
+                out_state["pt"] = pt
+            state.update((bytearray(pickle.dumps(out_state)),))
+            if finalize_after_ms > 0:
+                state.setTimeoutDuration(finalize_after_ms)
+            elif use_event_time:
+                # wake at the earliest remaining per-trail deadline
+                # (must stay strictly above the watermark)
+                wm = state.getCurrentWatermarkMs()
+                nd = min(dl.values()) if dl else wm + 1
+                state.setTimeoutTimestamp(max(nd, wm + 1))
+        elif state.exists:
+            state.remove()
+        if out_rows:
+            yield _rows_frame(out_rows)
 
     if finalize_after_ms > 0:
         timeout = GroupStateTimeout.ProcessingTimeTimeout
@@ -933,9 +1137,23 @@ def streaming_partials(
         timeout = GroupStateTimeout.EventTimeTimeout
     else:
         timeout = GroupStateTimeout.NoTimeout
-    group_cols = (
-        ["__uuid", "__entry"] if window_df is not None else ["__uuid"]
-    )
+    if bucketed:
+        bcols = [F.col("__uuid")] + (
+            [F.col("__entry")] if window_df is not None else []
+        )
+        df = df.withColumn(
+            "__bkt",
+            F.pmod(F.xxhash64(*bcols), F.lit(int(n_buckets))).cast(
+                "int"
+            ),
+        )
+        group_cols = ["__bkt"]
+    else:
+        group_cols = (
+            ["__uuid", "__entry"]
+            if window_df is not None
+            else ["__uuid"]
+        )
     if os.environ.get("TRCK_SPARK_STEP_PROFILE"):
         step = _profiled_step(step)  # noqa: F811 — debug-only wrapper
     out = df.groupBy(*group_cols).applyInPandasWithState(
