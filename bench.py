@@ -53,9 +53,119 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 # launch when the remainder can't fit three.
 
 _T0 = time.time()
-_BUDGET_S = float(os.environ.get("TRCK_SPARK_BENCH_BUDGET_S", "4200"))
+
+# ------------------------------------------- low-core scaling probe (r12)
+#
+# The driver re-runs this bench at a LOW core count to measure scaling,
+# on a shorter outer deadline: the r11 8-core run (BENCH_r11_c8)
+# finished sf + oracle + gate + flat but was SIGTERM-killed mid-pair,
+# rc=124, because the protocol was sized for 32 cores.  Below 24 cores
+# the defaults pre-degrade so the probe self-completes (VERDICT r11
+# item 3): the total budget scales with the core ratio (plus fixed-JVM
+# headroom), the streaming benches and the pair corpus shrink by the
+# same ratio (each row discloses its own n_events / n_docs, so nothing
+# is silently comparable across core counts), and the per-timing
+# steady-state time cap scales down (run lists still committed; the
+# plateau/settle RULES are unchanged).  At >= 24 cores every value is
+# byte-identical to the r11 protocol — no change to the driver's main
+# bench.  Every knob stays env-overridable.
+_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (
+    os.cpu_count() or 32
+)
+_LOW_CORE = _CPUS < 24
+_CORE_SCALE = 1.0 if not _LOW_CORE else max(_CPUS / 32.0, 0.05)
+_env_budget = os.environ.get("TRCK_SPARK_BENCH_BUDGET_S")
+_BUDGET_S = (
+    float(_env_budget)
+    if _env_budget
+    else (4200.0 if not _LOW_CORE else max(
+        1500.0, 4200.0 * _CORE_SCALE + 900.0
+    ))
+)
 # final BENCH_SF rewrite + contract print headroom
 _FINAL_RESERVE_S = 120.0
+
+
+def _stream_events() -> int:
+    """Streaming-bench event count: 20M at full scale, core-ratio-scaled
+    on the low-core probe (each row carries its own `events`)."""
+    return max(2_000_000, int(20_000_000 * _CORE_SCALE))
+
+
+def _pair_docs() -> int:
+    """Pair-family corpus size: 5M docs at full scale, core-ratio-scaled
+    on the low-core probe (the row carries its own `n_docs`)."""
+    envv = os.environ.get("SPARK_GRAFT_PAIR_DOCS")
+    if envv is not None:
+        return int(envv)
+    return max(250_000, int(5_000_000 * _CORE_SCALE))
+
+
+# ------------------------------------------ interference sampler (r12)
+#
+# VERDICT r11 item 4: this box pays episodic hypervisor steal (a
+# /proc/stat sampler measured 7-21% steal windows during the r11 runs,
+# which explains the B2-funnel regime spread on untouched code).  The
+# sampler now lives IN the harness: a daemon thread samples the
+# aggregate /proc/stat cpu line every ~5 s, and every steady-state
+# timing window records the max/mean steal percentage it overlapped —
+# so the driver can separate box regime from code regressions
+# mechanically, per row.
+
+
+class _StealSampler:
+    PERIOD_S = 5.0
+
+    def __init__(self) -> None:
+        self.samples: list = []  # (wall_time, steal_pct)
+        self._started = False
+
+    def start(self) -> None:
+        import threading
+
+        if self._started:
+            return
+        self._started = True
+        t = threading.Thread(target=self._loop, daemon=True)
+        t.start()
+
+    def _loop(self) -> None:
+        prev = None
+        while True:
+            try:
+                with open("/proc/stat") as f:
+                    parts = f.readline().split()
+                vals = [int(x) for x in parts[1:]]
+            except Exception:
+                return  # no /proc/stat: rows carry null, disclosed
+            tot = sum(vals)
+            steal = vals[7] if len(vals) > 7 else 0
+            now = time.time()
+            if prev is not None and tot > prev[0]:
+                self.samples.append(
+                    (now, 100.0 * (steal - prev[1]) / (tot - prev[0]))
+                )
+            prev = (tot, steal)
+            time.sleep(self.PERIOD_S)
+
+    def window(self, t0: float, t1: float):
+        """max/mean steal%% over samples inside [t0, t1] (padded one
+        period so a short window still catches its covering sample)."""
+        xs = [
+            s
+            for t, s in list(self.samples)
+            if t0 <= t <= t1 + self.PERIOD_S
+        ]
+        if not xs:
+            return None
+        return {
+            "max": round(max(xs), 1),
+            "mean": round(sum(xs) / len(xs), 1),
+            "n": len(xs),
+        }
+
+
+_STEAL_SAMPLER = _StealSampler()
 
 
 def _remaining() -> float:
@@ -367,6 +477,12 @@ def _steady_state(run, max_runs: int = 12, plateau: float = 0.10,
     ``no_plateau=True`` so the artifact discloses the regime."""
     import statistics
 
+    if _LOW_CORE:
+        # low-core scaling probe: same plateau/settle RULES, scaled
+        # time cap (see the low-core block at the top of this file)
+        budget_s = max(10.0, budget_s * _CORE_SCALE)
+    _STEAL_SAMPLER.start()
+    t_start = time.time()
     run()  # untimed warm-up
     best = None
     non_improving = 0
@@ -406,14 +522,20 @@ def _steady_state(run, max_runs: int = 12, plateau: float = 0.10,
          round(statistics.fmean(tail), 3), tail)
     )
     res.no_plateau = no_plateau
+    # hypervisor-steal regime over this timing's whole window (incl.
+    # warm-up): null when /proc/stat is unavailable or the window is
+    # shorter than one sample period
+    res.steal_pct = _STEAL_SAMPLER.window(t_start, time.time())
     return res
 
 
 class _SteadyResult(tuple):
-    """5-tuple (best, runs, median, mean, tail) plus a ``no_plateau``
-    disclosure attribute — unpacks exactly like the historical tuple."""
+    """5-tuple (best, runs, median, mean, tail) plus ``no_plateau`` and
+    ``steal_pct`` disclosure attributes — unpacks exactly like the
+    historical tuple."""
 
     no_plateau = False
+    steal_pct = None
 
 
 def _median_ci(tail):
@@ -488,10 +610,9 @@ def run_baseline_gate(spark, n_events: int = None,
             )
             return time.time() - t0
 
-        best, runs, med, mean, tail = _steady_state(
-            one, settle_runs=settle_runs
-        )
-        return rows, best, runs, med, mean, tail
+        res = _steady_state(one, settle_runs=settle_runs)
+        best, runs, med, mean, tail = res
+        return rows, best, runs, med, mean, tail, res
 
     # B1's marginal is the one bar-carrying statistic built from
     # sub-second means; give its four inputs 12-sample tails (VERDICT
@@ -514,18 +635,17 @@ def run_baseline_gate(spark, n_events: int = None,
     st: dict = {}
     for name, prog in progs.items():
         sr = _settle_runs_for(name)
-        srows, hi_s, hi_runs, hi_med, hi_mean, hi_tail = time_spark(
-            store, prog, settle_runs=sr
-        )
-        _r, lo_s, lo_runs, lo_med, lo_mean, lo_tail = time_spark(
-            store_lo, prog, settle_runs=sr
-        )
+        (srows, hi_s, hi_runs, hi_med, hi_mean, hi_tail,
+         hi_res) = time_spark(store, prog, settle_runs=sr)
+        (_r, lo_s, lo_runs, lo_med, lo_mean, lo_tail,
+         lo_res) = time_spark(store_lo, prog, settle_runs=sr)
         st[name] = {
             "rows": srows, "hi_s": hi_s, "hi_runs": hi_runs,
             "lo_s": lo_s, "lo_runs": lo_runs,
             "hi_med": hi_med, "lo_med": lo_med,
             "hi_mean": hi_mean, "lo_mean": lo_mean,
             "hi_tail": hi_tail, "lo_tail": lo_tail,
+            "hi_steal": hi_res.steal_pct, "lo_steal": lo_res.steal_pct,
         }
         print(f"# store {name}: hi {hi_s:.3f}s med {hi_med:.3f}s "
               f"{hi_runs} / lo {lo_s:.3f}s {lo_runs}", file=sys.stderr)
@@ -568,9 +688,8 @@ def run_baseline_gate(spark, n_events: int = None,
             return time.time() - t0
 
         sr = _settle_runs_for(name)
-        ohi_s, ohi_runs, ohi_med, ohi_mean, ohi_tail = _steady_state(
-            one_oracle, settle_runs=sr
-        )
+        ohi_res = _steady_state(one_oracle, settle_runs=sr)
+        ohi_s, ohi_runs, ohi_med, ohi_mean, ohi_tail = ohi_res
         olo_s, olo_runs, olo_med, olo_mean, olo_tail = _steady_state(
             one_oracle_lo, settle_runs=sr
         )
@@ -581,6 +700,7 @@ def run_baseline_gate(spark, n_events: int = None,
             "hi_mean": ohi_mean, "lo_mean": olo_mean,
             "hi_tail": ohi_tail, "lo_tail": olo_tail,
             "one_lo": one_oracle_lo,
+            "hi_steal": ohi_res.steal_pct,
         }
         print(f"# oracle {name}: hi {ohi_s:.3f}s med {ohi_med:.3f}s "
               f"{ohi_runs} / lo {olo_s:.3f}s {olo_runs}", file=sys.stderr)
@@ -657,6 +777,15 @@ def run_baseline_gate(spark, n_events: int = None,
             "match": match,
             "spark_store_runs": st[name]["hi_runs"],
             "oracle_runs": oc[name]["hi_runs"],
+            # hypervisor-steal regime per timing window (VERDICT r11
+            # item 4): the mechanical separator of box interference
+            # from code regressions — null when /proc/stat has no
+            # samples in the window
+            "steal_pct": {
+                "spark_hi": st[name]["hi_steal"],
+                "spark_lo": st[name]["lo_steal"],
+                "oracle_hi": oc[name]["hi_steal"],
+            },
         }
         tot["spark_store_s"] += store_s
         tot["oracle_s"] += oracle_s
@@ -780,9 +909,8 @@ def run_baseline_gate(spark, n_events: int = None,
     # green when it matches the plain store's B1 rows and stays at
     # rollup latency (~0.1 s at 160M, not a scan) ---
     seg_store = _open_perf_segmented(spark, n_events)
-    segrows, seg_s, seg_runs, seg_med, seg_mean, seg_tail = time_spark(
-        seg_store, B1_PROG, settle_runs=4
-    )
+    (segrows, seg_s, seg_runs, seg_med, seg_mean, seg_tail,
+     seg_res) = time_spark(seg_store, B1_PROG, settle_runs=4)
     seg_match = sorted(tuple(r) for r in segrows) == sorted(
         tuple(r) for r in st["b1_count_foreach"]["rows"]
     )
@@ -805,6 +933,7 @@ def run_baseline_gate(spark, n_events: int = None,
         "runs": seg_runs,
         "match_plain_store": seg_match,
         "zero_scan": seg_zero_scan,
+        "steal_pct": seg_res.steal_pct,
     }
     print(
         f"# segmented-store B1: {seg_s:.3f}s best / {seg_med:.3f}s "
@@ -843,9 +972,8 @@ foreach %aeid
         hll_box["out"] = rs.collect_json()
         return time.time() - t0
 
-    h_s, h_runs, h_med, _h_mean, h_tail = _steady_state(
-        one_hll, settle_runs=4
-    )
+    h_res = _steady_state(one_hll, settle_runs=4)
+    h_s, h_runs, h_med, _h_mean, h_tail = h_res
     hll_oracle_rows: list = []
 
     def one_hll_oracle():
@@ -887,6 +1015,7 @@ foreach %aeid
         # sketch fails, an honest one essentially never does
         "max_rel_err": round(max_rel_err, 5),
         "match": max_rel_err <= 0.04,
+        "steal_pct": h_res.steal_pct,
     }
     print(
         f"# hll-store uniques: {h_s:.3f}s best / {h_med:.3f}s median "
@@ -975,6 +1104,7 @@ foreach %aeid
         "max_rel_err": round(max_rel_err_ts, 5),
         "match": max_rel_err_ts <= 0.04,
         "no_plateau": hts_res.no_plateau,
+        "steal_pct": hts_res.steal_pct,
     }
     print(
         f"# hll-store ts-bounded uniques: {hts_s:.3f}s best / "
@@ -1064,6 +1194,7 @@ foreach %aeid
         "max_rel_err": round(max_rel_err_tn, 5),
         "match": max_rel_err_tn <= 0.04,
         "no_plateau": htn_res.no_plateau,
+        "steal_pct": htn_res.steal_pct,
     }
     print(
         f"# hll-store ts-bounded uniques (thin boundary): {htn_s:.3f}s "
@@ -1247,6 +1378,8 @@ def run_streaming_bench(spark, n_events: int = 20_000_000) -> dict:
     # same settle + median treatment as the gate queries (VERDICT r06
     # item 8: a single-run streaming number had no steady-state
     # protocol, so a ~15% drift was unattributable)
+    _STEAL_SAMPLER.start()
+    t_steal0 = time.time()
     runs: list[float] = []
     for i in range(3):
         dt, finished = one()
@@ -1273,6 +1406,7 @@ def run_streaming_bench(spark, n_events: int = 20_000_000) -> dict:
         "events_per_sec": round(n_events / min(runs), 1),
         "events_per_sec_median": round(n_events / med, 1),
         "sessions_emitted": counts["sessions"],
+        "steal_pct": _STEAL_SAMPLER.window(t_steal0, time.time()),
     }
 
 
@@ -1350,6 +1484,8 @@ start ->
             q.stop()
         return dt, finished
 
+    _STEAL_SAMPLER.start()
+    t_steal0 = time.time()
     runs: list[float] = []
     for i in range(3):
         dt, finished = one()
@@ -1361,6 +1497,7 @@ start ->
         runs.append(round(dt, 3))
         if i < 2:
             _settle("between streaming-window runs", max_wait=60)
+    t_steal1 = time.time()
     ev = spark.read.parquet(path)
     expected = ev.filter(F.col("event_type") == "click").count()
     expected += (
@@ -1385,6 +1522,7 @@ start ->
         "clicks": got["clicks"],
         "expected_clicks": expected,
         "clicks_match": got["clicks"] == expected,
+        "steal_pct": _STEAL_SAMPLER.window(t_steal0, t_steal1),
     }
 
 
@@ -1444,6 +1582,8 @@ foreach %aeid
             q.stop()
         return dt, finished
 
+    _STEAL_SAMPLER.start()
+    t_steal0 = time.time()
     runs: list[float] = []
     for i in range(3):
         dt, finished = one()
@@ -1456,6 +1596,7 @@ foreach %aeid
         runs.append(round(dt, 3))
         if i < 2:
             _settle("between streaming-uniques runs", max_wait=60)
+    t_steal1 = time.time()
     # value check on the last run's collector
     exact = {
         r[0]: int(r[1])
@@ -1496,6 +1637,7 @@ foreach %aeid
         "events_per_sec_median": round(n_events / med, 1),
         "max_rel_err": round(max_rel_err, 5),
         "match": max_rel_err <= 0.04,
+        "steal_pct": _STEAL_SAMPLER.window(t_steal0, t_steal1),
     }
 
 
@@ -1558,7 +1700,7 @@ def run_gate_suite(out_path: str | None = None) -> dict:
             print(f"# {key} failed: {e}", file=sys.stderr)
         ckpt()
     try:
-        out["streaming"] = run_streaming_bench(spark)
+        out["streaming"] = run_streaming_bench(spark, _stream_events())
         print(f"# streaming sessionization: {out['streaming']}",
               file=sys.stderr)
     except Exception as e:
@@ -1566,7 +1708,9 @@ def run_gate_suite(out_path: str | None = None) -> dict:
         print(f"# streaming bench failed: {e}", file=sys.stderr)
     ckpt()
     try:
-        out["streaming_window"] = run_streaming_window_bench(spark)
+        out["streaming_window"] = run_streaming_window_bench(
+            spark, _stream_events()
+        )
         print(f"# streaming with window file: {out['streaming_window']}",
               file=sys.stderr)
     except Exception as e:
@@ -1574,7 +1718,9 @@ def run_gate_suite(out_path: str | None = None) -> dict:
         print(f"# streaming window bench failed: {e}", file=sys.stderr)
     ckpt()
     try:
-        out["streaming_uniques"] = run_streaming_uniques_bench(spark)
+        out["streaming_uniques"] = run_streaming_uniques_bench(
+            spark, _stream_events()
+        )
         print(f"# streaming uniques: {out['streaming_uniques']}",
               file=sys.stderr)
     except Exception as e:
@@ -1631,11 +1777,26 @@ def run_pair_scale_bench(spark, n_docs: int = 5_000_000,
         `action(frame)` as the timed materialization, release between
         runs.  Returns (runs, median, last_frame, last_action_result) —
         the last frame stays unreleased for the caller's untimed
-        diagnostics."""
+        diagnostics.
+
+        Adaptive degrade (VERDICT r11 item 7): after the first run, a
+        repeat is attempted only while the remaining budget can hold
+        another run of the measured cost (x1.5 + settle/diagnostic
+        slack) — so the parent can ask for 3-run medians whenever a
+        first pass fits, and an operator that would blow the budget
+        stops early WITH its completed run list committed instead of
+        the whole family degrading to best-of-1 up front."""
         runs: list[float] = []
         frame = result = None
         for i in range(n_runs):
             if frame is not None:
+                if _remaining() - _FINAL_RESERVE_S < runs[-1] * 1.5 + 180:
+                    print(
+                        f"# pair {label}: stopping at {len(runs)} "
+                        f"run(s) ({_remaining():.0f}s budget left)",
+                        file=sys.stderr,
+                    )
+                    break
                 _dd.release(frame)
                 _settle(f"between {label} runs", max_wait=120)
             t0 = _t.time()
@@ -2058,9 +2219,9 @@ def _gate_subprocess() -> dict | None:
         print(f"# prepare SKIPPED ({skipped['prepare']})", file=sys.stderr)
     else:
         penv = dict(env)
-        if rem < 3300:
+        if rem < 3300 * _CORE_SCALE:
             # the pair family will be degraded/skipped below — don't
-            # spend prepare time generating its 5M-doc corpus
+            # spend prepare time generating its doc corpus
             penv["SPARK_GRAFT_PAIR_DOCS"] = "0"
         prep, _pt = _run_child(
             [sys.executable, me, "--prepare"],
@@ -2124,21 +2285,36 @@ def _gate_subprocess() -> dict | None:
             })
 
     # ---- pair-scale child, LAST (most expensive, least gating) ----
-    n_pair = int(os.environ.get("SPARK_GRAFT_PAIR_DOCS", 5_000_000))
+    n_pair = _pair_docs()
     rem = _left()
     if n_pair > 0:
-        if rem < 900:
+        if rem < 900 * _CORE_SCALE + 180:
             skipped["pair_scale"] = f"budget: {rem:.0f}s left"
             print(f"# pair-scale SKIPPED ({skipped['pair_scale']})",
                   file=sys.stderr)
+            # the artifact always carries the key, even on a skip
+            _patch({"pair_scale": {
+                "status": "skipped_budget",
+                "reason": skipped["pair_scale"],
+            }})
         else:
-            # degrade before skipping: the r08-mandated median-of-3
-            # only fits when ~50+ min remain; otherwise best-of-1
-            # (each run list says which protocol produced it)
+            # degrade before skipping: ask for the r08-mandated
+            # median-of-3 whenever a first full pass plausibly fits
+            # (the child additionally stops adding runs PER OPERATOR
+            # when its remaining budget can't hold another run — see
+            # run_pair_scale_bench._timed — so asking for 3 can no
+            # longer blow the budget the way the r11 rem>3000 gate
+            # assumed; r11 left 3-run medians on the table at
+            # rem~2600, VERDICT item 7)
             want = int(os.environ.get("TRCK_SPARK_PAIR_RUNS", "3"))
-            runs = min(want, 3 if rem > 3000 else 1)
+            runs = min(want, 3 if rem > 1500 else 1)
             penv = dict(env)
             penv["TRCK_SPARK_PAIR_RUNS"] = str(runs)
+            # the child budgets its own adaptive degrade from what the
+            # parent can actually give it
+            penv["TRCK_SPARK_BENCH_BUDGET_S"] = str(
+                max(600, int(rem - 90))
+            )
             _settle("before pair child")
             print(f"# pair-scale child: {runs} run(s), "
                   f"{rem:.0f}s budget left", file=sys.stderr)
@@ -2888,8 +3064,10 @@ def main() -> None:
         _open_perf(spark, GATE_EVENTS)
         _open_perf_segmented(spark, GATE_EVENTS)
         _open_perf_segmented_thin(spark, GATE_EVENTS)
-        _open_perf(spark, 20_000_000)  # streaming benches
-        n_pair = int(os.environ.get("SPARK_GRAFT_PAIR_DOCS", 5_000_000))
+        _open_perf(spark, 20_000_000)  # gate lo-side + fsm benches
+        if _stream_events() != 20_000_000:
+            _open_perf(spark, _stream_events())  # low-core streaming
+        n_pair = _pair_docs()
         if n_pair > 0:
             from trck_spark.benchdata import (
                 ensure_docs_dataset,
@@ -2955,7 +3133,7 @@ def main() -> None:
             gate["pair_scale"] = ps
             _atomic_write_json(out_path, gate)
 
-        n_pair = int(os.environ.get("SPARK_GRAFT_PAIR_DOCS", 5_000_000))
+        n_pair = _pair_docs()
         try:
             ps = run_pair_scale_bench(spark, n_pair, ckpt=ckpt_pair)
             ps["status"] = "complete"
