@@ -79,7 +79,7 @@ _BUDGET_S = (
     float(_env_budget)
     if _env_budget
     else (4200.0 if not _LOW_CORE else max(
-        1500.0, 4200.0 * _CORE_SCALE + 900.0
+        1500.0, 4200.0 * _CORE_SCALE + 1200.0
     ))
 )
 # final BENCH_SF rewrite + contract print headroom
